@@ -1,0 +1,88 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at the same sf,
+compare row counts + values (columns sorted by name, rows sorted).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df):
+    """Sort columns by name, then rows by all values — order-insensitive."""
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _cell_equal(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return fa == fb  # exact — the driver hashes values
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, ddb, name):
+    assert name in QUERIES, f"oracle {name} has no queries() entry"
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = ddb.execute(ORACLES[name]).fetchdf()
+
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    s, d = _normalize(spark_pdf), _normalize(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col], d[col])):
+            assert _cell_equal(a, b), (
+                f"{name}: value mismatch col={col} row={i}: spark={a!r} duck={b!r}"
+            )
+
+
+def test_every_query_has_entry_or_rows(spark):
+    """queries() without an oracle still must run and return a DataFrame."""
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, f"{name} failed to execute"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
