@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics as A
+from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,35 +24,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # analytics (SURVEY §2.6-2.8 aggregations/joins/sorts)
         "pricing_summary": A.pricing_summary,
         "revenue_by_segment": A.revenue_by_segment,
         "top_customers": A.top_customers,
         "order_priority_counts": A.order_priority_counts,
         "nation_revenue": A.nation_revenue,
         "events_hourly": A.events_hourly,
+        # CDC (SURVEY §2.2)
+        "incremental_scan": S.q_incremental_scan,
+        "cdc_timestamp_probe": S.q_cdc_timestamp_probe,
+        "cdc_log_probe": S.q_cdc_log_probe,
+        "event_dedup": S.q_event_dedup,
+        # integrity / quality (SURVEY §2.5)
+        "fk_orphan_orders": S.q_fk_orphan_orders,
+        "customers_without_orders": S.q_customers_without_orders,
+        "whole_row_dups_lineitem": S.q_whole_row_dups_lineitem,
+        # validation engine (SURVEY §2.4-2.6)
+        "validation_orders": S.q_validation_orders,
+        "profile_customer": S.q_profile_customer,
+        # transform layer (SURVEY §2.7)
+        "staging_orders": S.q_staging_orders,
+        "dim_customers": S.q_dim_customers,
+        "fact_orders": S.q_fact_orders,
+        "merge_upsert": S.q_merge_upsert,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
+            WITH t AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                       CAST(l_discount AS DECIMAL(4,2)) AS disc,
+                       CAST(l_tax AS DECIMAL(4,2)) AS tax
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            )
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   ROUND(AVG(l_quantity), 2) AS avg_qty,
-                   ROUND(AVG(l_extendedprice), 2) AS avg_price,
-                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   CAST(ROUND(SUM(qty), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(price), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM(price * (1 - disc)), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(ROUND(SUM(price * (1 - disc) * (1 + tax)), 2) AS DOUBLE) AS sum_charge,
+                   ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(qty), 2) AS avg_qty,
+                   ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(price), 2) AS avg_price,
+                   ROUND(CAST(SUM(disc) AS DOUBLE) / COUNT(disc), 4) AS avg_disc,
                    COUNT(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            FROM t
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
         "revenue_by_segment": """
             SELECT c.c_mktsegment,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                  * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS revenue,
                    COUNT(DISTINCT o.o_orderkey) AS n_orders,
                    COUNT(DISTINCT c.c_custkey) AS n_customers
             FROM lineitem l
@@ -63,7 +92,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_customers": """
             SELECT c.c_custkey, c.c_name,
-                   ROUND(SUM(o.o_totalprice), 2) AS total_spent,
+                   CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS total_spent,
                    COUNT(*) AS n_orders
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -82,7 +112,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_revenue": """
             SELECT r.r_name, n.n_name,
-                   ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                   CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS revenue,
                    COUNT(*) AS n_orders
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -94,10 +125,145 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 2) AS sum_value,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY date_trunc('hour', ts), event_type
             ORDER BY hour_start, event_type
+        """,
+        "incremental_scan": """
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+            FROM events
+            WHERE ts > TIMESTAMP '2024-01-04 00:00:00'
+        """,
+        "cdc_timestamp_probe": """
+            SELECT COUNT(*) AS change_count,
+                   CAST(MAX(ts) AS TIMESTAMP) AS max_ts
+            FROM events
+            WHERE ts > TIMESTAMP '2024-01-04 00:00:00'
+        """,
+        "cdc_log_probe": """
+            SELECT event_type AS op_code,
+                   event_type AS change_type,
+                   COUNT(*) AS change_count,
+                   CAST(MAX(ts) AS TIMESTAMP) AS max_ts
+            FROM events
+            GROUP BY event_type
+            ORDER BY op_code
+        """,
+        "event_dedup": """
+            SELECT arg_min(event_id, ts) AS event_id, user_id, event_type,
+                   CAST(MIN(ts) AS TIMESTAMP) AS ts
+            FROM events
+            GROUP BY user_id, event_type,
+                     time_bucket(INTERVAL 60 MINUTES, CAST(ts AS TIMESTAMP),
+                                 TIMESTAMP '1970-01-01 00:00:00')
+        """,
+        "fk_orphan_orders": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "whole_row_dups_lineitem": """
+            SELECT (SELECT COUNT(*) FROM lineitem)
+                 - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem))
+                 AS duplicate_rows
+        """,
+        "validation_orders": """
+            SELECT COUNT(*) AS total_rows,
+                   COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_violation__o_orderkey,
+                   COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_violation,
+                   COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS null_violation__o_orderkey,
+                   COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_violation__o_custkey,
+                   COUNT(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0 OR o_totalprice > 500000)
+                         THEN 1 END) AS rule__price_range,
+                   COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O', 'P')
+                         THEN 1 END) AS rule__status_allowed,
+                   COUNT(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^(?:[1-5]-[A-Z ]+)')
+                         THEN 1 END) AS rule__priority_pattern,
+                   COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS rule__custkey_not_null,
+                   COUNT(CASE WHEN o_orderdate IS NOT NULL
+                              AND CAST(o_orderdate AS DATE) > DATE '2001-01-01'
+                         THEN 1 END) AS rule__no_future_orders,
+                   COUNT(CASE WHEN o_orderkey IS NOT NULL
+                              AND TRY_CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) IS NULL
+                         THEN 1 END) AS type_invalid__o_orderkey,
+                   COUNT(CASE WHEN o_totalprice IS NOT NULL
+                              AND TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) IS NULL
+                         THEN 1 END) AS type_invalid__o_totalprice
+            FROM orders
+        """,
+        "profile_customer": """
+            SELECT COUNT(*) AS total_rows,
+                   COUNT(CASE WHEN c_acctbal IS NULL THEN 1 END) AS bal_null_count,
+                   COUNT(DISTINCT c_acctbal) AS bal_unique_count,
+                   ROUND(AVG(c_acctbal), 4) AS bal_mean,
+                   ROUND(MEDIAN(c_acctbal), 4) AS bal_median,
+                   ROUND(STDDEV_SAMP(c_acctbal), 4) AS bal_std,
+                   ROUND(MIN(c_acctbal), 2) AS bal_min,
+                   ROUND(MAX(c_acctbal), 2) AS bal_max,
+                   COUNT(CASE WHEN c_acctbal = 0 THEN 1 END) AS bal_zero_count,
+                   COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS bal_negative_count,
+                   ROUND(AVG(LENGTH(c_name)), 4) AS name_avg_length,
+                   MIN(LENGTH(c_name)) AS name_min_length,
+                   MAX(LENGTH(c_name)) AS name_max_length,
+                   COUNT(CASE WHEN c_name = '' THEN 1 END) AS name_empty_count
+            FROM customer
+        """,
+        "staging_orders": """
+            SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+                   o_orderstatus AS order_status,
+                   ROUND(o_totalprice, 2) AS total_amount,
+                   CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+                   o_orderpriority AS order_priority
+            FROM orders WHERE o_totalprice >= 0
+        """,
+        "dim_customers": """
+            SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+                   c.c_mktsegment AS market_segment,
+                   ROUND(c.c_acctbal, 2) AS account_balance,
+                   n.n_name AS nation, r.r_name AS region
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "fact_orders": """
+            SELECT o.o_orderkey AS order_id, o.o_custkey AS customer_id,
+                   o.o_orderstatus AS order_status,
+                   ROUND(o.o_totalprice, 2) AS total_amount,
+                   CAST(o.o_orderdate AS DATE) AS order_date,
+                   o.o_orderpriority AS order_priority,
+                   li.net_revenue, li.n_lineitems,
+                   c.c_mktsegment AS market_segment,
+                   n.n_name AS nation, r.r_name AS region
+            FROM orders o
+            LEFT JOIN (
+                SELECT l_orderkey,
+                       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                            AS DOUBLE) AS net_revenue,
+                       COUNT(*) AS n_lineitems
+                FROM lineitem GROUP BY l_orderkey
+            ) li ON li.l_orderkey = o.o_orderkey
+            LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+            LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE o.o_totalprice >= 0
+        """,
+        "merge_upsert": """
+            SELECT o_orderkey AS order_id,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN ROUND(o_totalprice + 100, 2)
+                        ELSE ROUND(o_totalprice, 2) END AS total_amount
+            FROM orders
         """,
     }

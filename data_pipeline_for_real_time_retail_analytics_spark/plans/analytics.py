@@ -7,9 +7,10 @@ models). These queries implement the declared intent Spark-first:
 broadcast joins for dimensions, partial aggregation before shuffle,
 filters that push into the parquet scan.
 
-Every computed column is aliased so results are oracle-comparable
-(DuckDB) byte-for-byte; money aggregates are rounded to 2dp to make
-float reduction order irrelevant.
+Money sums use exact DECIMAL aggregation (functions/agg.py) so results
+are independent of reduction order — identical under AQE re-planning and
+bit-equal to the DuckDB oracle. Every computed column is aliased to the
+oracle's name.
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.agg import exact_avg, exact_sum, money, ratio
 from ..sources import load_table
 
 
@@ -24,18 +26,23 @@ def pricing_summary(spark: SparkSession, sf_dir: str, ship_cutoff: str = "1998-0
     """TPC-H Q1-style pricing summary: one scan of lineitem, map-side
     partial aggs, tiny shuffle on (returnflag, linestatus)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty = money(F.col("l_quantity"))
+    price = money(F.col("l_extendedprice"))
+    disc = ratio(F.col("l_discount"))
+    tax = ratio(F.col("l_tax"))
+    disc_price = price * (F.lit(1) - disc)
+    charge = disc_price * (F.lit(1) + tax)
     return (
         li.where(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_sum(qty).alias("sum_qty"),
+            exact_sum(price).alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            exact_avg(qty, 2).alias("avg_qty"),
+            exact_avg(price, 2).alias("avg_price"),
+            exact_avg(disc, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -55,13 +62,13 @@ def revenue_by_segment(spark: SparkSession, sf_dir: str, since: str = "1996-01-0
         .select("o_orderkey", "o_custkey")
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = money(F.col("l_extendedprice")) * (F.lit(1) - ratio(F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            exact_sum(revenue).alias("revenue"),
             F.count_distinct("o_orderkey").alias("n_orders"),
             F.count_distinct("c_custkey").alias("n_customers"),
         )
@@ -76,7 +83,7 @@ def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     by_cust = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        exact_sum(money(F.col("o_totalprice"))).alias("total_spent"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     return (
@@ -121,7 +128,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            exact_sum(money(F.col("o_totalprice"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("r_name", "n_name")
@@ -140,7 +147,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            exact_sum(money(F.col("value"))).alias("sum_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
         .orderBy("hour_start", "event_type")
