@@ -135,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
             FROM events
             WHERE ts > TIMESTAMP '2024-01-04 00:00:00'
+            ORDER BY event_id
         """,
         "cdc_timestamp_probe": """
             SELECT COUNT(*) AS change_count,
@@ -158,11 +159,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, event_type,
                      time_bucket(INTERVAL 60 MINUTES, CAST(ts AS TIMESTAMP),
                                  TIMESTAMP '1970-01-01 00:00:00')
+            ORDER BY event_id
         """,
         "fk_orphan_orders": """
             SELECT o_orderkey, o_custkey FROM orders o
             WHERE NOT EXISTS (
                 SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            ORDER BY o_orderkey
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer c
@@ -226,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
                    o_orderpriority AS order_priority
             FROM orders WHERE o_totalprice >= 0
+            ORDER BY order_id
         """,
         "dim_customers": """
             SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
@@ -235,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
+            ORDER BY customer_id
         """,
         "fact_orders": """
             SELECT o.o_orderkey AS order_id, o.o_custkey AS customer_id,
@@ -258,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
             LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
             WHERE o.o_totalprice >= 0
+            ORDER BY order_id
         """,
         "merge_upsert": """
             SELECT o_orderkey AS order_id,
@@ -265,5 +271,6 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(o_totalprice + 100, 2)
                         ELSE ROUND(o_totalprice, 2) END AS total_amount
             FROM orders
+            ORDER BY order_id
         """,
     }

@@ -39,8 +39,10 @@ WATERMARK = "2024-01-04 00:00:00"
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: rows strictly after the watermark, predicate pushed to scan."""
     ev = load_table(spark, sf_dir, "events")
-    return incremental_read(ev, "ts", WATERMARK).select(
-        "event_id", "ts", "user_id", "event_type"
+    return (
+        incremental_read(ev, "ts", WATERMARK)
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id")
     )
 
 
@@ -63,8 +65,10 @@ def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: suppress repeated (user, type) events within a 60-min window;
     keep the earliest occurrence."""
     ev = load_table(spark, sf_dir, "events")
-    return dedup_change_events(ev, ["user_id", "event_type"], "ts").select(
-        "event_id", "user_id", "event_type", "ts"
+    return (
+        dedup_change_events(ev, ["user_id", "event_type"], "ts")
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
     )
 
 
@@ -76,8 +80,10 @@ def q_fk_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (empty on consistent data; the check IS the query)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    return fk_orphans(orders, "o_custkey", cust, "c_custkey").select(
-        "o_orderkey", "o_custkey"
+    return (
+        fk_orphans(orders, "o_custkey", cust, "c_custkey")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
     )
 
 
@@ -154,18 +160,22 @@ def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_staging_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # date → timestamp for the oracle: pandas renders Spark DateType as
     # datetime.date but DuckDB dates as Timestamp; timestamps agree.
-    return staging_orders(spark, sf_dir).withColumn(
-        "order_date", F.col("order_date").cast("timestamp")
+    return (
+        staging_orders(spark, sf_dir)
+        .withColumn("order_date", F.col("order_date").cast("timestamp"))
+        .orderBy("order_id")
     )
 
 
 def q_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dim_customers(spark, sf_dir)
+    return dim_customers(spark, sf_dir).orderBy("customer_id")
 
 
 def q_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fact_orders(spark, sf_dir).withColumn(
-        "order_date", F.col("order_date").cast("timestamp")
+    return (
+        fact_orders(spark, sf_dir)
+        .withColumn("order_date", F.col("order_date").cast("timestamp"))
+        .orderBy("order_id")
     )
 
 
@@ -181,4 +191,4 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_id"),
         F.round(F.col("o_totalprice") + 100, 2).alias("total_amount"),
     )
-    return merge_upsert(target, updates, ["order_id"])
+    return merge_upsert(target, updates, ["order_id"]).orderBy("order_id")
