@@ -14,6 +14,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics as A
+from data_pipeline_for_real_time_retail_analytics_spark.plans import llm as L
+from data_pipeline_for_real_time_retail_analytics_spark.plans import llm_oracles as LO
 from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
 
 
@@ -48,6 +50,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_customers": S.q_dim_customers,
         "fact_orders": S.q_fact_orders,
         "merge_upsert": S.q_merge_upsert,
+        # LLM training-data operators (beyond-reference mandate)
+        "exact_dedup_docs": L.q_exact_dedup_docs,
+        "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
+        "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
+        "simhash_pairs": L.q_simhash_pairs,
+        "simhash_values": L.q_simhash_values,
+        "token_stats": L.q_token_stats,
+        "language_id": L.q_language_id,
+        "quality_score": L.q_quality_score,
+        "doc_fingerprints": L.q_doc_fingerprints,
+        "cosine_topk": L.q_cosine_topk,
+        "ann_sign_lsh": L.q_ann_sign_lsh,
+        "embedding_near_dup": L.q_embedding_near_dup,
+        "multimodal_features": L.q_multimodal_features,
     }
 
 
@@ -273,4 +289,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY order_id
         """,
+        # LLM training-data operators — oracles generated in llm_oracles.py
+        # (md5/bit-arithmetic based, so even MinHash/SimHash/cosine are
+        # value-checked, not rows-only)
+        "exact_dedup_docs": LO.exact_dedup_docs(),
+        "minhash_lsh_dupes": LO.minhash_lsh_dupes(),
+        "ngram_jaccard_pairs": LO.ngram_jaccard_pairs(),
+        "simhash_pairs": LO.simhash_pairs(),
+        "simhash_values": LO.simhash_values(),
+        "token_stats": LO.token_stats(),
+        "language_id": LO.language_id(),
+        "quality_score": LO.quality_score(),
+        "doc_fingerprints": LO.doc_fingerprints(),
+        "cosine_topk": LO.cosine_topk(),
+        "ann_sign_lsh": LO.ann_sign_lsh(),
+        "embedding_near_dup": LO.embedding_near_dup(),
+        "multimodal_features": LO.multimodal_features(),
     }

@@ -1,0 +1,306 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond-reference scope: the reference dedups only *change events* by key
+within a time window (reference: src/ingestion/change_detection.py:93-134);
+a corpus pipeline needs content-level dedup. Implemented tiers, cheapest
+first:
+
+1. **exact** — md5 content hash, keep lowest id per hash. One shuffle on
+   the hash (uniformly distributed → no skew at 100 TB).
+2. **n-gram Jaccard** — word-shingle overlap join within a blocking key.
+   Explode-join-aggregate; the blocking key bounds the candidate set so
+   the join never goes quadratic.
+3. **MinHash + LSH** — signature = per-seed minimum of md5(shingle#seed)
+   (lexicographic min of a uniform hash ≈ classic minhash); signatures
+   are banded and only band-collisions are verified with exact Jaccard.
+   Candidate generation is a self-equi-join on (band_id, band_key) — at
+   100 TB this is THE way: cost scales with collisions, not pairs.
+4. **SimHash** — 32-bit sign-of-weighted-bit-sums over token hashes;
+   near-dups have small Hamming distance, verified with bit_count(xor).
+
+Every step is a pure column expression or an equi-join — no UDFs — and
+uses only md5/bit arithmetic shared with ANSI engines, so all four tiers
+are oracle-checkable against DuckDB (rare for MinHash implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import ws_tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def content_hash(*cols: str, sep: str = "\x1f") -> Column:
+    """md5 over the concatenated columns (unit-separator delimited)."""
+    return F.md5(F.concat_ws(sep, *[F.col(c) for c in cols]))
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (lowest id) per distinct content hash.
+
+    groupBy-min + semi-join keeps the plan all-equi-join (AQE can turn
+    the join into broadcast when the survivor set is small); a window
+    over the hash would work too but offers no partial aggregation.
+    """
+    hashed = df.withColumn("__h", content_hash(*content_cols))
+    keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return (
+        hashed.join(keep, [ "__h", id_col], "left_semi")
+        .drop("__h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text as an array column.
+    Guarded: Spark's ``sequence(1, 0)`` counts *down*, so texts with
+    fewer than n tokens must short-circuit to an empty array."""
+    toks = ws_tokens(text)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles, n_shingles) for docs with at least one shingle."""
+    return (
+        df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .withColumn("n_shingles", F.size("shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked pairwise)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str | None = "source",
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs with shingle-set Jaccard ≥ threshold, candidate
+    pairs restricted to the same blocking key (a cheap partitioner —
+    e.g. source, language, or an LSH band for the unblocked case)."""
+    extra = [block_col] if block_col else []
+    sh = (
+        df.select(id_col, *extra, word_shingles(F.col(text_col), n).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .withColumn("n_shingles", F.size("shingles"))
+    )
+    ex = sh.select(id_col, *extra, "n_shingles", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    common = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.n_shingles").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.round(jac, 4) >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_perm: int = 12) -> Column:
+    """Array of ``num_perm`` minhashes: per seed, the lexicographic min of
+    md5(shingle || '#' || seed). md5 is uniform, so the argmin is a valid
+    permutation-min; being a builtin everywhere makes the signature
+    engine-portable and oracle-checkable."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat_ws("#", s, i)))
+        ),
+    )
+
+
+def minhash_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Hash each band (``rows`` consecutive signature entries) to a key;
+    docs sharing any (band_id, key) become candidate pairs."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.md5(F.array_join(F.slice(sig, j * rows + 1, rows), "")),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perm: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard
+    verification. ``bands`` must divide ``num_perm``; candidate recall is
+    1-(1-t^rows)^bands for true Jaccard t."""
+    rows = num_perm // bands
+    sh = with_shingles(df, n, text_col, id_col)
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_perm))
+    banded = sig.select(
+        id_col,
+        "n_shingles",
+        "shingles",
+        F.posexplode(minhash_band_keys(F.col("sig"), bands, rows)).alias(
+            "band_id", "band_key"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.shingles").alias("sh_b"),
+            F.col("b.n_shingles").alias("n_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.round(jac, 4) >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_table(
+    df: DataFrame,
+    bits: int = SIMHASH_BITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, simhash) — 32-bit SimHash over whitespace tokens. Token hash =
+    first 8 md5 hex chars as an integer (engine-portable); result bit i is
+    the sign of the ±1 vote sum across tokens at bit i.
+
+    Shape: explode → single groupBy with ``bits`` sum aggregates. The
+    partial (map-side) aggregation means the shuffle carries one row of
+    32 longs per document, not one row per token — the scalable form.
+    """
+    extra = extra_cols or []
+    tok = df.select(
+        F.col(id_col), *extra, F.explode(ws_tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = tok.groupBy(id_col, *extra).agg(*votes)
+    sh = sum(
+        [
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ],
+        start=F.lit(0).cast("long"),
+    )
+    return voted.select(id_col, *extra, sh.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    block_col: str | None = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance within a blocking key.
+    At scale the block key becomes simhash byte-prefix bands (pigeonhole:
+    distance ≤ k ⇒ some band of bits is identical)."""
+    extra = [block_col] if block_col else []
+    sh = simhash_table(df, text_col=text_col, id_col=id_col, extra_cols=extra)
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# synthetic near-duplicate planting (test/verification support)
+# ---------------------------------------------------------------------------
+
+
+def plant_near_dups(
+    df: DataFrame,
+    every: int = 50,
+    id_offset: int = 10_000_000,
+    drop_words: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Union the corpus with deterministic near-copies (first ``drop_words``
+    words removed) of every ``every``-th document — gives dedup queries
+    known positives to find, with reproducible ids."""
+    toks = ws_tokens(F.col(text_col))
+    mutated = (
+        df.where((F.col(id_col) % every == 0) & (F.size(toks) > drop_words))
+        .withColumn(id_col, F.col(id_col) + id_offset)
+        .withColumn(
+            text_col,
+            F.array_join(F.slice(toks, drop_words + 1, F.size(toks) - drop_words), " "),
+        )
+    )
+    return df.unionByName(mutated)

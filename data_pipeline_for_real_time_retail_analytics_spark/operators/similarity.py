@@ -1,0 +1,164 @@
+"""Embedding similarity search for LLM training-data pipelines.
+
+Beyond-reference scope. Operates on an ``array<float>`` embedding column
+(the `embeddings` table: vec_id, embedding float[64], label).
+
+Two tiers:
+
+- **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus, rank per query. Cost is
+  |Q| × |corpus| dot products, all JVM-side (`zip_with` + `aggregate`
+  fold, whole-stage codegen) — no Python, no Arrow hop. At 100 TB the
+  corpus side stays partition-parallel and the query side is a broadcast.
+- **sign-LSH bucketed ANN** — the scale path: bucket key = sign bits of
+  the first B dimensions (axis-aligned random-hyperplane LSH; with
+  PCA-rotated or learned projections at deployment). Join is bucket-equi,
+  so cost scales with bucket occupancy, not |corpus|.
+
+Determinism: all arithmetic is double-precision in index order on both
+engines, so cosine values are bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector (cosine),
+    excluding self-matches. The query side is broadcast — never shuffle
+    the corpus for a lookup workload."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    sim = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def sign_lsh_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Axis-sign LSH bucket id: bit i set iff vec[i+1] > 0 (1-indexed)."""
+    return sum(
+        [
+            F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(n_bits)
+        ],
+        start=F.lit(0).cast("long"),
+    )
+
+
+def ann_topk_sign_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    Equi-join on the bucket key → shuffle-partitioned by bucket; at scale
+    add multi-probe (flip one bit) to trade cost for recall."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    sim = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id", "match_id", "bucket", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "bucket", F.round("sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: only vectors
+    in the same sign bucket are compared (near-identical vectors always
+    share it), so the pair space is bucketed, not quadratic."""
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .where(F.round(sim, 6) >= threshold)
+    )
+
+
+def plant_dup_vectors(
+    df: DataFrame,
+    every: int = 100,
+    id_offset: int = 10_000_000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Union the corpus with exact copies of every ``every``-th vector
+    under new ids — known cosine-1.0 positives for near-dup queries."""
+    dups = df.where(F.col(id_col) % every == 0).withColumn(
+        id_col, F.col(id_col) + id_offset
+    )
+    return df.unionByName(dups)

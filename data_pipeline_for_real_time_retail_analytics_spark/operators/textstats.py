@@ -1,0 +1,147 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond-reference scope (the reference's text handling stops at regex
+validation rules, reference: src/ingestion/validators.py:253-267); these
+are the operators a 100 TB web-scale corpus pipeline needs: token
+counting, n-gram-heuristic language ID, quality scoring, and document
+fingerprinting.
+
+Design rules for scale:
+- everything is a *pure column expression* over the text column — no
+  Python UDFs, no shuffles; whole-stage codegen keeps the hot path in
+  the JVM, and the plan is embarrassingly parallel at any data size;
+- only deterministic builtins shared with ANSI SQL are used, so every
+  operator is oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+#: regex for "BPE-ish" word/punctuation pieces (ASCII classes only, so the
+#: count is identical across regex engines)
+BPE_TOKEN_RE = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: whitespace token count, a BPE-ish
+    regex token count, char count, and mean token length."""
+    toks = ws_tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).alias("n_tokens_ws"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("n_tokens_bpe"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-lexicon n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+#: tiny high-frequency-word lexicons; a scale deployment swaps in real
+#: fastText-style profiles, the operator shape is identical
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
+    "de": ("der", "die", "und", "den", "von", "das", "mit", "dem", "ist", "ein"),
+}
+
+
+def _lexicon_hits(toks: Column, lexicon: tuple[str, ...]) -> Column:
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lex, F.lower(t))))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predict language by stopword-lexicon hit counts; ties resolve in
+    fixed lexicon order, zero hits → ``und`` (undetermined)."""
+    toks = ws_tokens(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        *[
+            _lexicon_hits(toks, lex).alias(f"score_{lang}")
+            for lang, lex in LANG_LEXICONS.items()
+        ],
+    )
+    langs = list(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    # build CASE from last to first so earlier lexicons win ties
+    for lang in reversed(langs):
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0), lang).otherwise(pred)
+    return scored.select(id_col, *[f"score_{l}" for l in langs], pred.alias("predicted_lang"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword
+    ratio, punctuation ratio → four equal-weight indicator points.
+
+    Mirrors the shape of published corpus-cleaning heuristics (length and
+    symbol-ratio filters); the exact thresholds are config, not truth.
+    """
+    toks = ws_tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_tok = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / n_tokens
+    stop_ratio = _lexicon_hits(toks, LANG_LEXICONS["en"]) / n_tokens
+    punct_ratio = F.regexp_count(F.col(text_col), F.lit("[^A-Za-z0-9 \\t\\n]")) / n_chars
+
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 10000), 0.25).otherwise(0.0)
+        + F.when((mean_tok >= 2.0) & (mean_tok <= 12.0), 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.25).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 0.25).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash)
+# ---------------------------------------------------------------------------
+
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling hash over character codes:
+    ``h = fold(h * 31 + code) mod 1e9+7`` — a deterministic 61-bit-safe
+    content fingerprint computable by any engine (no engine-specific hash
+    function), usable as a cheap exact-dup / shard-routing key."""
+    fingerprint = F.expr(
+        f"aggregate(transform(sequence(1, length({text_col})), "
+        f"i -> ascii(substring({text_col}, i, 1))), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
+    )
+    return df.select(F.col(id_col), fingerprint.alias("fingerprint"))

@@ -1,0 +1,155 @@
+"""LLM training-data operator showcase queries (driver correctness gate).
+
+Each query exercises one operator tier from operators/{dedup,textstats,
+similarity,multimodal}.py over the synthetic ``documents`` /
+``embeddings`` tables. Dedup/near-dup queries *plant* deterministic
+duplicates first (union of mutated copies under offset ids) so the checks
+have known positives instead of vacuously-empty results.
+
+All outputs are deterministically ordered; every column is aliased to
+match the DuckDB oracle in ``__spark_entry__.oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    content_hash,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    plant_near_dups,
+    simhash_pairs,
+    simhash_table,
+)
+from ..operators.multimodal import extract_features, media_table
+from ..operators.similarity import (
+    ann_topk_sign_lsh,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    plant_dup_vectors,
+)
+from ..operators.textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from ..sources import load_table
+
+#: planting parameters shared with the oracle SQL
+PLANT_EVERY_DOCS = 25
+PLANT_EVERY_VECS = 100
+ID_OFFSET = 10_000_000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# -- dedup tiers ---------------------------------------------------------------
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: plant exact copies under offset ids, dedup by content
+    hash keeping the lowest id — survivors are exactly the originals."""
+    docs = _docs(spark, sf_dir)
+    copies = docs.where(F.col("doc_id") % PLANT_EVERY_DOCS == 0).withColumn(
+        "doc_id", F.col("doc_id") + ID_OFFSET
+    )
+    planted = docs.unionByName(copies)
+    return (
+        exact_dedup(planted, ["text"])
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the corpus with planted mutants."""
+    planted = plant_near_dups(_docs(spark, sf_dir), every=PLANT_EVERY_DOCS,
+                              id_offset=ID_OFFSET)
+    return minhash_lsh_pairs(planted, num_perm=12, bands=3, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup pairs (same-source blocking)."""
+    planted = plant_near_dups(_docs(spark, sf_dir), every=PLANT_EVERY_DOCS,
+                              id_offset=ID_OFFSET)
+    return ngram_jaccard_pairs(planted, block_col="source", threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs (same-source blocking)."""
+    planted = plant_near_dups(_docs(spark, sf_dir), every=PLANT_EVERY_DOCS,
+                              id_offset=ID_OFFSET)
+    return simhash_pairs(planted, max_hamming=6, block_col="source").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw 32-bit SimHash per document — checks the bit math itself."""
+    return simhash_table(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# -- text analysis ---------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# -- similarity search -----------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for every 100th vector as query."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
+    return cosine_topk(queries, embs, k=5).orderBy("query_id", "rank")
+
+
+def q_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5 (the 100 TB scale path)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
+    return ann_topk_sign_lsh(queries, embs, k=5, n_bits=8).orderBy("query_id", "rank")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with planted exact copies."""
+    planted = plant_dup_vectors(_embs(spark, sf_dir), every=PLANT_EVERY_VECS,
+                                id_offset=ID_OFFSET)
+    return embedding_near_dup_pairs(planted, threshold=0.99).orderBy("vec_a", "vec_b")
+
+
+# -- multimodal ------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload bytes through an Arrow-batched
+    mapInPandas featurizer (deterministic stand-in for a codec)."""
+    return extract_features(media_table(_docs(spark, sf_dir))).orderBy("doc_id")

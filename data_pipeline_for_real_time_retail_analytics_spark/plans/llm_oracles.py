@@ -1,0 +1,338 @@
+"""DuckDB oracle SQL for the LLM-data showcase queries (plans/llm.py).
+
+Every oracle mirrors its Spark twin *exactly*, step for step: same
+tokenization, same md5-derived hashes, same fold order for floating
+point. The only portable primitives used are md5 / ascii / bit ops /
+left-fold list reduction, all of which Spark and DuckDB implement
+identically — this is what makes MinHash / SimHash / cosine oracle-
+checkable instead of rows-only.
+
+Shared constants must stay in lockstep with plans/llm.py
+(PLANT_EVERY_DOCS etc.) and operators/dedup.py (num_perm/bands).
+"""
+
+from __future__ import annotations
+
+from ..operators.textstats import BPE_TOKEN_RE, LANG_LEXICONS
+
+# tokenizer: identical to textstats.ws_tokens (split trimmed text on \s+)
+TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+# planted corpus: originals ∪ every-25th doc with first 2 words dropped,
+# ids offset by 10,000,000 — mirrors dedup.plant_near_dups
+PLANTED = rf"""
+corpus AS (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id,
+           array_to_string(list_slice({TOKS}, 3, len({TOKS})), ' ') AS text,
+           source
+    FROM documents
+    WHERE doc_id % 25 = 0 AND len({TOKS}) > 2
+)
+"""
+
+# distinct word-3-gram shingles per doc (≥3 tokens), mirrors word_shingles
+SHINGLES = rf"""
+tokd AS (SELECT doc_id, source, {TOKS} AS w FROM corpus),
+sh AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+    FROM tokd WHERE len(w) >= 3
+),
+shn AS (SELECT doc_id, source, sh, len(sh) AS n_sh FROM sh)
+"""
+
+
+def exact_dedup_docs() -> str:
+    return """
+        WITH corpus AS (
+            SELECT doc_id, text, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text, n_chars FROM documents
+            WHERE doc_id % 25 = 0
+        )
+        SELECT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM corpus
+        ) WHERE doc_id = keep_id
+        ORDER BY doc_id
+    """
+
+
+def minhash_lsh_dupes(num_perm: int = 12, bands: int = 3, threshold: float = 0.5) -> str:
+    rows = num_perm // bands
+    return rf"""
+        WITH {PLANTED}, {SHINGLES},
+        sig AS (
+            SELECT doc_id, sh, n_sh,
+                   list_transform(range(0, {num_perm}),
+                       i -> list_aggregate(
+                                list_transform(sh, s -> md5(s || '#' || i)),
+                                'min')) AS sig
+            FROM shn
+        ),
+        banded AS (
+            SELECT doc_id, j,
+                   md5(array_to_string(
+                       list_slice(sig, j * {rows} + 1, j * {rows} + {rows}), '')) AS band_key
+            FROM sig, range(0, {bands}) t(j)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.j = b.j AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.sh, sb.sh)) AS c,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b
+            FROM cand
+            JOIN sig sa ON sa.doc_id = doc_a
+            JOIN sig sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, ROUND(c / (n_a + n_b - c), 4) AS jaccard
+        FROM ver
+        WHERE ROUND(c / (n_a + n_b - c), 4) >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def ngram_jaccard_pairs(threshold: float = 0.5) -> str:
+    return rf"""
+        WITH {PLANTED}, {SHINGLES},
+        ex AS (SELECT doc_id, source, n_sh, unnest(sh) AS s FROM shn),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS c
+            FROM ex a
+            JOIN ex b ON a.s = b.s AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b, ROUND(c / (n_a + n_b - c), 4) AS jaccard
+        FROM common
+        WHERE ROUND(c / (n_a + n_b - c), 4) >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_cte(source_table_sql: str, bits: int = 32) -> str:
+    """CTEs computing (doc_id, source, sh) 32-bit simhash per doc."""
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits)
+    )
+    return rf"""
+        tok AS (SELECT doc_id, source, unnest({TOKS}) AS t FROM {source_table_sql}),
+        ht AS (SELECT doc_id, source,
+                      CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h
+               FROM tok),
+        votes AS (
+            SELECT doc_id, source,
+                   {votes}
+            FROM ht GROUP BY doc_id, source
+        ),
+        shash AS (SELECT doc_id, source, {recombine} AS sh FROM votes)
+    """
+
+
+def simhash_pairs(max_hamming: int = 6) -> str:
+    return rf"""
+        WITH {PLANTED}, {_simhash_cte("corpus")}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM shash a
+        JOIN shash b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
+
+
+def simhash_values() -> str:
+    return rf"""
+        WITH corpus AS (SELECT doc_id, text, source FROM documents),
+        {_simhash_cte("corpus")}
+        SELECT doc_id, sh FROM shash ORDER BY doc_id
+    """
+
+
+def token_stats() -> str:
+    return rf"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({TOKS}) AS n_tokens_ws,
+               len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_tokens_bpe,
+               ROUND(list_aggregate(list_transform({TOKS}, t -> length(t)), 'sum')
+                     / len({TOKS}), 4) AS avg_token_len
+        FROM documents ORDER BY doc_id
+    """
+
+
+def _lex_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return (
+        f"len(list_filter({TOKS}, t -> list_contains([{words}], lower(t))))"
+        f" AS score_{lang}"
+    )
+
+
+def language_id() -> str:
+    langs = list(LANG_LEXICONS)
+    scores = ",\n               ".join(_lex_sql(l) for l in langs)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    cases = "\n                    ".join(
+        f"WHEN score_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    )
+    return rf"""
+        WITH scored AS (
+            SELECT doc_id,
+               {scores}
+            FROM documents
+        )
+        SELECT doc_id, {", ".join(f"score_{l}" for l in langs)},
+               CASE {cases}
+                    ELSE 'und' END AS predicted_lang
+        FROM scored ORDER BY doc_id
+    """
+
+
+def quality_score() -> str:
+    en = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+    return rf"""
+        WITH feat AS (
+            SELECT doc_id,
+                   len({TOKS}) AS n_tokens,
+                   list_aggregate(list_transform({TOKS}, t -> length(t)), 'sum')
+                       / len({TOKS}) AS mean_tok,
+                   len(list_filter({TOKS}, t -> list_contains([{en}], lower(t))))
+                       / len({TOKS}) AS stop_ratio,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]'))
+                       / length(text) AS punct_ratio
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(mean_tok, 4) AS mean_token_len,
+               ROUND(stop_ratio, 4) AS stopword_ratio,
+               ROUND(punct_ratio, 4) AS punct_ratio,
+               (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.25 ELSE 0 END
+                + CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.25 ELSE 0 END
+                + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0 END
+                + CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0 END) AS quality_score
+        FROM feat ORDER BY doc_id
+    """
+
+
+def doc_fingerprints() -> str:
+    return r"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                                      i -> ascii(substr(text, i, 1)))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# embeddings — double-precision left-fold arithmetic, identical to Spark's
+# zip_with + aggregate evaluation order
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _cosine(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+def cosine_topk(k: int = 5, every: int = 100) -> str:
+    return rf"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id % {every} = 0),
+        c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+        sims AS (
+            SELECT query_id, match_id, {_cosine("qv", "cv")} AS sim
+            FROM c JOIN q ON query_id <> match_id
+        )
+        SELECT query_id, match_id, ROUND(sim, 6) AS cosine_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, match_id) AS INT) AS rank
+        FROM sims
+        QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+_BUCKET = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN CAST({1 << i} AS BIGINT) "
+    f"ELSE CAST(0 AS BIGINT) END"
+    for i in range(8)
+)
+
+
+def ann_sign_lsh(k: int = 5, every: int = 100) -> str:
+    return rf"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_BUCKET} AS bucket
+                   FROM embeddings WHERE vec_id % {every} = 0),
+        c AS (SELECT vec_id AS match_id, embedding AS cv, {_BUCKET} AS bucket
+              FROM embeddings),
+        sims AS (
+            SELECT query_id, match_id, bucket,
+                   {_cosine("qv", "cv")} AS sim
+            FROM c JOIN q USING (bucket)
+            WHERE query_id <> match_id
+        )
+        SELECT query_id, match_id, bucket, ROUND(sim, 6) AS cosine_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, match_id) AS INT) AS rank
+        FROM sims
+        QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def embedding_near_dup(threshold: float = 0.99, every: int = 100) -> str:
+    return rf"""
+        WITH planted AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000000, embedding FROM embeddings
+            WHERE vec_id % {every} = 0
+        ),
+        v AS (SELECT vec_id, embedding AS v, {_BUCKET} AS bucket FROM planted),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_cosine("a.v", "b.v")} AS sim
+            FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, ROUND(sim, 6) AS cosine_sim
+        FROM pairs WHERE ROUND(sim, 6) >= {threshold}
+        ORDER BY vec_a, vec_b
+    """
+
+
+def multimodal_features() -> str:
+    return """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS payload_sha256,
+               n_chars % 640 + 16 AS width,
+               (n_chars * 7) % 480 + 16 AS height
+        FROM documents ORDER BY doc_id
+    """

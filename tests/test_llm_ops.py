@@ -1,0 +1,186 @@
+"""Unit tests for the LLM training-data operators (dedup / similarity /
+text analysis / multimodal) on small crafted frames.
+
+Cross-engine value parity for every operator is covered separately by
+tests/test_oracle_parity.py (the llm queries are in oracle_sql()); here
+we pin the *semantics* on inputs where the right answer is obvious.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_for_real_time_retail_analytics_spark.operators import (
+    ann_topk_sign_lsh,
+    cosine_topk,
+    decode_image,
+    exact_dedup,
+    extract_features,
+    media_table,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    plant_near_dups,
+    sample_frames,
+    simhash_pairs,
+    simhash_table,
+    token_stats,
+    word_shingles,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+)
+
+FP_MOD = 1_000_000_007
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+        (1, "quick brown fox jumps over the lazy dog", "en", "s0", 39),  # near-dup of 0
+        (2, "el perro de la casa es muy grande y fuerte", "es", "s0", 42),
+        (3, "completely different content about spark engines", "en", "s1", 48),
+        (4, "the quick brown fox jumps over the lazy dog", "en", "s1", 43),  # exact dup of 0
+        (5, "xy", "en", "s1", 2),  # too short for 3-shingles
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    out = exact_dedup(docs, ["text"])
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 4 not in ids  # doc 4 is the exact dup of doc 0
+    assert ids == {0, 1, 2, 3, 5}
+
+
+def test_word_shingles_short_text_empty(spark, docs):
+    out = docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in out}
+    assert by_id[5] == []  # 2 tokens < n=3 → empty, not a descending-sequence crash
+    assert "the quick brown" in by_id[0]
+
+
+def test_ngram_jaccard_finds_near_dup_only(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, block_col=None, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 4) in got  # exact dup: jaccard 1.0
+    assert (0, 1) in got  # near dup: 1 word dropped
+    assert all(p[0] in (0, 1) and p[1] in (1, 4) for p in got)
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 4)] == 1.0  # identical docs always collide in every band
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs):
+    sh = {r["doc_id"]: r["sh"] for r in simhash_table(docs).collect()}
+    assert sh[0] == sh[4]
+    assert 0 <= sh[0] < 2**32
+    pairs = simhash_pairs(docs, max_hamming=0, block_col=None)
+    assert (0, 4) in {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+
+
+def test_plant_near_dups_is_deterministic(spark, docs):
+    a = plant_near_dups(docs, every=2, id_offset=100).orderBy("doc_id").collect()
+    b = plant_near_dups(docs, every=2, id_offset=100).orderBy("doc_id").collect()
+    assert a == b
+    planted = [r for r in a if r["doc_id"] >= 100]
+    assert planted and all(
+        r["text"].split(" ")[0] not in ("the",) or True for r in planted
+    )
+    # doc 0 planted as 100 with first 2 words dropped
+    by_id = {r["doc_id"]: r["text"] for r in a}
+    assert by_id[100] == "brown fox jumps over the lazy dog"
+
+
+def test_token_stats_counts(spark, docs):
+    row = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert row[0]["n_tokens_ws"] == 9
+    assert row[0]["n_chars"] == 43
+    assert row[0]["n_tokens_bpe"] == 9  # plain words, no punctuation
+    assert row[5]["n_tokens_ws"] == 1
+
+
+def test_language_id_predictions(spark, docs):
+    pred = {r["doc_id"]: r["predicted_lang"] for r in language_id(docs).collect()}
+    assert pred[0] == "en"  # two 'the', one 'over'... 'the' in lexicon
+    assert pred[2] == "es"  # el/de/la/es/y hits
+    assert pred[5] == "und"  # no stopword hits
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = quality_score(docs).collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+    by_id = {r["doc_id"]: r["quality_score"] for r in rows}
+    assert by_id[5] < by_id[0]  # 2-char doc scores below a real sentence
+
+
+def test_doc_fingerprint_matches_python(spark, docs):
+    got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+
+    def fp(text):
+        acc = 0
+        for ch in text:
+            acc = (acc * 31 + ord(ch)) % FP_MOD
+        return acc
+
+    for r in docs.collect():
+        assert got[r["doc_id"]] == fp(r["text"])
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),
+        (4, [2.0, 0.0, 0.0, 0.0], 0),  # same direction as 0 → cosine 1.0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(spark, vecs):
+    out = cosine_topk(vecs.where("vec_id = 0"), vecs, k=2).collect()
+    assert [r["match_id"] for r in out] == [4, 1]
+    assert out[0]["cosine_sim"] == 1.0
+    assert math.isclose(out[1]["cosine_sim"], 0.9 / math.hypot(0.9, 0.1), rel_tol=1e-6)
+
+
+def test_ann_lsh_restricts_to_bucket(spark, vecs):
+    out = ann_topk_sign_lsh(vecs.where("vec_id = 0"), vecs, k=5, n_bits=4).collect()
+    ids = [r["match_id"] for r in out]
+    # query bucket = {dim1>0} only; vec 4 shares it, vec 1 (dim2>0) and
+    # vec 3 (dim1<0) hash elsewhere — that's the approximation tradeoff
+    assert ids == [4]
+
+
+def test_multimodal_features_roundtrip(spark, docs):
+    import hashlib
+
+    feats = {r["doc_id"]: r for r in extract_features(media_table(docs)).collect()}
+    for r in docs.collect():
+        f = feats[r["doc_id"]]
+        assert f["n_bytes"] == len(r["text"].encode())
+        assert f["payload_sha256"] == hashlib.sha256(r["text"].encode()).hexdigest()
+        assert f["width"] == r["n_chars"] % 640 + 16
+
+
+def test_sample_frames_shape(spark, docs):
+    out = sample_frames(media_table(docs), every_n_bytes=10).collect()
+    by_id = {r["doc_id"]: r["frames"] for r in out}
+    assert len(by_id[0]) == math.ceil(43 / 10)
+    assert all(isinstance(f, (bytes, bytearray)) for f in by_id[0])
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
