@@ -17,6 +17,7 @@ from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics a
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm as L
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm_oracles as LO
 from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
+from data_pipeline_for_real_time_retail_analytics_spark.plans import temporal as TP
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,7 +33,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": A.top_customers,
         "order_priority_counts": A.order_priority_counts,
         "nation_revenue": A.nation_revenue,
+        "promo_revenue": A.promo_revenue,
+        "top_suppliers": A.top_suppliers,
+        "brand_stats": A.brand_stats,
         "events_hourly": A.events_hourly,
+        # temporal operators (windows / as-of / skew-salted)
+        "events_sliding": TP.q_events_sliding,
+        "user_sessions": TP.q_user_sessions,
+        "click_attribution": TP.q_click_attribution,
+        "salted_event_rollup": TP.q_salted_event_rollup,
         # CDC (SURVEY §2.2)
         "incremental_scan": S.q_incremental_scan,
         "cdc_timestamp_probe": S.q_cdc_timestamp_probe,
@@ -138,6 +147,69 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.r_name, n.n_name
             ORDER BY r.r_name, n.n_name
         """,
+        "promo_revenue": """
+            SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                       4) AS promo_revenue_pct,
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS total_revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l.l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "top_suppliers": """
+            WITH by_supp AS (
+                SELECT l_suppkey,
+                       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                            AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey
+            ),
+            ranked AS (
+                SELECT l_suppkey, total_revenue,
+                       CAST(row_number() OVER (ORDER BY total_revenue DESC,
+                                               l_suppkey) AS INT) AS rk
+                FROM by_supp
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue, r.rk
+            FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.rk <= 10
+            ORDER BY r.rk
+        """,
+        "brand_stats": """
+            WITH per_brand AS (
+                SELECT p_brand, COUNT(*) AS n_parts,
+                       COUNT(DISTINCT p_type) AS n_types,
+                       COUNT(DISTINCT p_size) AS n_sizes,
+                       ROUND(AVG(CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                                      AS DOUBLE)), 4) AS avg_retail_price
+                FROM part GROUP BY p_brand
+            ),
+            supp_per_brand AS (
+                SELECT p.p_brand,
+                       COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY p.p_brand
+            )
+            SELECT b.p_brand, b.n_parts, b.n_types, b.n_sizes,
+                   b.avg_retail_price, s.n_suppliers
+            FROM per_brand b LEFT JOIN supp_per_brand s
+              ON b.p_brand = s.p_brand
+            ORDER BY b.p_brand
+        """,
+        "events_sliding": TP.ORACLES["events_sliding"],
+        "user_sessions": TP.ORACLES["user_sessions"],
+        "click_attribution": TP.ORACLES["click_attribution"],
+        "salted_event_rollup": TP.ORACLES["salted_event_rollup"],
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    COUNT(*) AS n_events,

@@ -1,0 +1,74 @@
+"""Backward as-of join — a temporal operator Spark lacks natively.
+
+Beyond-reference scope (the reference has no join operators at all;
+SURVEY.md §2.7). Implemented as the *merge* formulation: tag both
+sides, union them, and carry the latest right-side payload forward with
+a running ``last(..., ignorenulls)`` window — one shuffle on the join
+keys, no range-explosion crossJoin, no per-key collect. This is the
+formulation that scales: at 100 TB both sides hash-partition on the key
+and each partition is a single ordered sweep; contrast a range-join
+(`l.ts BETWEEN r.ts AND r.ts + delta`) which Spark executes as a
+broadcast-nested-loop unless one side is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """For every left row, attach ``right_value_cols`` from the most
+    recent right row with the same keys and ``right.ts <= left.ts``
+    (``<`` when ``allow_exact_matches=False``). Left rows with no prior
+    right row get NULLs (left-outer semantics, like pandas ``merge_asof``
+    / DuckDB ``ASOF LEFT JOIN``).
+
+    The right payload travels as ONE struct so all carried columns come
+    from the same matched row even if some of its fields are NULL.
+    """
+    payload = F.struct(*[F.col(c) for c in right_value_cols])
+    r = right.select(
+        *key_cols,
+        F.col(ts_col),
+        payload.alias(_PAYLOAD),
+        F.lit(0).alias(_SIDE),
+    )
+    left_extra = [c for c in left.columns if c not in set(key_cols) | {ts_col}]
+    l = left.select(
+        *key_cols,
+        F.col(ts_col),
+        *left_extra,
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        F.lit(1).alias(_SIDE),
+    )
+    for c in left_extra:
+        r = r.withColumn(c, F.lit(None).cast(l.schema[c].dataType))
+
+    u = l.unionByName(r.select(*l.columns))
+    # At equal ts the right row must sort first iff exact matches count.
+    side_order: Column = F.col(_SIDE) if allow_exact_matches else -F.col(_SIDE)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(F.col(_PAYLOAD), ignorenulls=True).over(w)
+    out = (
+        u.withColumn(_PAYLOAD, carried)
+        .where(F.col(_SIDE) == 1)
+        .drop(_SIDE)
+    )
+    for c in right_value_cols:
+        out = out.withColumn(c, F.col(_PAYLOAD)[c])
+    return out.drop(_PAYLOAD)

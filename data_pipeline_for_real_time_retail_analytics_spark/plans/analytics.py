@@ -16,6 +16,7 @@ oracle's name.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.agg import exact_avg, exact_sum, money, ratio
@@ -132,6 +133,85 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("r_name", "n_name")
+    )
+
+
+def promo_revenue(
+    spark: SparkSession, sf_dir: str, lo: str = "1997-09-01", hi: str = "1997-10-01"
+) -> DataFrame:
+    """TPC-H Q14-flavored: share of revenue from PROMO parts in one month.
+    lineitem ⋈ broadcast(part) — the date filter pushes into the lineitem
+    scan, part is the small build side, and the final agg is a single row
+    (no shuffle of raw data beyond the partial aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = money(F.col("l_extendedprice")) * (F.lit(1) - ratio(F.col("l_discount")))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(money(F.lit(0)))).cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_revenue_pct"),
+        exact_sum(rev).alias("total_revenue"),
+    )
+
+
+def top_suppliers(
+    spark: SparkSession, sf_dir: str, lo: str = "1997-01-01", hi: str = "1997-04-01", k: int = 10
+) -> DataFrame:
+    """TPC-H Q15-flavored: top-K suppliers by quarterly revenue. Aggregate
+    lineitem on suppkey FIRST (small shuffle), rank with a window over the
+    tiny aggregate, then broadcast-join supplier names."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = money(F.col("l_extendedprice")) * (F.lit(1) - ratio(F.col("l_discount")))
+    by_supp = li.groupBy("l_suppkey").agg(exact_sum(rev).alias("total_revenue"))
+    ranked = by_supp.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.desc("total_revenue"), F.asc("l_suppkey"))
+        ),
+    ).where(F.col("rk") <= k)
+    return (
+        ranked.join(F.broadcast(supp), ranked.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue", "rk")
+        .orderBy("rk")
+    )
+
+
+def brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-flavored: per-brand part counts, distinct types/sizes,
+    distinct suppliers observed in lineitem. The fact-side distinct rides
+    a broadcast join of part into lineitem, then one shuffle on brand."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    per_brand = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.count_distinct("p_type").alias("n_types"),
+        F.count_distinct("p_size").alias("n_sizes"),
+        F.round(F.avg(money(F.col("p_retailprice")).cast("double")), 4).alias(
+            "avg_retail_price"
+        ),
+    )
+    supp_per_brand = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+    )
+    return (
+        per_brand.join(supp_per_brand, "p_brand", "left")
+        .orderBy("p_brand")
     )
 
 
