@@ -1,0 +1,194 @@
+"""Tests for the source layer: serializer round-trips, API source shape
+dispatch + retry/backoff, factory registry, incremental pushdown.
+Mirrors the reference's test strategy (SURVEY.md §5: test_data_sources /
+test_extractors semantics) on Spark."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_for_real_time_retail_analytics_spark.sources.registry import (
+    APISource,
+    DataSourceError,
+    FileSource,
+    JDBCSource,
+    SourceRegistry,
+    is_retryable_error,
+    retry_with_backoff,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.sources.serializer import (
+    DataSerializer,
+    SerializationFormat,
+)
+
+
+# -- serializer (S5/S6) ------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_serializer_roundtrip(spark, tmp_path, fmt):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        "id long, name string, x double",
+    )
+    ser = DataSerializer(SerializationFormat(fmt))
+    path = str(tmp_path / fmt)
+    ser.serialize(df, path)
+    back = ser.deserialize(spark, path, schema=df.schema)
+    assert sorted(back.columns) == sorted(df.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_serializer_rejects_pickle():
+    with pytest.raises(ValueError, match="pickle"):
+        DataSerializer(SerializationFormat.PICKLE)
+
+
+# -- retry / backoff (E2) ----------------------------------------------------
+
+
+def test_retry_then_succeed():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise ConnectionError("connection reset")
+        return "ok"
+
+    slept = []
+    assert retry_with_backoff(flaky, sleep=slept.append) == "ok"
+    assert calls["n"] == 2
+    assert slept == [1.0]  # delay * 2^0
+
+
+def test_retries_exhausted_backoff_doubles():
+    calls = {"n": 0}
+
+    def always_fails():
+        calls["n"] += 1
+        raise TimeoutError("timeout")
+
+    slept = []
+    with pytest.raises(TimeoutError):
+        retry_with_backoff(always_fails, max_retries=3, sleep=slept.append)
+    assert calls["n"] == 3
+    assert slept == [1.0, 2.0]  # exponential: 1, 2
+
+
+def test_non_retryable_raises_immediately():
+    calls = {"n": 0}
+
+    def bad_request():
+        calls["n"] += 1
+        raise ValueError("schema mismatch")
+
+    with pytest.raises(ValueError):
+        retry_with_backoff(bad_request, retryable=is_retryable_error)
+    assert calls["n"] == 1
+
+
+@pytest.mark.parametrize(
+    "exc,expected",
+    [
+        (ConnectionError("x"), True),
+        (TimeoutError("x"), True),
+        (RuntimeError("HTTP 429 too many requests"), True),
+        (RuntimeError("rate limit exceeded"), True),
+        (ValueError("bad schema"), False),
+    ],
+)
+def test_retryable_classification(exc, expected):
+    assert is_retryable_error(exc) is expected
+
+
+# -- API source (S3/S4) ------------------------------------------------------
+
+
+def _api(fetch, **kw):
+    return APISource(source_id="api1", endpoint="/users", fetch_fn=fetch, **kw)
+
+
+def test_api_list_payload(spark):
+    src = _api(lambda url, p: [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    assert src.extract(spark).count() == 2
+
+
+def test_api_data_key_payload(spark):
+    src = _api(lambda url, p: {"data": [{"id": 1}], "meta": "x"})
+    assert src.extract(spark).count() == 1
+
+
+def test_api_scalar_dict_payload(spark):
+    src = _api(lambda url, p: {"id": 7, "v": "z"})
+    rows = src.extract(spark).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 7
+
+
+def test_api_since_param_passed(spark):
+    seen = {}
+
+    def fetch(url, params):
+        seen.update(params)
+        return [{"id": 1}]
+
+    _api(fetch).extract(spark, since="2024-01-01T00:00:00")
+    assert seen["since"] == "2024-01-01T00:00:00"
+
+
+def test_api_empty_needs_schema(spark):
+    src = _api(lambda url, p: [])
+    with pytest.raises(DataSourceError):
+        src.extract(spark)
+    assert src.extract(spark, schema="id long").count() == 0
+
+
+# -- registry ---------------------------------------------------------------
+
+
+def test_registry_create_and_extend():
+    reg = SourceRegistry()
+    src = reg.create_source("file", "s1", path="/tmp/x.parquet")
+    assert isinstance(src, FileSource)
+
+    class Custom:
+        def __init__(self, source_id, **kw):
+            self.source_id = source_id
+
+    reg.register_source_type("custom", Custom)
+    assert isinstance(reg.create_source("custom", "c1"), Custom)
+    with pytest.raises(DataSourceError):
+        reg.create_source("nope", "x")
+
+
+# -- incremental pushdown (S1) ----------------------------------------------
+
+
+def test_file_source_incremental_pushdown(spark, sf_dir):
+    src = FileSource(source_id="orders", path=f"{sf_dir}/orders.parquet")
+    df = src.extract(
+        spark,
+        timestamp_column="o_orderdate",
+        watermark="1998-01-01",
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    full = src.read(spark).where(F.col("o_orderdate") > F.lit("1998-01-01")).count()
+    assert df.count() == full
+
+
+def test_jdbc_reader_options_watermark_and_partitioning():
+    src = JDBCSource(
+        source_id="db1",
+        url="jdbc:postgresql://host/db",
+        table="orders",
+        num_partitions=8,
+        partition_column="o_orderkey",
+        lower_bound="0",
+        upper_bound="100000",
+    )
+    opts = src.reader_options("o_orderdate", "2024-01-01")
+    assert "WHERE o_orderdate > '2024-01-01'" in opts["dbtable"]
+    assert opts["numPartitions"] == "8"
+    assert opts["partitionColumn"] == "o_orderkey"
