@@ -46,11 +46,27 @@ ID_OFFSET = 10_000_000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # The corpus arrives as a handful of parquet files, so Spark's
+    # split-based partitioning gives only 1-2 input partitions — which
+    # would serialize the expensive per-document work (shingling, per-seed
+    # minhash, token votes) onto 2 cores. Repartition up front: one small
+    # shuffle of raw text buys full-cluster parallelism for everything
+    # downstream. (At 100 TB the input arrives in thousands of splits and
+    # this becomes a no-op choice; the guard keeps it from *reducing*
+    # parallelism there.)
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism * 2
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
+    return docs
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    embs = load_table(spark, sf_dir, "embeddings")
+    target = spark.sparkContext.defaultParallelism * 2
+    if embs.rdd.getNumPartitions() < target:
+        embs = embs.repartition(target, "vec_id")
+    return embs
 
 
 # -- dedup tiers ---------------------------------------------------------------
