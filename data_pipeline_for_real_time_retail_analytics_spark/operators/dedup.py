@@ -135,15 +135,37 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: modulus for the double-hashing permutation family (2^32)
+_MH_MOD = 1 << 32
+
+
+def _h32(s: Column, offset: int) -> Column:
+    """One 32-bit half of md5(s) as a long (hex chars offset..offset+7)."""
+    return F.conv(F.substring(F.md5(s), offset, 8), 16, 10).cast("long")
+
+
 def minhash_signature(shingles: Column, num_perm: int = 12) -> Column:
-    """Array of ``num_perm`` minhashes: per seed, the lexicographic min of
-    md5(shingle || '#' || seed). md5 is uniform, so the argmin is a valid
-    permutation-min; being a builtin everywhere makes the signature
-    engine-portable and oracle-checkable."""
+    """Array of ``num_perm`` minhashes via Kirsch-Mitzenmacher double
+    hashing: md5(shingle) once yields two 32-bit halves (h1, h2); the
+    i-th permutation hash is (h1 + i·h2) mod 2^32 and the signature entry
+    is its min over shingles. One md5 per shingle instead of num_perm —
+    an order of magnitude cheaper at equal LSH candidate recall — and
+    still pure builtins, so the DuckDB oracle reproduces it exactly.
+
+    NOTE: as a single column expression the md5 may be re-evaluated per
+    seed by nested-lambda execution; the hot path (minhash_lsh_pairs)
+    uses the explode + groupBy formulation, which guarantees one md5 per
+    shingle *and* gets map-side partial aggregation."""
+    pairs = F.transform(
+        shingles, lambda s: F.struct(_h32(s, 1).alias("h1"), _h32(s, 9).alias("h2"))
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat_ws("#", s, i)))
+            F.transform(
+                pairs,
+                lambda p: F.pmod(p["h1"] + i.cast("long") * p["h2"], F.lit(_MH_MOD)),
+            )
         ),
     )
 
@@ -153,7 +175,12 @@ def minhash_band_keys(sig: Column, bands: int, rows: int) -> Column:
     docs sharing any (band_id, key) become candidate pairs."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda j: F.md5(F.array_join(F.slice(sig, j * rows + 1, rows), "")),
+        lambda j: F.md5(
+            F.array_join(
+                F.transform(F.slice(sig, j * rows + 1, rows), lambda x: x.cast("string")),
+                "",
+            )
+        ),
     )
 
 
@@ -171,11 +198,26 @@ def minhash_lsh_pairs(
     1-(1-t^rows)^bands for true Jaccard t."""
     rows = num_perm // bands
     sh = with_shingles(df, n, text_col, id_col)
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_perm))
+    # Signature via explode + groupBy min-aggregates: exactly ONE md5 per
+    # shingle instance (the per-seed values are cheap arithmetic over its
+    # two 32-bit halves), and the mins partial-aggregate map-side so the
+    # shuffle carries num_perm longs per doc — the 100 TB-safe shape.
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("s")).select(
+        id_col, _h32(F.col("s"), 1).alias("h1"), _h32(F.col("s"), 9).alias("h2")
+    )
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(_MH_MOD))
+            ).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
+    )
+    sig = mins.select(
+        id_col, F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
     banded = sig.select(
         id_col,
-        "n_shingles",
-        "shingles",
         F.posexplode(minhash_band_keys(F.col("sig"), bands, rows)).alias(
             "band_id", "band_key"
         ),
@@ -192,17 +234,24 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("a.n_shingles").alias("n_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("b.n_shingles").alias("n_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sh.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    sb = sh.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    ver = cand.join(sa, "doc_a").join(sb, "doc_b")
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
     return (
-        cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        ver.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .where(F.round(jac, 4) >= threshold)
     )
 

@@ -66,18 +66,27 @@ def minhash_lsh_dupes(num_perm: int = 12, bands: int = 3, threshold: float = 0.5
     rows = num_perm // bands
     return rf"""
         WITH {PLANTED}, {SHINGLES},
+        hp AS (
+            SELECT doc_id,
+                   list_transform(sh, s -> struct_pack(
+                       h1 := CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT),
+                       h2 := CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT))) AS hp
+            FROM shn
+        ),
         sig AS (
-            SELECT doc_id, sh, n_sh,
+            SELECT doc_id,
                    list_transform(range(0, {num_perm}),
                        i -> list_aggregate(
-                                list_transform(sh, s -> md5(s || '#' || i)),
+                                list_transform(hp, p -> (p.h1 + i * p.h2) % 4294967296),
                                 'min')) AS sig
-            FROM shn
+            FROM hp
         ),
         banded AS (
             SELECT doc_id, j,
                    md5(array_to_string(
-                       list_slice(sig, j * {rows} + 1, j * {rows} + {rows}), '')) AS band_key
+                       list_transform(
+                           list_slice(sig, j * {rows} + 1, j * {rows} + {rows}),
+                           x -> CAST(x AS VARCHAR)), '')) AS band_key
             FROM sig, range(0, {bands}) t(j)
         ),
         cand AS (
@@ -91,8 +100,8 @@ def minhash_lsh_dupes(num_perm: int = 12, bands: int = 3, threshold: float = 0.5
                    len(list_intersect(sa.sh, sb.sh)) AS c,
                    sa.n_sh AS n_a, sb.n_sh AS n_b
             FROM cand
-            JOIN sig sa ON sa.doc_id = doc_a
-            JOIN sig sb ON sb.doc_id = doc_b
+            JOIN shn sa ON sa.doc_id = doc_a
+            JOIN shn sb ON sb.doc_id = doc_b
         )
         SELECT doc_a, doc_b, ROUND(c / (n_a + n_b - c), 4) AS jaccard
         FROM ver
