@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers": A.top_suppliers,
         "brand_stats": A.brand_stats,
         "events_hourly": A.events_hourly,
+        "events_props_stats": A.events_props_stats,
         # temporal operators (windows / as-of / skew-salted)
         "events_sliding": TP.q_events_sliding,
         "user_sessions": TP.q_user_sessions,
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": L.q_doc_fingerprints,
         "cosine_topk": L.q_cosine_topk,
         "ann_sign_lsh": L.q_ann_sign_lsh,
+        "ann_ivf": L.q_ann_ivf,
         "embedding_near_dup": L.q_embedding_near_dup,
         "multimodal_features": L.q_multimodal_features,
     }
@@ -205,6 +207,19 @@ def oracle_sql() -> dict[str, str]:
             FROM per_brand b LEFT JOIN supp_per_brand s
               ON b.p_brand = s.p_brand
             ORDER BY b.p_brand
+        """,
+        "events_props_stats": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+                       AS avg_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   COUNT(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+                         THEN 1 END) AS n_invalid_json
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_sliding": TP.ORACLES["events_sliding"],
         "user_sessions": TP.ORACLES["user_sessions"],
@@ -375,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": LO.doc_fingerprints(),
         "cosine_topk": LO.cosine_topk(),
         "ann_sign_lsh": LO.ann_sign_lsh(),
+        "ann_ivf": LO.ann_ivf(),
         "embedding_near_dup": LO.embedding_near_dup(),
         "multimodal_features": LO.multimodal_features(),
     }

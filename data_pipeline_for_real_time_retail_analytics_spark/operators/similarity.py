@@ -118,6 +118,88 @@ def ann_topk_sign_lsh(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic IVF codebook: the ``n_cells`` lowest-id vectors.
+    A deployment trains KMeans centroids on a sample; a fixed id-ordered
+    sample keeps the operator reproducible and DuckDB-oracle-checkable
+    while exercising the identical plan shape."""
+    return corpus.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Top-``n_probe`` nearest cells per vector. Broadcast the codebook,
+    rank per vector — map-side except a shuffle of n_cells rows per
+    vector for the ranking window (n_cells is small by construction)."""
+    sims = df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+    ).join(F.broadcast(centroids), how="cross").select(
+        id_alias,
+        vec_alias,
+        "cid",
+        cosine(F.col(vec_alias), F.col("cv")).alias("csim"),
+    )
+    if n_probe == 1:
+        # argmax via struct-max: partial-aggregates map-side, so the
+        # shuffle carries one row per vector — the corpus-side shape
+        return sims.groupBy(id_alias).agg(
+            F.max(F.struct("csim", "cid"))["cid"].alias("cell"),
+            F.any_value(F.col(vec_alias)).alias(vec_alias),
+        ).select(id_alias, vec_alias, "cell")
+    w = Window.partitionBy(id_alias).orderBy(F.desc("csim"), F.desc("cid"))
+    return (
+        sims.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= n_probe)
+        .select(id_alias, vec_alias, F.col("cid").alias("cell"))
+    )
+
+
+def ann_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flavored ANN: corpus vectors live in their nearest-centroid
+    cell (inverted lists = hash partitions on cell); queries probe their
+    ``n_probe`` closest cells and rank candidates exactly. Cost per query
+    is the probed cells' occupancy, not |corpus|; at 100 TB the cell
+    assignment is a write-time partitioning of the corpus table and a
+    query touches n_probe partitions."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    corpus_cells = _assign_cells(corpus, cents, "match_id", "cv2", 1, id_col, vec_col)
+    query_cells = _assign_cells(queries, cents, "query_id", "qv", n_probe, id_col, vec_col)
+    sim = (
+        corpus_cells.join(query_cells, "cell")
+        .where(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id", "match_id", cosine(F.col("qv"), F.col("cv2")).alias("sim")
+        )
+        # a vector probed via 2 cells can pair with the same match twice
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

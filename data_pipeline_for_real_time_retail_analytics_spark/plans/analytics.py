@@ -215,6 +215,32 @@ def brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (SURVEY §2.9: the reference carries JSON
+    as strings and parses on demand — validators.py:261-267,
+    sensors.py:433-445): dot-path extraction with `get_json_object`,
+    validity via `from_json` null-on-fail, aggregated per event type.
+    All JVM-side; at scale the JSON parse is the scan-time cost and
+    everything after is a tiny shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    parsed = F.from_json(F.col("props"), "k LONG")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(
+                F.when(F.col("props").isNotNull() & parsed.isNull(), 1).otherwise(0)
+            ).alias("n_invalid_json"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregation over the events table — the
     batch twin of the streaming windowed agg (streaming/ingest.py); at

@@ -26,6 +26,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import extract_features, media_table
 from ..operators.similarity import (
+    ann_topk_ivf,
     ann_topk_sign_lsh,
     cosine_topk,
     embedding_near_dup_pairs,
@@ -153,6 +154,16 @@ def q_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
     return ann_topk_sign_lsh(queries, embs, k=5, n_bits=8).orderBy("query_id", "rank")
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5: corpus in nearest-centroid cells,
+    queries probe their 2 closest cells (operators/similarity.py)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
+    return ann_topk_ivf(queries, embs, k=5, n_cells=16, n_probe=2).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

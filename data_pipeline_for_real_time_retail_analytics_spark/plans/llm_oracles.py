@@ -316,6 +316,52 @@ def ann_sign_lsh(k: int = 5, every: int = 100) -> str:
     """
 
 
+def ann_ivf(k: int = 5, every: int = 100, n_cells: int = 16, n_probe: int = 2) -> str:
+    return rf"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+        ),
+        csims AS (
+            SELECT vec_id, embedding, cid,
+                   {_cosine("embedding", "cv")} AS csim
+            FROM embeddings, cents
+        ),
+        corpus_cells AS (
+            SELECT match_id, cell, cv2 FROM (
+                SELECT vec_id AS match_id, cid AS cell, embedding AS cv2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY csim DESC, cid DESC) AS rn
+                FROM csims
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id % {every} = 0),
+        qsims AS (
+            SELECT query_id, qv, cid AS cell, {_cosine("qv", "cv")} AS csim
+            FROM q, cents
+        ),
+        query_cells AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY csim DESC, cell DESC) AS crank
+                FROM qsims
+            ) WHERE crank <= {n_probe}
+        ),
+        sims AS (
+            SELECT DISTINCT query_id, match_id, {_cosine("qv", "cv2")} AS sim
+            FROM corpus_cells JOIN query_cells USING (cell)
+            WHERE query_id <> match_id
+        )
+        SELECT query_id, match_id, ROUND(sim, 6) AS cosine_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, match_id) AS INT) AS rank
+        FROM sims
+        QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def embedding_near_dup(threshold: float = 0.99, every: int = 100) -> str:
     return rf"""
         WITH planted AS (

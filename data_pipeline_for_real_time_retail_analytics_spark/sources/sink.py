@@ -1,0 +1,73 @@
+"""Warehouse sink (SURVEY.md §2.1 S7/S8).
+
+The reference declares a ``DataLoader`` ABC — load(data, table, mode),
+create_table(schema), table_exists — plus a SQL-passthrough operator,
+both stubbed against Snowflake (reference: src/interfaces/base.py:114-130,
+src/orchestration/operators.py:336-378, src/storage/__init__.py is
+empty). Spark's catalog-managed tables implement the declared contract
+natively: ``saveAsTable`` for load, ``spark.catalog`` for DDL/existence,
+parameterized ``spark.sql`` for passthrough. At scale the managed tables
+are the lakehouse layer (parquet here; Delta/Iceberg drop in via
+``format`` without touching callers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
+
+
+@dataclass
+class LoadResult:
+    """Mirror of the reference's LoadResult (base.py:60-69)."""
+
+    success: bool
+    target_table: str
+    rows_loaded: int
+    mode: str
+    error: str | None = None
+
+
+class WarehouseSink:
+    """Catalog-managed table sink."""
+
+    def __init__(self, spark: SparkSession, database: str = "default",
+                 fmt: str = "parquet") -> None:
+        self.spark = spark
+        self.database = database
+        self.fmt = fmt
+        if database != "default":
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+    def _qualified(self, table: str) -> str:
+        return table if "." in table else f"{self.database}.{table}"
+
+    def table_exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._qualified(table))
+
+    def create_table(self, table: str, schema: T.StructType) -> bool:
+        """Idempotent CREATE (reference: create_table returns success)."""
+        if self.table_exists(table):
+            return True
+        empty = self.spark.createDataFrame([], schema=schema)
+        empty.write.format(self.fmt).saveAsTable(self._qualified(table))
+        return True
+
+    def load(self, df: DataFrame, target_table: str, mode: str = "append") -> LoadResult:
+        """mode: append | overwrite (reference load modes, base.py:118)."""
+        name = self._qualified(target_table)
+        try:
+            n = df.count()
+            df.write.format(self.fmt).mode(mode).saveAsTable(name)
+            return LoadResult(True, name, n, mode)
+        except Exception as exc:  # report, don't raise — reference contract
+            return LoadResult(False, name, 0, mode, error=str(exc))
+
+    def execute_sql(self, sql: str, params: dict[str, Any] | None = None) -> list[Row]:
+        """S8 passthrough with *parameterized* SQL — placeholders bind
+        server-side (`:name`), no string interpolation (the reference
+        formats params into the statement; operators.py:361-371)."""
+        return self.spark.sql(sql, args=params or {}).collect()

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_for_real_time_retail_analytics_spark.operators import (
+    ann_topk_ivf,
     ann_topk_sign_lsh,
     cosine_topk,
     decode_image,
@@ -161,6 +162,17 @@ def test_ann_lsh_restricts_to_bucket(spark, vecs):
     # query bucket = {dim1>0} only; vec 4 shares it, vec 1 (dim2>0) and
     # vec 3 (dim1<0) hash elsewhere — that's the approximation tradeoff
     assert ids == [4]
+
+
+def test_ann_ivf_probes_cells(spark, vecs):
+    # centroids (n_cells=2, lowest ids) = v0 [1,0,0,0] and v1 [.9,.1,0,0];
+    # cells: v0,v4 -> c0; v1,v2,v3 -> c1
+    out = ann_topk_ivf(vecs.where("vec_id = 0"), vecs, k=4, n_cells=2, n_probe=2).collect()
+    assert [r["match_id"] for r in out] == [4, 1, 2, 3]
+    assert out[0]["cosine_sim"] == 1.0
+    # with a single probe only the query's own cell is searched
+    out1 = ann_topk_ivf(vecs.where("vec_id = 0"), vecs, k=4, n_cells=2, n_probe=1).collect()
+    assert [r["match_id"] for r in out1] == [4]
 
 
 def test_multimodal_features_roundtrip(spark, docs):
