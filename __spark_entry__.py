@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM training-data operators (beyond-reference mandate)
         "exact_dedup_docs": L.q_exact_dedup_docs,
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
+        "dedup_clusters": L.q_dedup_clusters,
         "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
         "simhash_pairs": L.q_simhash_pairs,
         "simhash_values": L.q_simhash_values,
@@ -381,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
         # value-checked, not rows-only)
         "exact_dedup_docs": LO.exact_dedup_docs(),
         "minhash_lsh_dupes": LO.minhash_lsh_dupes(),
+        "dedup_clusters": LO.dedup_clusters(),
         "ngram_jaccard_pairs": LO.ngram_jaccard_pairs(),
         "simhash_pairs": LO.simhash_pairs(),
         "simhash_values": LO.simhash_values(),

@@ -328,6 +328,82 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# dedup clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: (doc_id, cluster_id)
+    where cluster_id = the minimum doc id reachable through the pair
+    graph (connected components).
+
+    Iterative min-label propagation — the GraphX-free large-graph
+    pattern: each round joins every node's label against its neighbors'
+    and keeps the minimum, converging in O(component diameter) rounds
+    (near-dup components are shallow: most are pairs/triangles).
+    Each round is two shuffles on node id; `localCheckpoint` truncates
+    the growing lineage so round N doesn't replay rounds 1..N-1.
+
+    The driver-side convergence check reduces a single count per round —
+    the data path stays distributed.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Filter the corpus to one representative per cluster (the minimum
+    id) plus all unclustered docs — the final step of corpus dedup."""
+    drop = clusters.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # synthetic near-duplicate planting (test/verification support)
 # ---------------------------------------------------------------------------
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     content_hash,
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -95,6 +96,16 @@ def q_minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(planted, num_perm=12, bands=3, threshold=0.5).orderBy(
         "doc_a", "doc_b"
     )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering of the MinHash near-dup pairs:
+    (doc_id, cluster_id = min reachable id). Iterative min-label
+    propagation (operators/dedup.py:dedup_clusters)."""
+    planted = plant_near_dups(_docs(spark, sf_dir), every=PLANT_EVERY_DOCS,
+                              id_offset=ID_OFFSET)
+    pairs = minhash_lsh_pairs(planted, num_perm=12, bands=3, threshold=0.5)
+    return dedup_clusters(pairs).orderBy("doc_id")
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

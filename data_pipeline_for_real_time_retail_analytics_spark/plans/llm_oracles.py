@@ -62,10 +62,11 @@ def exact_dedup_docs() -> str:
     """
 
 
-def minhash_lsh_dupes(num_perm: int = 12, bands: int = 3, threshold: float = 0.5) -> str:
+def _minhash_pair_ctes(num_perm: int = 12, bands: int = 3, threshold: float = 0.5) -> str:
+    """Shared CTE chain ending in ``pairs`` = the MinHash-LSH verified
+    near-dup pairs (used by the pairs oracle and the clustering oracle)."""
     rows = num_perm // bands
-    return rf"""
-        WITH {PLANTED}, {SHINGLES},
+    return rf"""{PLANTED}, {SHINGLES},
         hp AS (
             SELECT doc_id,
                    list_transform(sh, s -> struct_pack(
@@ -102,11 +103,40 @@ def minhash_lsh_dupes(num_perm: int = 12, bands: int = 3, threshold: float = 0.5
             FROM cand
             JOIN shn sa ON sa.doc_id = doc_a
             JOIN shn sb ON sb.doc_id = doc_b
-        )
-        SELECT doc_a, doc_b, ROUND(c / (n_a + n_b - c), 4) AS jaccard
-        FROM ver
-        WHERE ROUND(c / (n_a + n_b - c), 4) >= {threshold}
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b, ROUND(c / (n_a + n_b - c), 4) AS jaccard
+            FROM ver
+            WHERE ROUND(c / (n_a + n_b - c), 4) >= {threshold}
+        )"""
+
+
+def minhash_lsh_dupes(num_perm: int = 12, bands: int = 3, threshold: float = 0.5) -> str:
+    return rf"""
+        WITH {_minhash_pair_ctes(num_perm, bands, threshold)}
+        SELECT doc_a, doc_b, jaccard FROM pairs
         ORDER BY doc_a, doc_b
+    """
+
+
+def dedup_clusters(num_perm: int = 12, bands: int = 3, threshold: float = 0.5) -> str:
+    """Connected components over the near-dup pair graph: cluster_id =
+    min doc id reachable (recursive transitive closure; the Spark side
+    computes the same fixpoint by iterative min-label propagation)."""
+    return rf"""
+        WITH RECURSIVE {_minhash_pair_ctes(num_perm, bands, threshold)},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id
+        )
+        SELECT id AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY id ORDER BY doc_id
     """
 
 

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from data_pipeline_for_real_time_retail_analytics_spark.operators import (
     ann_topk_ivf,
+    dedup_clusters,
+    dedup_keep_canonical,
     ann_topk_sign_lsh,
     cosine_topk,
     decode_image,
@@ -196,3 +198,21 @@ def test_sample_frames_shape(spark, docs):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_dedup_clusters_connected_components(spark):
+    # components: {1,2,3} via chained pairs, {5,6}; 9 appears only as a node
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 5, 6, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    kept = {r["doc_id"] for r in dedup_keep_canonical(docs, dedup_clusters(pairs)).collect()}
+    assert kept == {1, 5, 9}  # cluster minima + the unclustered doc
