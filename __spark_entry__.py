@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_customers": S.q_dim_customers,
         "fact_orders": S.q_fact_orders,
         "merge_upsert": S.q_merge_upsert,
+        "cdc_apply_changes": S.q_cdc_apply_changes,
+        "scd2_user_history": S.q_scd2_user_history,
         # LLM training-data operators (beyond-reference mandate)
         "exact_dedup_docs": L.q_exact_dedup_docs,
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
@@ -376,6 +378,52 @@ def oracle_sql() -> dict[str, str]:
                         ELSE ROUND(o_totalprice, 2) END AS total_amount
             FROM orders
             ORDER BY order_id
+        """,
+        "cdc_apply_changes": """
+            WITH base AS (
+                SELECT c_custkey AS user_id,
+                       CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE)
+                           AS balance
+                FROM customer
+            ),
+            changes AS (
+                SELECT user_id, ts, event_id,
+                       CASE event_type WHEN 'signup' THEN 'insert'
+                                       WHEN 'purchase' THEN 'update'
+                                       ELSE 'delete' END AS op,
+                       CAST(ROUND(CAST(value AS DECIMAL(12,2)), 2) AS DOUBLE)
+                           AS balance
+                FROM events
+                WHERE event_type IN ('signup', 'purchase', 'error')
+            ),
+            latest AS (
+                SELECT * FROM changes
+                QUALIFY row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) = 1
+            )
+            SELECT user_id, balance FROM base
+            WHERE user_id NOT IN (SELECT user_id FROM latest)
+            UNION ALL
+            SELECT user_id, balance FROM latest WHERE op <> 'delete'
+            ORDER BY user_id
+        """,
+        "scd2_user_history": """
+            WITH ch AS (
+                SELECT user_id, ts, event_id,
+                       CAST(ROUND(CAST(value AS DECIMAL(12,2)), 2) AS DOUBLE)
+                           AS balance
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT user_id,
+                   CAST(ts AS TIMESTAMP) AS valid_from,
+                   CAST(COALESCE(LEAD(ts) OVER w,
+                                 TIMESTAMP '2200-01-01 00:00:00') AS TIMESTAMP)
+                       AS valid_to,
+                   LEAD(ts) OVER w IS NULL AS is_current,
+                   balance
+            FROM ch
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, valid_from
         """,
         # LLM training-data operators — oracles generated in llm_oracles.py
         # (md5/bit-arithmetic based, so even MinHash/SimHash/cosine are

@@ -18,7 +18,7 @@ only .gitkeep). We implement the declared semantics Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.agg import exact_sum, money, ratio
@@ -148,3 +148,69 @@ def merge_upsert(
         updates = updates.groupBy(*keys).agg(*latest).select(*updates.columns)
     kept = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
     return kept.unionByName(updates)
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    op_col: str,
+    tiebreak_col: str | None = None,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """SCD Type-1 changelog apply: fold a CDC stream (insert/update/
+    delete ops) into the current-state table. Last writer per key wins
+    (ordered by ``ts_col`` then ``tiebreak_col``); a final ``delete``
+    removes the key even if it exists in ``base``.
+
+    This is the materialization the reference's log-based CDC feeds but
+    never implements (reference: changelog probe data_sources.py:166-209;
+    merge declared in sample_pipeline.yaml:93-94). Shape: one window
+    shuffle on the key over the (small) change set, one anti-join + union
+    against the base — the base table is never rewritten wholesale.
+    Value columns are every non-key/ts/op column shared with ``base``.
+    """
+    value_cols = [c for c in base.columns if c not in keys]
+    order = [F.desc(ts_col)] + (
+        [F.desc(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = base.join(latest.select(*keys), keys, "left_anti")
+    upserted = latest.where(F.col(op_col) != delete_op).select(*keys, *value_cols)
+    return untouched.unionByName(upserted)
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+    end_of_time: str = "2200-01-01 00:00:00",
+) -> DataFrame:
+    """SCD Type-2 dimension history from a change stream: one row per
+    version with [valid_from, valid_to) and an is_current flag —
+    the slowly-changing-dimension layer the reference's dbt models
+    declare (reference: design.md:205-211 staging→dim models).
+
+    One window shuffle on the key; `lead` closes each version with the
+    next version's start."""
+    extra = [tiebreak_col] if tiebreak_col and tiebreak_col not in value_cols else []
+    order = [F.asc("valid_from")] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changes.select(*keys, F.col(ts_col).alias("valid_from"), *value_cols, *extra)
+        .withColumn("__next", F.lead(F.col("valid_from")).over(w))
+        .withColumn("is_current", F.col("__next").isNull())
+        .withColumn(
+            "valid_to",
+            F.coalesce(F.col("__next"), F.lit(end_of_time).cast("timestamp")),
+        )
+        .select(*keys, "valid_from", "valid_to", "is_current", *value_cols)
+    )

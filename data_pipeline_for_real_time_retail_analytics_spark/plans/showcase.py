@@ -21,9 +21,11 @@ from ..operators.quality import (
     whole_row_duplicates,
 )
 from ..operators.transform import (
+    apply_changelog,
     dim_customers,
     fact_orders,
     merge_upsert,
+    scd2_history,
     staging_orders,
 )
 from ..plans.validation import Severity, ValidationEngine, ValidationRule
@@ -192,3 +194,50 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") + 100, 2).alias("total_amount"),
     )
     return merge_upsert(target, updates, ["order_id"]).orderBy("order_id")
+
+
+_OP_MAP = {"signup": "insert", "purchase": "update", "error": "delete"}
+
+
+def _balance(c: F.Column) -> F.Column:
+    return F.round(c.cast("decimal(12,2)"), 2).cast("double")
+
+
+def _change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a synthetic CDC stream: signup→insert, purchase→update,
+    error→delete; payload = value as the account balance."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(*_OP_MAP)
+    )
+    op = F.create_map(*[F.lit(x) for kv in _OP_MAP.items() for x in kv])
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        op[F.col("event_type")].alias("op"),
+        _balance(F.col("value")).alias("balance"),
+    )
+
+
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 changelog apply: fold the CDC stream into the customer base
+    — last writer per key wins, deletes drop the key
+    (operators/transform.py:apply_changelog)."""
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        _balance(F.col("c_acctbal")).alias("balance"),
+    )
+    changes = _change_stream(spark, sf_dir)
+    return apply_changelog(
+        base, changes, ["user_id"], "ts", "op", tiebreak_col="event_id"
+    ).orderBy("user_id")
+
+
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension history: one row per balance version per user with
+    [valid_from, valid_to) and is_current
+    (operators/transform.py:scd2_history)."""
+    purchases = _change_stream(spark, sf_dir).where(F.col("op") == "update")
+    return scd2_history(
+        purchases, ["user_id"], "ts", ["balance"], tiebreak_col="event_id"
+    ).orderBy("user_id", "valid_from")
