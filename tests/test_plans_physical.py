@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: pin the scale-critical plan shapes
+(broadcasts, pushdown, single-pass validation) so a refactor that
+silently degrades the plan fails CI, not the cluster."""
+
+from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics as A
+from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
+from data_pipeline_for_real_time_retail_analytics_spark.plans.validation import (
+    Severity,
+    ValidationEngine,
+    ValidationRule,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(A.pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_star_joins_broadcast(spark, sf_dir):
+    for q in (A.revenue_by_segment, A.nation_revenue, A.top_customers, A.promo_revenue):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{q.__name__} lost its broadcast join"
+        assert "CartesianProduct" not in plan
+
+
+def test_fact_orders_broadcasts_dims(spark, sf_dir):
+    plan = _plan(S.q_fact_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(A.revenue_by_segment(spark, sf_dir))
+    # lineitem scan must read only the 3 needed columns, not all 11
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_validation_is_single_scan(spark, sf_dir):
+    """The whole rule+schema+profile battery must compile to ONE pass
+    over the table (SURVEY §4 item 1) — the reference scans once per
+    rule; regressing to that at 100 TB is catastrophic."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    engine = ValidationEngine(
+        rules=[
+            ValidationRule("key_nn", "not_null", "o_orderkey", Severity.ERROR),
+            ValidationRule(
+                "price_rng", "range", "o_totalprice", Severity.WARNING,
+                {"min": 0, "max": 10**6},
+            ),
+            ValidationRule(
+                "status_allowed", "allowed_values", "o_orderstatus",
+                Severity.ERROR, {"values": ["F", "O", "P"]},
+            ),
+        ],
+        enable_profiling=True,
+    )
+    plan = _plan(engine.compile_plan(orders, "orders"))
+    assert plan.count("Scan parquet") == 1, "validation must stay single-scan"
+
+
+def test_merge_upsert_no_cartesian(spark, sf_dir):
+    plan = _plan(S.q_merge_upsert(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
