@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": L.q_ann_ivf,
         "embedding_near_dup": L.q_embedding_near_dup,
         "multimodal_features": L.q_multimodal_features,
+        "train_split_counts": L.q_train_split_counts,
+        "stratified_sample_docs": L.q_stratified_sample_docs,
     }
 
 
@@ -443,4 +445,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": LO.ann_ivf(),
         "embedding_near_dup": LO.embedding_near_dup(),
         "multimodal_features": LO.multimodal_features(),
+        "train_split_counts": LO.train_split_counts(),
+        "stratified_sample_docs": LO.stratified_sample_docs(),
     }

@@ -26,6 +26,7 @@ from ..operators.dedup import (
     simhash_table,
 )
 from ..operators.multimodal import extract_features, media_table
+from ..operators.sampling import stratified_sample, train_val_test_split
 from ..operators.similarity import (
     ann_topk_ivf,
     ann_topk_sign_lsh,
@@ -182,6 +183,34 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = plant_dup_vectors(_embs(spark, sf_dir), every=PLANT_EVERY_VECS,
                                 id_offset=ID_OFFSET)
     return embedding_near_dup_pairs(planted, threshold=0.99).orderBy("vec_a", "vec_b")
+
+
+# -- sampling / splits -----------------------------------------------------------
+
+
+def q_train_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: per (split, lang) doc counts.
+    Membership is an md5 hash range of doc_id — stable across runs,
+    partitionings, and corpus growth (operators/sampling.py)."""
+    docs = train_val_test_split(_docs(spark, sf_dir), "doc_id")
+    return (
+        docs.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sample: rare languages kept in
+    full, the head language downsampled."""
+    sampled = stratified_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "lang",
+        rates={"en": 0.25, "es": 1.0, "fr": 1.0, "de": 1.0},
+        default_rate=0.5,
+    )
+    return sampled.select("doc_id", "lang").orderBy("doc_id")
 
 
 # -- multimodal ------------------------------------------------------------------

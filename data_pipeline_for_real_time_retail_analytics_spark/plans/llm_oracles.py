@@ -412,6 +412,40 @@ def embedding_near_dup(threshold: float = 0.99, every: int = 100) -> str:
     """
 
 
+_BUCKET10K = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+)
+
+
+def train_split_counts(val_rate: float = 0.1, test_rate: float = 0.1) -> str:
+    test_hi = int(test_rate * 10_000)
+    val_hi = test_hi + int(val_rate * 10_000)
+    return rf"""
+        WITH split AS (
+            SELECT lang,
+                   CASE WHEN {_BUCKET10K} < {test_hi} THEN 'test'
+                        WHEN {_BUCKET10K} < {val_hi} THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents
+        )
+        SELECT split, lang, COUNT(*) AS n_docs
+        FROM split GROUP BY split, lang
+        ORDER BY split, lang
+    """
+
+
+def stratified_sample_docs() -> str:
+    return rf"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_BUCKET10K} < CASE lang WHEN 'en' THEN 2500
+                                       WHEN 'es' THEN 10000
+                                       WHEN 'fr' THEN 10000
+                                       WHEN 'de' THEN 10000
+                                       ELSE 5000 END
+        ORDER BY doc_id
+    """
+
+
 def multimodal_features() -> str:
     return """
         SELECT doc_id,
