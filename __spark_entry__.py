@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_stats": A.brand_stats,
         "events_hourly": A.events_hourly,
         "events_props_stats": A.events_props_stats,
+        "event_anomalies": A.event_anomalies,
         # temporal operators (windows / as-of / skew-salted)
         "events_sliding": TP.q_events_sliding,
         "user_sessions": TP.q_user_sessions,
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": L.q_ann_ivf,
         "embedding_near_dup": L.q_embedding_near_dup,
         "multimodal_features": L.q_multimodal_features,
+        "cleaned_docs": L.q_cleaned_docs,
         "train_split_counts": L.q_train_split_counts,
         "stratified_sample_docs": L.q_stratified_sample_docs,
     }
@@ -225,6 +227,32 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "event_anomalies": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                       COUNT(*) AS n_events
+                FROM events
+                GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT hour_start, event_type, n_events,
+                       CAST(SUM(n_events) OVER w AS DOUBLE) AS s1,
+                       CAST(SUM(n_events * n_events) OVER w AS DOUBLE) AS s2,
+                       CAST(COUNT(*) OVER w AS DOUBLE) AS k
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type)
+            )
+            , scored AS (
+                SELECT CAST(hour_start AS TIMESTAMP) AS hour_start, event_type,
+                       n_events,
+                       ROUND((CAST(n_events AS DOUBLE) - s1 / k)
+                             / sqrt((s2 - s1 * s1 / k) / (k - 1.0)), 4) AS z_score
+                FROM stats
+            )
+            SELECT * FROM scored
+            WHERE abs(z_score) >= 1.5
+            ORDER BY event_type, hour_start
         """,
         "events_sliding": TP.ORACLES["events_sliding"],
         "user_sessions": TP.ORACLES["user_sessions"],
@@ -445,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": LO.ann_ivf(),
         "embedding_near_dup": LO.embedding_near_dup(),
         "multimodal_features": LO.multimodal_features(),
+        "cleaned_docs": LO.cleaned_docs(),
         "train_split_counts": LO.train_split_counts(),
         "stratified_sample_docs": LO.stratified_sample_docs(),
     }

@@ -215,6 +215,37 @@ def brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_anomalies(
+    spark: SparkSession, sf_dir: str, z_threshold: float = 1.5
+) -> DataFrame:
+    """Hourly event-count anomaly detection: hours whose count deviates
+    ≥ z_threshold stddevs from that event type's mean hourly volume.
+    Two-level aggregation: hourly rollup (one shuffle), then per-type
+    stats via window aggregates over the tiny hourly table. Mean/std are
+    derived from exact integer Σn and Σn² so the z-scores are
+    bit-deterministic and oracle-comparable (no stream-order float
+    reduction)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("event_type")
+    n = F.col("n_events").cast("double")
+    s1 = F.sum("n_events").over(w).cast("double")
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double")
+    k = F.count(F.lit(1)).over(w).cast("double")
+    mean = s1 / k
+    std = F.sqrt((s2 - s1 * s1 / k) / (k - F.lit(1.0)))
+    z = F.round((n - mean) / std, 4)
+    return (
+        hourly.withColumn("z_score", z)
+        .where(F.abs(F.col("z_score")) >= z_threshold)
+        .select("hour_start", "event_type", "n_events", "z_score")
+        .orderBy("event_type", "hour_start")
+    )
+
+
 def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload extraction (SURVEY §2.9: the reference carries JSON
     as strings and parses on demand — validators.py:261-267,

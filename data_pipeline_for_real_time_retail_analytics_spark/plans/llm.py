@@ -27,6 +27,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import extract_features, media_table
 from ..operators.sampling import stratified_sample, train_val_test_split
+from ..operators.textclean import cleaned_documents
 from ..operators.similarity import (
     ann_topk_ivf,
     ann_topk_sign_lsh,
@@ -183,6 +184,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = plant_dup_vectors(_embs(spark, sf_dir), every=PLANT_EVERY_VECS,
                                 id_offset=ID_OFFSET)
     return embedding_near_dup_pairs(planted, threshold=0.99).orderBy("vec_a", "vec_b")
+
+
+def q_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning chain: control-char strip, PII masking, whitespace
+    collapse — all regexp_replace, no Python (operators/textclean.py)."""
+    return cleaned_documents(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 # -- sampling / splits -----------------------------------------------------------

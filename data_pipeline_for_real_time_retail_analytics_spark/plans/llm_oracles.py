@@ -412,6 +412,31 @@ def embedding_near_dup(threshold: float = 0.99, every: int = 100) -> str:
     """
 
 
+def cleaned_docs() -> str:
+    # same regex chain/order as operators/textclean.py (Java∩RE2 dialect)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    phone = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+    control = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    return rf"""
+        WITH cleaned AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(text, '{control}', '', 'g'),
+                                   '{email}', '<EMAIL>', 'g'),
+                               '{url}', '<URL>', 'g'),
+                           '{phone}', '<PHONE>', 'g'),
+                       '\s+', ' ', 'g')) AS t
+            FROM documents
+        )
+        SELECT doc_id, t AS text_clean, length(t) AS n_chars_clean
+        FROM cleaned ORDER BY doc_id
+    """
+
+
 _BUCKET10K = (
     "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
 )

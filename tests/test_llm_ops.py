@@ -216,3 +216,22 @@ def test_dedup_keep_canonical(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
     kept = {r["doc_id"] for r in dedup_keep_canonical(docs, dedup_clusters(pairs)).collect()}
     assert kept == {1, 5, 9}  # cluster minima + the unclustered doc
+
+
+def test_clean_text_masks_and_normalizes(spark):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textclean import cleaned_documents
+
+    rows = [
+        (1, "contact  me at bob@example.com   today"),
+        (2, "see https://example.com/a?b=1 \t for more"),
+        (3, "call +1 (555) 123-4567 now"),
+        (4, "bad\x00control\x1fchars"),
+        (5, "  already clean  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_clean"] for r in cleaned_documents(df).collect()}
+    assert out[1] == "contact me at <EMAIL> today"
+    assert out[2] == "see <URL> for more"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "badcontrolchars"
+    assert out[5] == "already clean"
