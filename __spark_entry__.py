@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": A.promo_revenue,
         "top_suppliers": A.top_suppliers,
         "brand_stats": A.brand_stats,
+        "returned_revenue_by_customer": A.returned_revenue_by_customer,
+        "small_quantity_revenue": A.small_quantity_revenue,
+        "large_orders": A.large_orders,
         "events_hourly": A.events_hourly,
         "events_props_stats": A.events_props_stats,
         "event_anomalies": A.event_anomalies,
@@ -258,6 +261,56 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": TP.ORACLES["user_sessions"],
         "click_attribution": TP.ORACLES["click_attribution"],
         "salted_event_rollup": TP.ORACLES["salted_event_rollup"],
+        "returned_revenue_by_customer": """
+            WITH by_cust AS (
+                SELECT o.o_custkey,
+                       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                            AS DOUBLE) AS returned_revenue
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY o.o_custkey
+            )
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment, b.returned_revenue
+            FROM by_cust b JOIN customer c ON b.o_custkey = c.c_custkey
+            ORDER BY b.returned_revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "small_quantity_revenue": """
+            WITH avg_qty AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                           / COUNT(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                              AS DOUBLE) / 7, 2) AS avg_yearly,
+                   COUNT(*) AS n_small_lineitems
+            FROM lineitem l
+            JOIN avg_qty a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < 0.2 * a.avg_qty
+        """,
+        "large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)
+                            AS DOUBLE) AS total_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)
+                            AS DOUBLE) > 150.0
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+                   ROUND(o.o_totalprice, 2) AS total_price,
+                   b.total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY b.total_qty DESC, o.o_orderkey
+            LIMIT 20
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    COUNT(*) AS n_events,

@@ -215,6 +215,91 @@ def brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def returned_revenue_by_customer(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """TPC-H Q10-flavored: top-K customers by revenue on returned items.
+    The returnflag filter pushes into the lineitem scan; aggregate on
+    custkey first, then broadcast-join names."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    rev = money(F.col("l_extendedprice")) * (F.lit(1) - ratio(F.col("l_discount")))
+    by_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(exact_sum(rev).alias("returned_revenue"))
+    )
+    return (
+        by_cust.join(F.broadcast(cust), by_cust.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "returned_revenue")
+        .orderBy(F.desc("returned_revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-flavored: average yearly revenue lost if orders below
+    20% of a part's mean quantity were dropped. The correlated scalar
+    subquery becomes an aggregate + equi-join (no per-row subquery
+    execution — the Spark/decorrelated form)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # mean from the exact decimal sum (order-independent) — a plain AVG
+    # over doubles is reduction-order sensitive and the 0.2×avg threshold
+    # sits on row-inclusion boundaries
+    avg_qty = li.groupBy("l_partkey").agg(
+        (
+            F.sum(money(F.col("l_quantity"))).cast("double")
+            / F.count(F.col("l_quantity"))
+        ).alias("avg_qty")
+    )
+    j = li.join(avg_qty, "l_partkey").where(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    return j.agg(
+        F.round(
+            (F.sum(money(F.col("l_extendedprice"))) / F.lit(7)).cast("double"), 2
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lineitems"),
+    )
+
+
+def large_orders(
+    spark: SparkSession, sf_dir: str, min_qty: float = 150.0, k: int = 20
+) -> DataFrame:
+    """TPC-H Q18-flavored: orders whose total lineitem quantity exceeds a
+    threshold (HAVING over a big groupBy), joined to customer names.
+    Aggregate-then-filter keeps the shuffle payload to (orderkey, sum)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum(money(F.col("l_quantity"))).alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(k)
+    )
+
+
 def event_anomalies(
     spark: SparkSession, sf_dir: str, z_threshold: float = 1.5
 ) -> DataFrame:
