@@ -89,7 +89,8 @@ def dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fact_orders: one row per order with customer attributes and
     lineitem-derived revenue. lineitem→orders is the only big shuffle
-    (hash on orderkey); the dim side broadcasts."""
+    (hash on orderkey); the customer-derived dim is unhinted — AQE
+    broadcasts while it fits, shuffle-joins at scale."""
     orders = staging_orders(spark, sf_dir)
     dim = dim_customers(spark, sf_dir).select(
         "customer_id", "market_segment", "nation", "region"
@@ -102,7 +103,7 @@ def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(li_rev, "order_id", "left")
-        .join(F.broadcast(dim), "customer_id", "left")
+        .join(dim, "customer_id", "left")
         .select(
             "order_id", "customer_id", "order_status", "total_amount",
             "order_date", "order_priority", "net_revenue", "n_lineitems",

@@ -52,8 +52,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str, ship_cutoff: str = "1998-0
 
 def revenue_by_segment(spark: SparkSession, sf_dir: str, since: str = "1996-01-01") -> DataFrame:
     """Flagship: revenue per market segment for orders after a watermark
-    date. lineitem ⋈ orders (shuffle on orderkey) ⋈ broadcast(customer);
-    the date filter pushes into the orders scan."""
+    date. lineitem ⋈ orders shuffle on orderkey; the customer side is
+    left unhinted — AQE broadcasts it at runtime when it is actually
+    small, and falls back to shuffle join at 100 TB where a forced
+    broadcast of a scale-growing table would OOM. The date filter pushes
+    into the orders scan."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -66,7 +69,7 @@ def revenue_by_segment(spark: SparkSession, sf_dir: str, since: str = "1996-01-0
     revenue = money(F.col("l_extendedprice")) * (F.lit(1) - ratio(F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             exact_sum(revenue).alias("revenue"),
@@ -78,9 +81,9 @@ def revenue_by_segment(spark: SparkSession, sf_dir: str, since: str = "1996-01-0
 
 
 def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    """Top-K customers by lifetime order value. Aggregate FIRST (shuffle on
-    custkey), then broadcast-join the small aggregate to customer names —
-    never sort the raw fact table."""
+    """Top-K customers by lifetime order value. Aggregate FIRST (shuffle
+    on custkey), then join names (AQE sizes the join at runtime) — never
+    sort the raw fact table."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     by_cust = orders.groupBy("o_custkey").agg(
@@ -88,7 +91,7 @@ def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     return (
-        by_cust.join(F.broadcast(cust), by_cust.o_custkey == cust.c_custkey)
+        by_cust.join(cust, by_cust.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "total_spent", "n_orders")
         .orderBy(F.desc("total_spent"), "c_custkey")
         .limit(k)
@@ -114,8 +117,10 @@ def order_priority_counts(
 
 
 def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue by nation/region: the full dimension chain
-    region ⋈ nation ⋈ customer ⋈ orders with every dimension broadcast."""
+    """Revenue by nation/region: the full dimension chain. nation/region
+    carry explicit broadcast hints (bounded cardinality: 25/5 rows at ANY
+    scale factor); the customer-derived dim is unhinted — scale-growing
+    sides are AQE's runtime decision."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -126,7 +131,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name", "r_name")
     )
     return (
-        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             exact_sum(money(F.col("o_totalprice"))).alias("revenue"),
@@ -140,16 +145,16 @@ def promo_revenue(
     spark: SparkSession, sf_dir: str, lo: str = "1997-09-01", hi: str = "1997-10-01"
 ) -> DataFrame:
     """TPC-H Q14-flavored: share of revenue from PROMO parts in one month.
-    lineitem ⋈ broadcast(part) — the date filter pushes into the lineitem
-    scan, part is the small build side, and the final agg is a single row
-    (no shuffle of raw data beyond the partial aggregates)."""
+    The date filter pushes into the lineitem scan; part (scale-growing)
+    is unhinted so AQE broadcasts it only while it fits. The final agg is
+    a single row."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = money(F.col("l_extendedprice")) * (F.lit(1) - ratio(F.col("l_discount")))
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     return j.agg(
         F.round(
             F.lit(100.0)
@@ -166,7 +171,7 @@ def top_suppliers(
 ) -> DataFrame:
     """TPC-H Q15-flavored: top-K suppliers by quarterly revenue. Aggregate
     lineitem on suppkey FIRST (small shuffle), rank with a window over the
-    tiny aggregate, then broadcast-join supplier names."""
+    tiny aggregate, then join supplier names (AQE-sized)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
@@ -181,7 +186,7 @@ def top_suppliers(
         ),
     ).where(F.col("rk") <= k)
     return (
-        ranked.join(F.broadcast(supp), ranked.l_suppkey == supp.s_suppkey)
+        ranked.join(supp, ranked.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue", "rk")
         .orderBy("rk")
     )
@@ -203,7 +208,7 @@ def brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp_per_brand = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             li.l_partkey == part.p_partkey,
         )
         .groupBy("p_brand")
@@ -233,7 +238,7 @@ def returned_revenue_by_customer(
         .agg(exact_sum(rev).alias("returned_revenue"))
     )
     return (
-        by_cust.join(F.broadcast(cust), by_cust.o_custkey == cust.c_custkey)
+        by_cust.join(cust, by_cust.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "c_mktsegment", "returned_revenue")
         .orderBy(F.desc("returned_revenue"), "c_custkey")
         .limit(k)
@@ -286,7 +291,7 @@ def large_orders(
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",

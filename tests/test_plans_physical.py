@@ -16,6 +16,14 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(df) -> str:
+    """Materialize, then read the plan — with AQE the broadcast decision
+    for unhinted (scale-growing) sides is made at runtime, so only the
+    final adaptive plan shows it."""
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
     plan = _plan(A.pricing_summary(spark, sf_dir))
     assert "PushedFilters" in plan and "l_shipdate" in plan
@@ -23,14 +31,37 @@ def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
 
 
 def test_star_joins_broadcast(spark, sf_dir):
+    """At test SF every dim fits the broadcast threshold, so the FINAL
+    adaptive plan must use broadcast joins (statically hinted for
+    nation/region, AQE-chosen for the scale-growing sides)."""
     for q in (A.revenue_by_segment, A.nation_revenue, A.top_customers, A.promo_revenue):
-        plan = _plan(q(spark, sf_dir))
+        plan = _final_plan(q(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, f"{q.__name__} lost its broadcast join"
         assert "CartesianProduct" not in plan
 
 
+def test_scale_growing_dims_not_hinted(spark, sf_dir):
+    """customer/part/supplier grow with the scale factor: a *static*
+    broadcast hint on them would OOM at 100 TB. The logical plan must not
+    carry ResolvedHint for those sides (AQE may still broadcast at
+    runtime — that's the point)."""
+    # (fact_orders is excluded: its only hints are the bounded
+    # nation/region ones inside dim_customers)
+    for q in (A.revenue_by_segment, A.top_customers, A.promo_revenue,
+              A.top_suppliers):
+        logical = q(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in logical, f"{q.__name__} static-hints a scale-growing table"
+
+
+def test_bounded_dims_are_hinted(spark, sf_dir):
+    """nation (25 rows) and region (5 rows) are bounded at every scale
+    factor — they must keep their static broadcast hints."""
+    logical = A.nation_revenue(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in logical
+
+
 def test_fact_orders_broadcasts_dims(spark, sf_dir):
-    plan = _plan(S.q_fact_orders(spark, sf_dir))
+    plan = _final_plan(S.q_fact_orders(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
 
 
