@@ -66,6 +66,34 @@ class WarehouseSink:
         except Exception as exc:  # report, don't raise — reference contract
             return LoadResult(False, name, 0, mode, error=str(exc))
 
+    def load_bucketed(
+        self,
+        df: DataFrame,
+        target_table: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> LoadResult:
+        """Write a catalog table hash-bucketed (and optionally sorted) on
+        the join/merge keys. Two tables bucketed the same way join with
+        ZERO shuffle — at 100 TB this is how fact⋈fact joins and the
+        incremental merge anti-join avoid re-shuffling the big table
+        every batch (see tests/test_plans_physical.py for the
+        no-Exchange proof)."""
+        name = self._qualified(target_table)
+        try:
+            n = df.count()
+            writer = df.write.format(self.fmt).mode(mode).bucketBy(
+                n_buckets, *bucket_cols
+            )
+            if sort_cols:
+                writer = writer.sortBy(*sort_cols)
+            writer.saveAsTable(name)
+            return LoadResult(True, name, n, mode)
+        except Exception as exc:
+            return LoadResult(False, name, 0, mode, error=str(exc))
+
     def execute_sql(self, sql: str, params: dict[str, Any] | None = None) -> list[Row]:
         """S8 passthrough with *parameterized* SQL — placeholders bind
         server-side (`:name`), no string interpolation (the reference

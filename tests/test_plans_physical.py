@@ -99,3 +99,32 @@ def test_validation_is_single_scan(spark, sf_dir):
 def test_merge_upsert_no_cartesian(spark, sf_dir):
     plan = _plan(S.q_merge_upsert(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    Exchange — the co-location contract load_bucketed promises."""
+    import uuid
+
+    from data_pipeline_for_real_time_retail_analytics_spark.sources.sink import WarehouseSink
+
+    sink = WarehouseSink(spark, database=f"bk_{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    assert sink.load_bucketed(orders, "orders_b", ["o_orderkey"], 8,
+                              sort_cols=["o_orderkey"]).success
+    assert sink.load_bucketed(li, "lineitem_b", ["l_orderkey"], 8,
+                              sort_cols=["l_orderkey"]).success
+
+    o = spark.table(sink._qualified("orders_b"))
+    l = spark.table(sink._qualified("lineitem_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(l, o.o_orderkey == l.l_orderkey)
+        j.write.format("noop").mode("overwrite").save()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join re-shuffled — co-location lost"

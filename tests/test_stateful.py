@@ -112,3 +112,60 @@ def test_running_totals(spark, stateful_src, tmp_path_factory):
     assert got[1] == (6, 85.0)
     assert got[2] == (1, 1.0)
     q.stop()
+
+
+def test_streaming_merge_sink_matches_batch_apply(spark, tmp_path_factory):
+    """Stream a changelog in two micro-batches through the merge sink;
+    final state must equal a single batch apply_changelog over all rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.transform import (
+        apply_changelog,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.streaming.upsert import (
+        streaming_merge_sink,
+    )
+
+    schema = "k long, ts timestamp, seq long, op string, v double"
+    t = lambda s: dt.datetime.fromisoformat(s)
+    batch1 = [
+        (1, t("2024-01-01 10:00:00"), 1, "insert", 10.0),
+        (2, t("2024-01-01 10:01:00"), 2, "insert", 20.0),
+    ]
+    batch2 = [
+        (1, t("2024-01-01 11:00:00"), 3, "update", 11.0),
+        (2, t("2024-01-01 11:01:00"), 4, "delete", None),
+        (3, t("2024-01-01 11:02:00"), 5, "insert", 30.0),
+    ]
+    src = str(tmp_path_factory.mktemp("merge_src"))
+    for chunk in (batch1, batch2):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(src)
+
+    target = str(tmp_path_factory.mktemp("merge_target")) + "/state"
+    stream = (
+        spark.readStream.schema(
+            T.StructType.fromDDL(schema)
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_merge_sink(spark, target, ["k"], "ts", "op", tiebreak_col="seq")
+        )
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("merge_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    base = all_rows.select("k", "v").limit(0)
+    want = {r["k"]: r["v"] for r in apply_changelog(
+        base, all_rows, ["k"], "ts", "op", tiebreak_col="seq"
+    ).collect()}
+    assert got == want == {1: 11.0, 3: 30.0}
