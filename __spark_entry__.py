@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": L.q_doc_fingerprints,
         "cosine_topk": L.q_cosine_topk,
         "ann_sign_lsh": L.q_ann_sign_lsh,
+        "ann_multiprobe": L.q_ann_multiprobe,
         "ann_ivf": L.q_ann_ivf,
         "embedding_near_dup": L.q_embedding_near_dup,
         "multimodal_features": L.q_multimodal_features,
@@ -523,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": LO.doc_fingerprints(),
         "cosine_topk": LO.cosine_topk(),
         "ann_sign_lsh": LO.ann_sign_lsh(),
+        "ann_multiprobe": LO.ann_multiprobe(),
         "ann_ivf": LO.ann_ivf(),
         "embedding_near_dup": LO.embedding_near_dup(),
         "multimodal_features": LO.multimodal_features(),

@@ -366,7 +366,7 @@ def dedup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -382,15 +382,19 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
+        # round 0 always changes something (labels start as self-ids for
+        # every edge endpoint) — skip its convergence action
+        if it > 0:
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "id")
+                .where(F.col("u.label") != F.col("l.label"))
+                .count()
+            )
+            if changed == 0:
+                labels = updated
+                break
         labels = updated
-        if changed == 0:
-            break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -118,6 +118,47 @@ def ann_topk_sign_lsh(
     )
 
 
+def ann_topk_sign_lsh_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe variant of the sign-LSH ANN: each query also probes
+    every bucket at Hamming distance 1 (one flipped sign bit), trading
+    (n_bits+1)× candidate cost for the recall lost to near-boundary
+    vectors. The corpus side keeps exactly one bucket per vector — the
+    probe expansion explodes only the (small) query side, so the join
+    stays bucket-equi and corpus-partition-parallel."""
+    bucket = sign_lsh_bucket(F.col(vec_col), n_bits)
+    probes = F.array(
+        bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    sim = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

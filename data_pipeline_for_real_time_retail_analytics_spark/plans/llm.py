@@ -31,6 +31,7 @@ from ..operators.textclean import cleaned_documents
 from ..operators.similarity import (
     ann_topk_ivf,
     ann_topk_sign_lsh,
+    ann_topk_sign_lsh_multiprobe,
     cosine_topk,
     embedding_near_dup_pairs,
     plant_dup_vectors,
@@ -167,6 +168,16 @@ def q_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
     return ann_topk_sign_lsh(queries, embs, k=5, n_bits=8).orderBy("query_id", "rank")
+
+
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-5: queries probe their bucket plus all
+    1-bit-flipped buckets (operators/similarity.py)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
+    return ann_topk_sign_lsh_multiprobe(queries, embs, k=5, n_bits=8).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -346,6 +346,32 @@ def ann_sign_lsh(k: int = 5, every: int = 100) -> str:
     """
 
 
+def ann_multiprobe(k: int = 5, every: int = 100, n_bits: int = 8) -> str:
+    return rf"""
+        WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv, {_BUCKET} AS bucket
+                    FROM embeddings WHERE vec_id % {every} = 0),
+        q AS (
+            SELECT query_id, qv,
+                   CASE WHEN i = -1 THEN bucket
+                        ELSE xor(bucket, CAST(1 AS BIGINT) << i) END AS bucket
+            FROM q0, range(-1, {n_bits}) t(i)
+        ),
+        c AS (SELECT vec_id AS match_id, embedding AS cv, {_BUCKET} AS bucket
+              FROM embeddings),
+        sims AS (
+            SELECT query_id, match_id, {_cosine("qv", "cv")} AS sim
+            FROM c JOIN q USING (bucket)
+            WHERE query_id <> match_id
+        )
+        SELECT query_id, match_id, ROUND(sim, 6) AS cosine_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, match_id) AS INT) AS rank
+        FROM sims
+        QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def ann_ivf(k: int = 5, every: int = 100, n_cells: int = 16, n_probe: int = 2) -> str:
     return rf"""
         WITH cents AS (

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_for_real_time_retail_analytics_spark.operators import (
     ann_topk_ivf,
+    ann_topk_sign_lsh_multiprobe,
     dedup_clusters,
     dedup_keep_canonical,
     ann_topk_sign_lsh,
@@ -164,6 +165,15 @@ def test_ann_lsh_restricts_to_bucket(spark, vecs):
     # query bucket = {dim1>0} only; vec 4 shares it, vec 1 (dim2>0) and
     # vec 3 (dim1<0) hash elsewhere — that's the approximation tradeoff
     assert ids == [4]
+
+
+def test_ann_multiprobe_recovers_neighbors(spark, vecs):
+    # single probe from v0 (bucket 0b0001) sees only v4; multi-probe
+    # reaches the 1-bit-away buckets 0b0000 (v3) and 0b0011 (v1)
+    out = ann_topk_sign_lsh_multiprobe(
+        vecs.where("vec_id = 0"), vecs, k=5, n_bits=4
+    ).collect()
+    assert [r["match_id"] for r in out] == [4, 1, 3]
 
 
 def test_ann_ivf_probes_cells(spark, vecs):
