@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": A.top_customers,
         "order_priority_counts": A.order_priority_counts,
         "nation_revenue": A.nation_revenue,
+        "revenue_rollup": A.revenue_rollup,
         "promo_revenue": A.promo_revenue,
         "top_suppliers": A.top_suppliers,
         "brand_stats": A.brand_stats,
@@ -262,6 +263,24 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": TP.ORACLES["user_sessions"],
         "click_attribution": TP.ORACLES["click_attribution"],
         "salted_event_rollup": TP.ORACLES["salted_event_rollup"],
+        "revenue_rollup": """
+            WITH j AS (
+                SELECT r.r_name, n.n_name, o.o_totalprice
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+            )
+            SELECT r_name, n_name,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders,
+                   CAST(GROUPING(r_name) AS INT) AS is_region_total,
+                   CAST(GROUPING(n_name) AS INT) AS is_nation_total
+            FROM j
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+        """,
         "returned_revenue_by_customer": """
             WITH by_cust AS (
                 SELECT o.o_custkey,

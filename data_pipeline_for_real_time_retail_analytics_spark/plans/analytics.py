@@ -305,6 +305,35 @@ def large_orders(
     )
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation → total revenue ROLLUP: one pass produces every
+    aggregation level (Spark expands grouping sets inside the same
+    shuffle — no per-level re-scan). NULL group keys mark subtotal rows,
+    exposed via grouping() flags for unambiguous downstream handling."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            exact_sum(money(F.col("o_totalprice"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("r_name").cast("int").alias("is_region_total"),
+            F.grouping("n_name").cast("int").alias("is_nation_total"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
 def event_anomalies(
     spark: SparkSession, sf_dir: str, z_threshold: float = 1.5
 ) -> DataFrame:
