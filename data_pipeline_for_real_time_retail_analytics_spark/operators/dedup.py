@@ -198,26 +198,41 @@ def minhash_lsh_pairs(
     1-(1-t^rows)^bands for true Jaccard t."""
     rows = num_perm // bands
     sh = with_shingles(df, n, text_col, id_col)
-    # Signature via explode + groupBy min-aggregates: exactly ONE md5 per
-    # shingle instance (the per-seed values are cheap arithmetic over its
-    # two 32-bit halves), and the mins partial-aggregate map-side so the
-    # shuffle carries num_perm longs per doc — the 100 TB-safe shape.
-    ex = sh.select(F.col(id_col), F.explode("shingles").alias("s")).select(
-        id_col, _h32(F.col("s"), 1).alias("h1"), _h32(F.col("s"), 9).alias("h2")
+    # Two-step signature: the md5-derived (h1, h2) pair array stays a
+    # SEPARATE projection (Catalyst's CollapseProject won't inline a
+    # non-cheap alias referenced num_perm times), so md5 runs exactly
+    # once per shingle; each seed's hash is then cheap arithmetic.
+    hp = sh.withColumn(
+        "hp",
+        F.transform(
+            "shingles",
+            lambda s: F.struct(_h32(s, 1).alias("h1"), _h32(s, 9).alias("h2")),
+        ),
     )
-    mins = ex.groupBy(id_col).agg(
-        *[
-            F.min(
-                F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(_MH_MOD))
-            ).alias(f"m{i}")
-            for i in range(num_perm)
-        ]
+    sig = hp.select(
+        id_col,
+        "shingles",
+        "n_shingles",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("hp"),
+                    lambda p: F.pmod(
+                        p["h1"] + i.cast("long") * p["h2"], F.lit(_MH_MOD)
+                    ),
+                )
+            ),
+        ).alias("sig"),
     )
-    sig = mins.select(
-        id_col, F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
-    )
+    # Carry the shingle arrays through the band self-join: both sides are
+    # the IDENTICAL subtree hash-partitioned on (band_id, band_key), so
+    # ReuseExchange computes shingling + signatures ONCE — cheaper than
+    # re-deriving arrays via two extra joins after candidate generation.
     banded = sig.select(
         id_col,
+        "n_shingles",
+        "shingles",
         F.posexplode(minhash_band_keys(F.col("sig"), bands, rows)).alias(
             "band_id", "band_key"
         ),
@@ -234,24 +249,17 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.shingles").alias("sh_b"),
+            F.col("b.n_shingles").alias("n_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sh.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n_shingles").alias("n_a"),
-    )
-    sb = sh.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n_shingles").alias("n_b"),
-    )
-    ver = cand.join(sa, "doc_a").join(sb, "doc_b")
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
     return (
-        ver.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .where(F.round(jac, 4) >= threshold)
     )
 
