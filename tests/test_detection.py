@@ -100,3 +100,56 @@ def test_multi_source_fanout_and_health(spark, tmp_path):
     assert status["bad"]["healthy"] is False
     assert "db down" in status["bad"]["last_error"]
     assert multi.healthy() is False
+
+
+def test_file_sensor_detects_new_modified_deleted(tmp_path):
+    import os
+    import time
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.cdc import ChangeType
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.filesensor import (
+        FileSystemChangeSensor,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    sensor = FileSystemChangeSensor(str(d), glob="*.csv")
+
+    (d / "a.csv").write_text("1,2\n")
+    (d / "skip.txt").write_text("ignored")
+    events = sensor.detect_changes()
+    assert [e.change_type for e in events] == [ChangeType.INSERT]
+    assert events[0].table_name.endswith("a.csv")
+
+    assert sensor.detect_changes() == []  # steady state
+
+    time.sleep(0.01)
+    (d / "a.csv").write_text("1,2\n3,4\n")  # size+mtime change
+    os.utime(d / "a.csv")
+    (d / "b.csv").write_text("x\n")
+    kinds = {e.table_name.split("/")[-1]: e.change_type for e in sensor.detect_changes()}
+    assert kinds == {"a.csv": ChangeType.UPDATE, "b.csv": ChangeType.INSERT}
+
+    (d / "b.csv").unlink()
+    events = sensor.detect_changes()
+    assert [e.change_type for e in events] == [ChangeType.DELETE]
+
+
+def test_file_sensor_min_age_guard(tmp_path):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.filesensor import (
+        FileSystemChangeSensor,
+    )
+
+    d = tmp_path / "landing2"
+    d.mkdir()
+    clock = {"t": 1000.0}
+    sensor = FileSystemChangeSensor(
+        str(d), glob="*", min_file_age_seconds=60, clock=lambda: clock["t"]
+    )
+    f = d / "inflight.parquet"
+    f.write_text("partial")
+    import os
+    os.utime(f, (clock["t"] - 10, clock["t"] - 10))  # 10s old < 60s guard
+    assert sensor.detect_changes() == []  # too fresh
+    clock["t"] += 120
+    assert len(sensor.detect_changes()) == 1  # aged past the guard
