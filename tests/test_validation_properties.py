@@ -50,3 +50,56 @@ def test_single_pass_counts_match_python_model(spark, rows):
     got = engine.compile_plan(df, "t").first().asDict()
     for key, want in _expected(rows).items():
         assert got[key] == want, f"{key}: {got[key]} != {want} for rows={rows}"
+
+
+# ---------------------------------------------------------------------------
+# dedup invariants
+# ---------------------------------------------------------------------------
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=texts)
+def test_exact_dedup_invariants(spark, rows):
+    """exact_dedup keeps exactly one (the lowest-id) row per distinct
+    text, for arbitrary corpora."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    kept = exact_dedup(df, ["text"]).collect()
+    expected = {}
+    for i, t in enumerate(rows):
+        expected.setdefault(t, i)  # first occurrence = lowest id
+    assert sorted(r["doc_id"] for r in kept) == sorted(expected.values())
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                    max_size=50, unique=True))
+def test_split_assignment_is_pure_function_of_id(spark, ids):
+    """Split membership depends only on the id value — not on what else
+    is in the dataset (stability under corpus growth)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    full = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    half = spark.createDataFrame([(i,) for i in ids[::2]], "doc_id long")
+    s_full = {r["doc_id"]: r["split"]
+              for r in train_val_test_split(full, "doc_id").collect()}
+    s_half = {r["doc_id"]: r["split"]
+              for r in train_val_test_split(half, "doc_id").collect()}
+    assert all(s_full[k] == v for k, v in s_half.items())
