@@ -221,13 +221,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY b.p_brand
         """,
         "events_props_stats": """
+            -- CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) yields HUGEINT,
+            -- which pandas renders as float64 and the driver's value hash
+            -- would then see 99111.0 vs Spark's 99111 (the r01 red cell).
+            -- "invalid JSON" is defined on BOTH sides as "not parseable as
+            -- a JSON object": Spark from_json(props, struct) is NULL exactly
+            -- for non-object / malformed input, mirrored here via
+            -- json_valid + json_type = 'OBJECT'.
             SELECT event_type, COUNT(*) AS n_events,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
                        AS avg_k,
                    MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-                   COUNT(CASE WHEN props IS NOT NULL AND NOT json_valid(props)
+                   COUNT(CASE WHEN props IS NOT NULL AND
+                              (NOT json_valid(props)
+                               OR json_type(props) <> 'OBJECT')
                          THEN 1 END) AS n_invalid_json
             FROM events
             GROUP BY event_type

@@ -36,17 +36,25 @@ def _normalize(df):
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _pyval(v):
+    """numpy scalar → plain Python, preserving the int/float distinction.
+
+    The driver hashes value *representations*, so Spark int64 99111 vs
+    DuckDB HUGEINT→float64 99111.0 is a mismatch (the round-1 red cell).
+    A float()-coercing comparison hides exactly that class of bug.
+    """
+    item = getattr(v, "item", None)
+    return item() if callable(item) else v
+
+
 def _cell_equal(a, b):
+    a, b = _pyval(a), _pyval(b)
     if a is None and b is None:
         return True
-    try:
-        if isinstance(a, float) or isinstance(b, float):
-            fa, fb = float(a), float(b)
-            if math.isnan(fa) and math.isnan(fb):
-                return True
-            return fa == fb  # exact — the driver hashes values
-    except (TypeError, ValueError):
-        pass
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    if isinstance(a, float) != isinstance(b, float):
+        return False  # int vs float representation — driver hash mismatch
     return a == b
 
 
