@@ -1,0 +1,114 @@
+"""Streaming-executed correctness queries (SURVEY.md §2.10).
+
+Unlike the batch twins in ``plans/temporal.py``, these actually run a
+Structured Streaming query (``Trigger.AvailableNow`` over a staged copy
+of the events table) and surface the *streaming* result through the
+driver's DuckDB oracle gate — proving stream/batch equivalence under the
+same rows+schema+hash check the batch queries face, not just in pytest.
+
+Mechanics: the events table is staged once per call to a temp directory
+as microsecond-timestamp parquet (the raw testdata is TIMESTAMP(NANOS),
+which the streaming file source cannot ingest directly), a file-source
+stream reads it, the windowed/session aggregation runs to completion
+with ``outputMode('complete')`` into a memory sink, and the drained
+result is returned as a normal DataFrame.
+
+Scale: the staging hop is a test-harness artifact only — production
+input is already µs parquet / Delta and streams directly. The streaming
+plans themselves are the bounded-state designs from streaming/ingest.py
+(state dropped at watermark + gap).
+
+reference: src/orchestration/sensors.py:226-353 (file-arrival sensing),
+src/ingestion/change_detection.py:93-134 (windowed processing loop).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+from data_pipeline_for_real_time_retail_analytics_spark.streaming.ingest import (
+    file_stream,
+    run_available_now,
+    sessionize,
+    windowed_aggregate,
+)
+
+
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table as a streaming-readable (µs ts) parquet dir."""
+    out = tempfile.mkdtemp(prefix="streamq_events_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _drain(spark: SparkSession, plan: DataFrame) -> DataFrame:
+    """Run the streaming plan to completion and return the memory sink."""
+    name = f"streamq_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="streamq_ckpt_")
+    q = run_available_now(plan, ckpt, queryName=name, output_mode="complete")
+    q.stop()
+    return spark.table(name)
+
+
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation per event type, computed by an
+    actual Structured Streaming execution. Epoch-aligned ``window()``
+    buckets equal ``date_trunc('hour', ts)`` on the oracle side."""
+    stream = file_stream(spark, _stage_events(spark, sf_dir))
+    agg = windowed_aggregate(stream, window="1 hour", group_extra=["event_type"])
+    return _drain(spark, agg).orderBy("window_start", "event_type")
+
+
+def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (10-minute inactivity gap) from a
+    real streaming run — same session semantics as the batch
+    ``user_sessions`` oracle (session end = last event + gap)."""
+    stream = file_stream(spark, _stage_events(spark, sf_dir))
+    sess = sessionize(stream, gap="10 minutes")
+    return _drain(spark, sess).select(
+        "user_id", "session_start", "session_end", "n_events"
+    ).orderBy("user_id", "session_start")
+
+
+ORACLES: dict[str, str] = {
+    "stream_events_hourly": """
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+                   AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY window_start, event_type
+    """,
+    "stream_user_sessions": """
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTES
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM o
+        )
+        SELECT user_id,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(MAX(ts) + INTERVAL 10 MINUTES AS TIMESTAMP) AS session_end,
+               COUNT(*) AS n_events
+        FROM s
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, session_start
+    """,
+}
