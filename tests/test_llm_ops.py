@@ -219,6 +219,28 @@ def test_dedup_clusters_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
 
+def test_dedup_clusters_long_path_converges(spark):
+    # a 9-node path needs ~8 propagation rounds — exercises the batched
+    # (every-2nd-round) convergence check past its first few windows
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {i: 1 for i in range(1, 10)}
+
+
+def test_dedup_clusters_warns_when_unconverged(spark, caplog):
+    import logging
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="data_pipeline_for_real_time_retail_analytics_spark.operators.dedup"):
+        dedup_clusters(pairs, max_iterations=2).collect()
+    assert any("WITHOUT converging" in r.message for r in caplog.records)
+
+
 def test_dedup_keep_canonical(spark):
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in (1, 2, 3, 5, 6, 9)], "doc_id long, text string"
