@@ -65,7 +65,14 @@ class FileSystemChangeSensor:
                 except FileNotFoundError:
                     continue  # raced with a delete
                 if now - st.st_mtime < self.min_file_age_seconds:
-                    continue  # too fresh — possibly mid-write
+                    # Too fresh — possibly mid-write. The file still EXISTS,
+                    # so a tracked path must not vanish from the snapshot
+                    # (that would emit a spurious DELETE now and a wrong
+                    # INSERT once it ages). Carry the last-seen entry
+                    # forward; the UPDATE fires when the write settles.
+                    if path in self.snapshot.files:
+                        out[path] = self.snapshot.files[path]
+                    continue
                 out[path] = (st.st_mtime, st.st_size)
         return out
 

@@ -153,3 +153,35 @@ def test_file_sensor_min_age_guard(tmp_path):
     assert sensor.detect_changes() == []  # too fresh
     clock["t"] += 120
     assert len(sensor.detect_changes()) == 1  # aged past the guard
+
+
+def test_file_sensor_tracked_file_mid_rewrite_not_deleted(tmp_path):
+    """A tracked file being rewritten (mtime inside the min-age guard)
+    still exists: no DELETE may fire, and when the write settles the
+    sensor must emit UPDATE, not INSERT."""
+    import os
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.cdc import ChangeType
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.filesensor import (
+        FileSystemChangeSensor,
+    )
+
+    d = tmp_path / "landing3"
+    d.mkdir()
+    clock = {"t": 1000.0}
+    sensor = FileSystemChangeSensor(
+        str(d), glob="*", min_file_age_seconds=60, clock=lambda: clock["t"]
+    )
+    f = d / "data.parquet"
+    f.write_text("v1")
+    os.utime(f, (clock["t"] - 120, clock["t"] - 120))
+    assert [e.change_type for e in sensor.detect_changes()] == [ChangeType.INSERT]
+
+    # rewrite in-flight: mtime now (inside the guard)
+    f.write_text("v2-longer")
+    os.utime(f, (clock["t"], clock["t"]))
+    assert sensor.detect_changes() == []  # no spurious DELETE
+
+    clock["t"] += 120  # write settles past the guard
+    events = sensor.detect_changes()
+    assert [e.change_type for e in events] == [ChangeType.UPDATE]
