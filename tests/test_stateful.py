@@ -169,3 +169,47 @@ def test_streaming_merge_sink_matches_batch_apply(spark, tmp_path_factory):
         base, all_rows, ["k"], "ts", "op", tiebreak_col="seq"
     ).collect()}
     assert got == want == {1: 11.0, 3: 30.0}
+
+
+def test_merge_sink_recovers_from_crash_between_renames(spark, tmp_path_factory):
+    """Simulate a crash after rename(target, old) but before
+    rename(tmp, target): the next batch must restore the pre-swap state
+    instead of silently rebuilding from an empty base."""
+    import datetime as dt
+    import os
+
+    from data_pipeline_for_real_time_retail_analytics_spark.streaming.upsert import (
+        recover_swap,
+        streaming_merge_sink,
+    )
+
+    schema = "k long, ts timestamp, seq long, op string, v double"
+    t = lambda s: dt.datetime.fromisoformat(s)
+    target = str(tmp_path_factory.mktemp("crash_target")) + "/state"
+    sink = streaming_merge_sink(spark, target, ["k"], "ts", "op", tiebreak_col="seq")
+
+    batch1 = spark.createDataFrame(
+        [(1, t("2024-01-01 10:00:00"), 1, "insert", 10.0),
+         (2, t("2024-01-01 10:01:00"), 2, "insert", 20.0)], schema)
+    sink(batch1, 0)
+    assert {r["k"] for r in spark.read.parquet(target).collect()} == {1, 2}
+
+    # crash simulation: epoch-1 swap died between the two renames
+    os.rename(target, f"{target}__old_1")
+    os.makedirs(f"{target}__epoch_1")  # half-written tmp leftover
+    assert not os.path.exists(target)
+
+    # the replayed batch must see the restored base, not an empty one
+    batch2 = spark.createDataFrame(
+        [(3, t("2024-01-01 11:00:00"), 3, "insert", 30.0)], schema)
+    sink(batch2, 1)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}  # state survived the crash
+    assert not os.path.exists(f"{target}__old_1")
+    assert not os.path.exists(f"{target}__epoch_1")
+
+    # recover_swap with a healthy target only sweeps stale leftovers
+    os.makedirs(f"{target}__old_9")
+    recover_swap(target)
+    assert not os.path.exists(f"{target}__old_9")
+    assert {r["k"] for r in spark.read.parquet(target).collect()} == {1, 2, 3}
