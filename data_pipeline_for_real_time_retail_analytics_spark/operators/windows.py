@@ -19,16 +19,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _select_windowed(
+    agged: DataFrame, keys: list[str], start_name: str, end_name: str
+) -> DataFrame:
+    """Flatten the window struct and keep the analyzer-assigned aggregate
+    column names. Names are read from the analyzed plan (``.columns``),
+    not parsed out of ``Column._jc`` strings — the string form breaks
+    under Spark Connect (no ``_jc``) and misparses expressions containing
+    a literal ' AS '."""
+    agg_names = agged.columns[1 + len(keys):]
+    return agged.select(
+        F.col("w.start").alias(start_name),
+        F.col("w.end").alias(end_name),
+        *keys,
+        *agg_names,
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame, ts_col: str, width: str, aggs: list[Column], keys: list[str] = []
 ) -> DataFrame:
     w = F.window(F.col(ts_col), width)
-    return df.groupBy(w.alias("w"), *keys).agg(*aggs).select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *keys,
-        *[c for c in _agg_names(aggs)],
-    )
+    agged = df.groupBy(w.alias("w"), *keys).agg(*aggs)
+    return _select_windowed(agged, keys, "window_start", "window_end")
 
 
 def sliding_window_agg(
@@ -42,12 +55,8 @@ def sliding_window_agg(
     """Overlapping windows of ``width`` every ``slide`` (epoch-aligned,
     matching Spark's default 1970-01-01 origin)."""
     w = F.window(F.col(ts_col), width, slide)
-    return df.groupBy(w.alias("w"), *keys).agg(*aggs).select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *keys,
-        *[c for c in _agg_names(aggs)],
-    )
+    agged = df.groupBy(w.alias("w"), *keys).agg(*aggs)
+    return _select_windowed(agged, keys, "window_start", "window_end")
 
 
 def session_window_agg(
@@ -57,20 +66,5 @@ def session_window_agg(
     session end = last event + gap (Spark `session_window` semantics —
     a new session starts when ts - prev_ts >= gap)."""
     w = F.session_window(F.col(ts_col), gap)
-    return df.groupBy(w.alias("w"), *keys).agg(*aggs).select(
-        F.col("w.start").alias("session_start"),
-        F.col("w.end").alias("session_end"),
-        *keys,
-        *[c for c in _agg_names(aggs)],
-    )
-
-
-def _agg_names(aggs: list[Column]) -> list[str]:
-    # Column metadata isn't exposed pre-analysis; require aliased aggs.
-    names = []
-    for c in aggs:
-        jc = c._jc.toString()
-        if " AS " not in jc:
-            raise ValueError(f"aggregate must be aliased: {jc}")
-        names.append(jc.rsplit(" AS ", 1)[1].strip("`"))
-    return names
+    agged = df.groupBy(w.alias("w"), *keys).agg(*aggs)
+    return _select_windowed(agged, keys, "session_start", "session_end")
