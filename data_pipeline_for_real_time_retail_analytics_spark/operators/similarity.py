@@ -171,6 +171,51 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_trained(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """KMeans-style (Lloyd) refinement of the deterministic seed codebook
+    — what a real deployment runs, kept fully in DataFrame ops so the
+    index build is cluster-parallel:
+
+    per iteration: assign every vector to its nearest centroid (broadcast
+    codebook + struct-max argmax → one shuffled row per vector), then
+    recompute each centroid as the element-wise mean of its members
+    (posexplode to (cell, dim) partial averages → re-assemble the array
+    ordered by dimension). The codebook is tiny, so each round ends in a
+    ``localCheckpoint`` that truncates lineage; cost is n_iters scans of
+    the training sample. Cells that lose every member disappear (standard
+    KMeans dead-cell behavior) — callers get ≤ n_cells centroids.
+
+    Training on a sample (``corpus.sample(...)``) is the 100 TB shape;
+    assignment quality needs only representative centroids, not an exact
+    optimum."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col).localCheckpoint()
+    for _ in range(n_iters):
+        assigned = _assign_cells(corpus, cents, "vid", "v", 1, id_col, vec_col)
+        dim_means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        )
+        cents = (
+            dim_means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cid"), "cv")
+            .localCheckpoint()
+        )
+    return cents
+
+
 def _assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -214,14 +259,24 @@ def ann_topk_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained: bool = False,
+    train_iters: int = 4,
 ) -> DataFrame:
     """IVF-flavored ANN: corpus vectors live in their nearest-centroid
     cell (inverted lists = hash partitions on cell); queries probe their
     ``n_probe`` closest cells and rank candidates exactly. Cost per query
     is the probed cells' occupancy, not |corpus|; at 100 TB the cell
     assignment is a write-time partitioning of the corpus table and a
-    query touches n_probe partitions."""
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    query touches n_probe partitions.
+
+    ``trained=True`` swaps the deterministic id-sample codebook for
+    Lloyd-refined centroids (``ivf_centroids_trained``) — better-balanced
+    cells, what a deployment runs; the default stays deterministic so the
+    DuckDB oracle can reproduce it."""
+    if trained:
+        cents = ivf_centroids_trained(corpus, n_cells, train_iters, id_col, vec_col)
+    else:
+        cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     corpus_cells = _assign_cells(corpus, cents, "match_id", "cv2", 1, id_col, vec_col)
     query_cells = _assign_cells(queries, cents, "query_id", "qv", n_probe, id_col, vec_col)
     sim = (

@@ -187,6 +187,38 @@ def test_ann_ivf_probes_cells(spark, vecs):
     assert [r["match_id"] for r in out1] == [4]
 
 
+def test_ivf_trained_centroids_recall_on_planted_dups(spark, sf_dir):
+    """Lloyd-refined codebook: planted exact-copy queries must find their
+    originals (same vector -> same nearest centroid -> same cell), giving
+    recall ~1.0 at top-1 vs the brute-force ground truth."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_centroids_trained,
+        plant_dup_vectors,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    planted = plant_dup_vectors(corpus, every=100)
+    queries = planted.where(F.col("vec_id") >= 10_000_000)
+    n_queries = queries.count()
+    assert n_queries > 0
+
+    out = ann_topk_ivf(
+        queries, planted, k=3, n_cells=8, n_probe=2, trained=True, train_iters=3
+    ).collect()
+    top1 = {r["query_id"]: r["match_id"] for r in out if r["rank"] == 1}
+    # brute-force ground truth for an exact copy is its original id
+    hits = sum(1 for qid, mid in top1.items() if mid == qid - 10_000_000)
+    assert hits / n_queries >= 0.9
+
+    # training actually moved the codebook off its deterministic seed
+    seed = {r["cid"] for r in ivf_centroids(corpus, 8).collect()}
+    trained = ivf_centroids_trained(corpus, 8, n_iters=2).collect()
+    assert trained and all(len(r["cv"]) == 64 for r in trained)
+    assert {r["cid"] for r in trained} <= seed  # labels survive, values move
+
+
 def test_multimodal_features_roundtrip(spark, docs):
     import hashlib
 
