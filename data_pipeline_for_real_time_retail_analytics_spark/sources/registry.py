@@ -99,8 +99,10 @@ class JDBCSource:
     Spark's JDBC reader replaces that with ``numPartitions`` +
     ``partitionColumn`` bounded parallel reads — each executor opens its own
     connection and reads a key-range slice, which is what actually scales.
-    No JDBC database ships in this container, so ``read`` is exercised only
-    through its option-building logic in tests.
+    The live leg is integration-tested against embedded Apache Derby
+    (tests/test_sources.py::test_jdbc_live_roundtrip_embedded_derby):
+    write → full scan → watermark-pushed incremental scan → 4-way
+    bounded partitioned read.
     """
 
     source_id: str

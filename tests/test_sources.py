@@ -192,3 +192,39 @@ def test_jdbc_reader_options_watermark_and_partitioning():
     assert "WHERE o_orderdate > '2024-01-01'" in opts["dbtable"]
     assert opts["numPartitions"] == "8"
     assert opts["partitionColumn"] == "o_orderkey"
+
+
+def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
+    """Live JDBC leg of S1/S2 against embedded Apache Derby (ships in
+    Spark's jars): write a table through spark JDBC, then exercise
+    JDBCSource full scan, watermark-pushdown incremental scan, and
+    bounded partitioned parallel reads. Column names are uppercase
+    because the generated subquery uses unquoted identifiers, which
+    Derby resolves case-insensitively to its catalog form."""
+    import pytest
+
+    from data_pipeline_for_real_time_retail_analytics_spark.sources.registry import JDBCSource
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    rows = [(i, f"2024-01-0{1 + i % 5} 10:00:00") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, ts string").selectExpr(
+        "id AS ID", "CAST(ts AS timestamp) AS TS"
+    )
+    try:
+        df.write.jdbc(url, "users", mode="overwrite", properties=props)
+    except Exception as exc:  # pragma: no cover - driver missing in env
+        pytest.skip(f"embedded Derby unavailable: {exc}")
+
+    src = JDBCSource(
+        source_id="derby", url=url, table="users", properties=props,
+        num_partitions=4, partition_column="ID", lower_bound="0", upper_bound="10",
+    )
+    full = src.extract(spark)
+    assert full.count() == 10
+    assert full.rdd.getNumPartitions() == 4  # bounded parallel read
+
+    incr = src.extract(spark, timestamp_column="TS", watermark="2024-01-03 00:00:00")
+    got = sorted(r["ID"] for r in incr.collect())
+    want = sorted(i for i in range(10) if 1 + i % 5 >= 3)  # strictly after Jan 3 00:00
+    assert got == want
