@@ -5,11 +5,12 @@ Beyond-reference scope. Pattern: media payloads travel as opaque
 frame-sample run as Arrow-batched ``mapInPandas`` stages so the bytes
 never round-trip through Python row objects.
 
-This container has no image/audio codecs, so the codec calls are STUBBED
-(`decode_image` raises ``NotImplementedError``; `fake_decode_stats` is a
-deterministic stand-in) — but the Spark-side plumbing is real and tested:
-schema, Arrow batch shape, partition-parallel UDF execution, and the
-metadata contract are exactly what a codec-enabled deployment runs.
+Codec access is Pillow-optional: ``decode_image`` uses PIL when installed
+and raises ``NotImplementedError`` otherwise (this container ships no
+codec library), with ``fake_decode_stats`` as the deterministic stand-in.
+The Spark-side plumbing is real and tested either way: schema, Arrow
+batch shape, partition-parallel UDF execution, and the metadata contract
+are exactly what a codec-enabled deployment runs.
 """
 
 from __future__ import annotations
@@ -60,12 +61,22 @@ def media_table(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> Any:
-    """Decode a real image payload — requires a codec library not present
-    in this container. STUB: deployment wires Pillow/libvips here."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use fake_decode_stats for deterministic tests"
-    )
+    """Decode an image payload to (width, height, mode) via Pillow when it
+    is installed; this container ships no codec library, so without Pillow
+    the call raises ``NotImplementedError`` and pipelines fall back to the
+    deterministic ``fake_decode_stats`` stand-in. A codec-enabled
+    deployment gets the real path with zero code changes."""
+    try:
+        import io
+
+        from PIL import Image  # optional dependency — absent here
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "use fake_decode_stats for deterministic tests"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as img:
+        return img.width, img.height, img.mode
 
 
 def fake_decode_stats(payload: bytes) -> tuple[int, str]:

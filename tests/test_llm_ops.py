@@ -237,9 +237,20 @@ def test_sample_frames_shape(spark, docs):
     assert all(isinstance(f, (bytes, bytearray)) for f in by_id[0])
 
 
-def test_decode_image_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+def test_decode_image_pillow_optional():
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
+    else:  # pragma: no cover - codec-enabled environments only
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 2)).save(buf, format="PNG")
+        assert decode_image(buf.getvalue()) == (3, 2, "RGB")
 
 
 def test_dedup_clusters_connected_components(spark):
