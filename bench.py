@@ -11,6 +11,7 @@ minus the I/O of a real write.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -61,6 +62,11 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # long benchmark session: let the ContextCleaner actually release
+        # finished queries' broadcasts/shuffles (default GC cadence is 30
+        # min — far longer than this run, so driver heap pressure builds
+        # and late queries pay multi-second GC stalls)
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,6 +85,11 @@ def main() -> None:
         except Exception as exc:  # a broken query must not hide the rest
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # drop the finished query's DataFrame/plan references NOW (outside
+        # the timed window) so the JVM ContextCleaner can reclaim them;
+        # without this, queries late in the run time the GC debt of every
+        # query before them (observed 2.3s → 35s+ on the same query)
+        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
