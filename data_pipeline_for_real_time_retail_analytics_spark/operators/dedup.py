@@ -135,7 +135,19 @@ def ngram_jaccard_pairs(
         .where(F.size("shingles") > 0)
         .withColumn("n_shingles", F.size("shingles"))
     )
-    ex = sh.select(id_col, *extra, "n_shingles", F.explode("shingles").alias("s"))
+    # join on a 64-bit md5 prefix of each shingle, not the raw string:
+    # the shuffle then carries 16 fixed chars instead of n-word text.
+    # Parity with the oracle is exact by construction — both engines hash
+    # with md5, so any (negligible, ~n²/2^64) collision affects both
+    # identically.
+    ex = sh.select(
+        id_col,
+        *extra,
+        "n_shingles",
+        F.explode(
+            F.transform("shingles", lambda s: F.substring(F.md5(s), 1, 16))
+        ).alias("s"),
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

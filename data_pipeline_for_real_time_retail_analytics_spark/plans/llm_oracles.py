@@ -143,7 +143,10 @@ def dedup_clusters(num_perm: int = 12, bands: int = 3, threshold: float = 0.5) -
 def ngram_jaccard_pairs(threshold: float = 0.5) -> str:
     return rf"""
         WITH {PLANTED}, {SHINGLES},
-        ex AS (SELECT doc_id, source, n_sh, unnest(sh) AS s FROM shn),
+        -- 64-bit md5-prefix join key mirrors the Spark side (shuffle
+        -- payload optimization); collisions hit both engines identically
+        ex AS (SELECT doc_id, source, n_sh,
+                      substr(md5(unnest(sh)), 1, 16) AS s FROM shn),
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS c
