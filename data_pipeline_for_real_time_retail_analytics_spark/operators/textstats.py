@@ -16,8 +16,11 @@ Design rules for scale:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # tokenization
@@ -145,3 +148,70 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         f"CAST(0 AS BIGINT), (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
     )
     return df.select(F.col(id_col), fingerprint.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# distributional quality signals: token entropy, Benford digit profile
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the whitespace-token
+    distribution — the classic low-information-content filter: boilerplate
+    and keyword-stuffed spam score low, natural prose scores high.
+
+    Shape: explode → per-(doc, token) count → per-doc -Σ p·log2 p. Two
+    partial-aggregated shuffles keyed by doc id; no token list ever
+    returns to the driver, so the plan is flat at any corpus size.
+    """
+    tok = df.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("t"))
+    per_tok = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy(id_col).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2(F.col("c"))).alias("sum_clog"),
+    )
+    # H = log2(n) - (Σ c·log2 c)/n  (algebraic form avoids a third pass)
+    h = F.log2(F.col("n")) - F.col("sum_clog") / F.col("n")
+    return per_doc.select(
+        id_col,
+        F.col("n").alias("n_tokens"),
+        F.round(h, 6).alias("token_entropy_bits"),
+    )
+
+
+#: Benford's law expected first-significant-digit frequencies, log10(1+1/d)
+BENFORD_EXPECTED = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    vs Benford's law — a cheap anomaly probe for financial/metric columns
+    (fabricated or truncated data deviates hard). Returns one row per
+    digit 1-9 with observed and expected frequencies and the deviation.
+
+    Single partial-aggregated shuffle of ≤9 groups; the digit extraction
+    is string-free arithmetic (value / 10^floor(log10 v)), exact for any
+    positive double.
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    counts = (
+        df.where(v > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.select(
+            "digit",
+            "n",
+            F.round(F.col("n") / total, 6).alias("observed_freq"),
+            F.round(expected, 6).alias("benford_freq"),
+            F.round(F.abs(F.col("n") / total - expected), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

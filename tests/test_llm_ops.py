@@ -310,3 +310,63 @@ def test_clean_text_masks_and_normalizes(spark):
     assert out[3] == "call <PHONE> now"
     assert out[4] == "badcontrolchars"
     assert out[5] == "already clean"
+
+
+def test_token_entropy_matches_duckdb(spark, sf_dir):
+    """Per-doc Shannon token entropy cross-checked against a DuckDB
+    computation of the same definition on the same parquet."""
+    import duckdb
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import token_entropy
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM read_parquet('{sf_dir}/documents.parquet')
+        ), per_tok AS (
+            SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        )
+        SELECT doc_id, SUM(c) AS n,
+               ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS h
+        FROM per_tok GROUP BY doc_id
+    """).fetchall()
+    assert len(want) == len(got)
+    for doc_id, n, h in want:
+        assert got[doc_id]["n_tokens"] == n
+        assert abs(got[doc_id]["token_entropy_bits"] - h) < 1e-9
+
+    # entropy sanity: repeated-token doc scores 0, distinct-token doc log2(n)
+    tiny = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string")
+    e = {r["doc_id"]: r["token_entropy_bits"] for r in token_entropy(tiny).collect()}
+    assert e[1] == 0.0 and e[2] == 2.0
+
+
+def test_benford_profile_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import benford_profile
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = benford_profile(li, "l_extendedprice").collect()
+    assert [r["digit"] for r in got] == sorted({r["digit"] for r in got})
+    assert abs(sum(r["observed_freq"] for r in got) - 1.0) < 1e-3
+
+    con = duckdb.connect()
+    want = {d: n for d, n in con.execute(f"""
+        SELECT CAST(floor(v / pow(10, floor(log10(v)))) AS INT) AS digit,
+               COUNT(*) AS n
+        FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+              FROM read_parquet('{sf_dir}/lineitem.parquet') WHERE l_extendedprice > 0)
+        GROUP BY 1
+    """).fetchall()}
+    for r in got:
+        assert want[r["digit"]] == r["n"]
+        import math
+        assert abs(r["benford_freq"] - round(math.log10(1 + 1 / r["digit"]), 6)) < 1e-9
