@@ -103,3 +103,55 @@ def test_split_assignment_is_pure_function_of_id(spark, ids):
     s_half = {r["doc_id"]: r["split"]
               for r in train_val_test_split(half, "doc_id").collect()}
     assert all(s_full[k] == v for k, v in s_half.items())
+
+
+# ---------------------------------------------------------------------------
+# simhash pigeonhole-banding exactness
+# ---------------------------------------------------------------------------
+
+fingerprints = st.lists(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    min_size=2, max_size=14, unique=True,
+)
+
+
+@given(fps=fingerprints, max_hamming=st.integers(min_value=0, max_value=6))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_simhash_banding_equals_all_pairs(spark, fps, max_hamming):
+    """For arbitrary 32-bit fingerprints, the banded equi-join candidate
+    path must return EXACTLY the all-pairs Hamming-<=k answer (pigeonhole
+    guarantee) — the property that makes the operator correct at scale."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
+        simhash_band_values,
+    )
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(fps)], "doc_id long, sh long")
+    bands = max_hamming + 1
+    banded = df.select(
+        "doc_id", "sh",
+        F.posexplode(simhash_band_values(F.col("sh"), 32, bands)).alias(
+            "band_id", "band_value"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_value") == F.col("b.band_value"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"), ham.alias("h"))
+            .where(F.col("h") <= max_hamming)
+            .dropDuplicates(["doc_a", "doc_b"]).collect()
+        )
+    }
+    want = {
+        (i, j)
+        for i in range(len(fps)) for j in range(i + 1, len(fps))
+        if bin(fps[i] ^ fps[j]).count("1") <= max_hamming
+    }
+    assert got == want
