@@ -56,11 +56,40 @@ class WarehouseSink:
         empty.write.format(self.fmt).saveAsTable(self._qualified(table))
         return True
 
+    def _sweep_stale_location(self, name: str) -> None:
+        """Remove an orphaned managed-table directory.
+
+        With the default in-memory catalog, a table written in a previous
+        session leaves its warehouse directory behind while the catalog
+        forgets it; ``saveAsTable`` then fails with
+        LOCATION_ALREADY_EXISTS even in overwrite mode. Under overwrite
+        semantics the caller asked to replace the table, so an
+        unregistered leftover at the table's default location is safe to
+        delete. Uses the Hadoop FileSystem API, so it works on any
+        warehouse scheme (local, HDFS, S3A), best-effort.
+        """
+        if self.spark.catalog.tableExists(name):
+            return  # registered: saveAsTable(overwrite) handles it itself
+        db, _, table = name.rpartition(".")
+        try:
+            db_uri = self.spark.catalog.getDatabase(db or "default").locationUri
+            jvm = self.spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(f"{db_uri}/{table.lower()}")
+            fs = path.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+            )
+            if fs.exists(path):
+                fs.delete(path, True)
+        except Exception:  # pragma: no cover - cleanup is best-effort
+            pass
+
     def load(self, df: DataFrame, target_table: str, mode: str = "append") -> LoadResult:
         """mode: append | overwrite (reference load modes, base.py:118)."""
         name = self._qualified(target_table)
         try:
             n = df.count()
+            if mode == "overwrite":
+                self._sweep_stale_location(name)
             df.write.format(self.fmt).mode(mode).saveAsTable(name)
             return LoadResult(True, name, n, mode)
         except Exception as exc:  # report, don't raise — reference contract

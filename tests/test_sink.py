@@ -55,3 +55,31 @@ def test_parameterized_sql_passthrough(spark, sink):
         {"val": "b"},
     )
     assert rows[0]["n"] == 2
+
+
+def test_overwrite_load_sweeps_stale_unregistered_location(spark, tmp_path):
+    """A warehouse directory left by a previous session (in-memory catalog
+    forgot the table) must not fail overwrite loads with
+    LOCATION_ALREADY_EXISTS."""
+    import os
+    import uuid
+
+    from data_pipeline_for_real_time_retail_analytics_spark.sources.sink import WarehouseSink
+
+    db = f"stale_{uuid.uuid4().hex[:8]}"
+    sink = WarehouseSink(spark, database=db)
+    db_uri = spark.catalog.getDatabase(db).locationUri.removeprefix("file:")
+    os.makedirs(f"{db_uri}/orders_stale", exist_ok=True)
+    with open(f"{db_uri}/orders_stale/part-stale.parquet", "w") as f:
+        f.write("junk from a dead session")
+
+    df = spark.range(7).withColumnRenamed("id", "o_orderkey")
+    result = sink.load(df, "orders_stale", mode="overwrite")
+    assert result.success, result.error
+    assert result.rows_loaded == 7
+    assert spark.table(f"{db}.orders_stale").count() == 7
+
+    # append mode must NOT sweep anything — only overwrite may replace
+    result2 = sink.load(df, "orders_stale", mode="append")
+    assert result2.success
+    assert spark.table(f"{db}.orders_stale").count() == 14
