@@ -2,7 +2,8 @@
 capabilities of the hrik21/Data-Pipeline-for-Real-Time-Retail-Analytics
 reference, re-expressed Spark-first (see SURVEY.md)."""
 
+from .engine import Engine
 from .session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["Engine", "get_spark"]
 __version__ = "0.1.0"
