@@ -15,7 +15,7 @@ first:
    are banded and only band-collisions are verified with exact Jaccard.
    Candidate generation is a self-equi-join on (band_id, band_key) — at
    100 TB this is THE way: cost scales with collisions, not pairs.
-4. **SimHash** — 32-bit sign-of-weighted-bit-sums over token hashes;
+4. **SimHash** — 64-bit sign-of-weighted-bit-sums over token hashes;
    near-dups have small Hamming distance, verified with bit_count(xor).
 
 Every step is a pure column expression or an equi-join — no UDFs — and
@@ -308,7 +308,14 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+#: fingerprint width. 64 since round 3 (was 32): at corpus scale the band
+#: width is bits/(max_hamming+1), and 32-bit fingerprints left only 4-5
+#: bits of selectivity per band at max_hamming=6 — random collisions then
+#: dominate candidate generation. 64 bits keep every band ≥ 9 bits, the
+#: production shape. BEHAVIOR CHANGE: simhash values/pairs computed after
+#: this change differ from 32-bit fingerprints persisted before it; pass
+#: bits=32 explicitly to reproduce the old fingerprints.
+SIMHASH_BITS = 64
 
 
 def simhash_table(
@@ -318,28 +325,43 @@ def simhash_table(
     id_col: str = "doc_id",
     extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, simhash) — 32-bit SimHash over whitespace tokens. Token hash =
-    first 8 md5 hex chars as an integer (engine-portable); result bit i is
-    the sign of the ±1 vote sum across tokens at bit i.
+    """(id, simhash) — ``bits``-bit (≤64) SimHash over whitespace tokens.
+    Token hash = md5 hex chars as integers (engine-portable): bits 0-31
+    vote from the first 8 hex chars, bits 32-63 from the next 8; result
+    bit i is the sign of the ±1 vote sum across tokens at bit i. Bit 63,
+    when used, lands on the sign bit of the long — the fingerprint is the
+    two's-complement 64-bit value (negative when bit 63 is set), which
+    xor/bit_count handle identically in Spark and ANSI engines.
 
     Shape: explode → single groupBy with ``bits`` sum aggregates. The
     partial (map-side) aggregation means the shuffle carries one row of
-    32 longs per document, not one row per token — the scalable form.
+    ``bits`` longs per document, not one row per token — the scalable form.
     """
     extra = extra_cols or []
     tok = df.select(
         F.col(id_col), *extra, F.explode(ws_tokens(F.col(text_col))).alias("t")
-    ).withColumn("h", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"))
+    ).withColumn("h1", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"))
+    if bits > 32:
+        tok = tok.withColumn(
+            "h2", F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long")
+        )
+
+    def _bit(i: int) -> Column:
+        src, off = ("h1", i) if i < 32 else ("h2", i - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
+        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"v{i}") for i in range(bits)
     ]
     voted = tok.groupBy(id_col, *extra).agg(*votes)
+    # bit 63 is the long's sign bit: adding -(2^63) for it (instead of an
+    # unrepresentable +2^63) yields the correct two's-complement value
     sh = sum(
         [
-            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(
+                F.col(f"v{i}") > 0,
+                F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
             for i in range(bits)
         ],
         start=F.lit(0).cast("long"),
@@ -360,8 +382,14 @@ def simhash_band_values(sh: Column, bits: int = SIMHASH_BITS, bands: int = 4) ->
     out, start = [], 0
     for j in range(bands):
         width = base + (1 if j < rem else 0)
-        mask = (1 << width) - 1
-        out.append(F.shiftright(sh, start).bitwiseAND(F.lit(mask)).cast("long"))
+        shifted = F.shiftright(sh, start)
+        if width >= 64:
+            # full-width band (bands=1, bits=64): the mask 2^64-1 is not a
+            # representable long literal, and no masking is needed
+            out.append(shifted.cast("long"))
+        else:
+            mask = (1 << width) - 1
+            out.append(shifted.bitwiseAND(F.lit(mask)).cast("long"))
         start += width
     return F.array(*out)
 
@@ -384,10 +412,11 @@ def simhash_pairs(
     verified with ``bit_count(xor)`` and deduped across bands.
 
     An optional ``block_col`` further restricts candidates (conjunctive).
-    Scale note: with 32-bit fingerprints and max_hamming=6 a band is only
-    4-5 bits, so random collisions dominate at corpus scale — production
-    at 100 TB should raise ``bits`` (simhash_table supports up to 62) so
-    each band keeps ≥ 8-10 bits of selectivity."""
+    Scale note: the 64-bit default keeps every band ≥ 9 bits of
+    selectivity at max_hamming=6 — the 100 TB shape. 32-bit fingerprints
+    (bits=32, the pre-round-3 default) leave only 4-5 bits per band, so
+    random collisions dominate candidate generation at corpus scale; pass
+    bits=32 only to reproduce previously persisted fingerprints."""
     bands = max_hamming + 1
     extra = [block_col] if block_col else []
     sh = simhash_table(df, bits=bits, text_col=text_col, id_col=id_col, extra_cols=extra)

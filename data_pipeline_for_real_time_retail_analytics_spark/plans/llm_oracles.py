@@ -162,20 +162,38 @@ def ngram_jaccard_pairs(threshold: float = 0.5) -> str:
     """
 
 
-def _simhash_cte(source_table_sql: str, bits: int = 32) -> str:
-    """CTEs computing (doc_id, source, sh) 32-bit simhash per doc."""
+def _simhash_cte(source_table_sql: str, bits: int = 64) -> str:
+    """CTEs computing (doc_id, source, sh) ``bits``-bit simhash per doc,
+    mirroring operators/dedup.py:simhash_table bit-for-bit: bits 0-31 vote
+    from the first 8 md5 hex chars (h1), bits 32-63 from the next 8 (h2);
+    bit 63 contributes -(2^63) so the fingerprint is the two's-complement
+    BIGINT — identical to Spark's signed long."""
+
+    def _bit(i: int) -> str:
+        return f"(h1 >> {i})" if i < 32 else f"(h2 >> {i - 32})"
+
+    def _weight(i: int) -> str:
+        # -(2^63) written as an expression: the bare literal would parse
+        # as HUGEINT in DuckDB and promote the whole sum
+        return "(-9223372036854775807 - 1)" if i == 63 else str(1 << i)
+
     votes = ",\n                   ".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        f"SUM(CASE WHEN {_bit(i)} & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(bits)
     )
     recombine = " + ".join(
-        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        f"CASE WHEN v{i} > 0 THEN CAST({_weight(i)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for i in range(bits)
+    )
+    h2 = (
+        ",\n                      CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS h2"
+        if bits > 32
+        else ""
     )
     return rf"""
         tok AS (SELECT doc_id, source, unnest({TOKS}) AS t FROM {source_table_sql}),
         ht AS (SELECT doc_id, source,
-                      CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h
+                      CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h1{h2}
                FROM tok),
         votes AS (
             SELECT doc_id, source,

@@ -86,9 +86,17 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
 def test_simhash_identical_docs_distance_zero(spark, docs):
     sh = {r["doc_id"]: r["sh"] for r in simhash_table(docs).collect()}
     assert sh[0] == sh[4]
-    assert 0 <= sh[0] < 2**32
+    # 64-bit fingerprint in a signed long (bit 63 = sign bit)
+    assert -(2**63) <= sh[0] < 2**63
     pairs = simhash_pairs(docs, max_hamming=0, block_col=None)
     assert (0, 4) in {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+
+
+def test_simhash_32bit_compat_path(spark, docs):
+    """bits=32 reproduces pre-round-3 fingerprints: non-negative, < 2^32."""
+    sh = {r["doc_id"]: r["sh"] for r in simhash_table(docs, bits=32).collect()}
+    assert sh[0] == sh[4]
+    assert all(0 <= v < 2**32 for v in sh.values())
 
 
 def test_plant_near_dups_is_deterministic(spark, docs):

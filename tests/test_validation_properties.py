@@ -109,17 +109,23 @@ def test_split_assignment_is_pure_function_of_id(spark, ids):
 # simhash pigeonhole-banding exactness
 # ---------------------------------------------------------------------------
 
-fingerprints = st.lists(
-    st.integers(min_value=0, max_value=2**32 - 1),
-    min_size=2, max_size=14, unique=True,
-)
+@st.composite
+def fingerprint_sets(draw):
+    """(bits, unsigned fingerprints) at 32 or 64 bits — 64 covers the
+    sign-bit regime where the long is negative (two's complement)."""
+    bits = draw(st.sampled_from([32, 64]))
+    fps = draw(st.lists(
+        st.integers(min_value=0, max_value=2**bits - 1),
+        min_size=2, max_size=14, unique=True,
+    ))
+    return bits, fps
 
 
-@given(fps=fingerprints, max_hamming=st.integers(min_value=0, max_value=6))
+@given(bf=fingerprint_sets(), max_hamming=st.integers(min_value=0, max_value=6))
 @settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_simhash_banding_equals_all_pairs(spark, fps, max_hamming):
-    """For arbitrary 32-bit fingerprints, the banded equi-join candidate
+def test_simhash_banding_equals_all_pairs(spark, bf, max_hamming):
+    """For arbitrary 32/64-bit fingerprints, the banded equi-join candidate
     path must return EXACTLY the all-pairs Hamming-<=k answer (pigeonhole
     guarantee) — the property that makes the operator correct at scale."""
     from pyspark.sql import functions as F
@@ -128,11 +134,15 @@ def test_simhash_banding_equals_all_pairs(spark, fps, max_hamming):
         simhash_band_values,
     )
 
-    df = spark.createDataFrame([(i, v) for i, v in enumerate(fps)], "doc_id long, sh long")
+    bits, fps = bf
+    signed = [u - (1 << 64) if u >= (1 << 63) else u for u in fps]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(signed)], "doc_id long, sh long"
+    )
     bands = max_hamming + 1
     banded = df.select(
         "doc_id", "sh",
-        F.posexplode(simhash_band_values(F.col("sh"), 32, bands)).alias(
+        F.posexplode(simhash_band_values(F.col("sh"), bits, bands)).alias(
             "band_id", "band_value"),
     )
     a, b = banded.alias("a"), banded.alias("b")
