@@ -37,9 +37,11 @@ from ..operators.similarity import (
     plant_dup_vectors,
 )
 from ..operators.textstats import (
+    benford_profile,
     doc_fingerprint,
     language_id,
     quality_score,
+    token_entropy,
     token_stats,
 )
 from ..sources import load_table
@@ -153,6 +155,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (low-
+    information-content filter)."""
+    return token_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit profile of lineitem prices vs Benford's
+    law (fabricated-data anomaly probe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_profile(li, "l_extendedprice")
 
 
 # -- similarity search -----------------------------------------------------------
