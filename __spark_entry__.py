@@ -28,13 +28,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Front-loaded: entries that have not yet earned a driver
-        # CORRECTNESS row (round 1 recorded exactly 50 of 53 queries in
-        # insertion order, so never-checked and new entries go first).
-        "cleaned_docs": L.q_cleaned_docs,
-        "train_split_counts": L.q_train_split_counts,
-        "stratified_sample_docs": L.q_stratified_sample_docs,
-        # streaming-executed correctness (real AvailableNow runs)
+        # Front-loaded: the driver checks the first 50 entries in
+        # insertion order, so queries whose implementation changed since
+        # their last green CORRECTNESS row (plus brand-new entries) go
+        # first. r03 rotation: the 5 tail queries whose r01 greens went
+        # stale (similarity/multimodal drift), the simhash pair whose
+        # fingerprints moved to 64 bits after r02, the new entropy/
+        # Benford registrations, and dedup_clusters (large-star/small-
+        # star rewrite this round).
+        "ann_sign_lsh": L.q_ann_sign_lsh,
+        "ann_multiprobe": L.q_ann_multiprobe,
+        "ann_ivf": L.q_ann_ivf,
+        "embedding_near_dup": L.q_embedding_near_dup,
+        "multimodal_features": L.q_multimodal_features,
+        "simhash_pairs": L.q_simhash_pairs,
+        "simhash_values": L.q_simhash_values,
+        "token_entropy": L.q_token_entropy,
+        "benford_profile": L.q_benford_profile,
+        "dedup_clusters": L.q_dedup_clusters,
+        # streaming-executed correctness (real AvailableNow runs;
+        # staging/checkpoint lifecycle changed this round)
         "stream_events_hourly": SQ.q_stream_events_hourly,
         "stream_user_sessions": SQ.q_stream_user_sessions,
         # analytics (SURVEY §2.6-2.8 aggregations/joins/sorts)
@@ -80,20 +93,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM training-data operators (beyond-reference mandate)
         "exact_dedup_docs": L.q_exact_dedup_docs,
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
-        "dedup_clusters": L.q_dedup_clusters,
         "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
-        "simhash_pairs": L.q_simhash_pairs,
-        "simhash_values": L.q_simhash_values,
         "token_stats": L.q_token_stats,
         "language_id": L.q_language_id,
         "quality_score": L.q_quality_score,
         "doc_fingerprints": L.q_doc_fingerprints,
         "cosine_topk": L.q_cosine_topk,
-        "ann_sign_lsh": L.q_ann_sign_lsh,
-        "ann_multiprobe": L.q_ann_multiprobe,
-        "ann_ivf": L.q_ann_ivf,
-        "embedding_near_dup": L.q_embedding_near_dup,
-        "multimodal_features": L.q_multimodal_features,
+        # Tail (beyond the driver's 50-query cap): fresh r02 greens whose
+        # implementations are untouched this round — the safest rows to
+        # leave unre-proven.
+        "cleaned_docs": L.q_cleaned_docs,
+        "train_split_counts": L.q_train_split_counts,
+        "stratified_sample_docs": L.q_stratified_sample_docs,
+        "top_customers": A.top_customers,
+        "order_priority_counts": A.order_priority_counts,
+        "promo_revenue": A.promo_revenue,
+        "top_suppliers": A.top_suppliers,
     }
 
 

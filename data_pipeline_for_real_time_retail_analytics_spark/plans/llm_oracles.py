@@ -304,6 +304,46 @@ def doc_fingerprints() -> str:
     """
 
 
+def token_entropy() -> str:
+    # mirrors textstats.token_entropy: H = log2(n) - (Σ c·log2 c)/n over
+    # the whitespace-token distribution; CAST(... AS BIGINT) because
+    # DuckDB SUM(BIGINT) yields HUGEINT (the events_props_stats lesson)
+    return r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+            FROM documents
+        ), per_tok AS (
+            SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                     - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                       / CAST(SUM(c) AS DOUBLE), 6) AS token_entropy_bits
+        FROM per_tok GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def benford_profile(value_col: str = "l_extendedprice", table: str = "lineitem") -> str:
+    # mirrors textstats.benford_profile: first significant digit via
+    # v / 10^floor(log10 v) — pure arithmetic, no string formatting
+    return rf"""
+        WITH c AS (
+            SELECT CAST(floor(v / pow(10, floor(log10(v)))) AS INT) AS digit,
+                   COUNT(*) AS n
+            FROM (SELECT CAST({value_col} AS DOUBLE) AS v FROM {table})
+            WHERE v > 0
+            GROUP BY 1
+        ), t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+        SELECT digit, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+               ROUND(log10(1 + 1.0 / digit), 6) AS benford_freq,
+               ROUND(abs(CAST(n AS DOUBLE) / total
+                         - log10(1 + 1.0 / digit)), 6) AS abs_dev
+        FROM c, t ORDER BY digit
+    """
+
+
 # ---------------------------------------------------------------------------
 # embeddings — double-precision left-fold arithmetic, identical to Spark's
 # zip_with + aggregate evaluation order
