@@ -31,21 +31,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Front-loaded: the driver checks the first 50 entries in
         # insertion order, so queries whose implementation changed since
         # their last green CORRECTNESS row (plus brand-new entries) go
-        # first. r03 rotation: the 5 tail queries whose r01 greens went
-        # stale (similarity/multimodal drift), the simhash pair whose
-        # fingerprints moved to 64 bits after r02, the new entropy/
-        # Benford registrations, and dedup_clusters (large-star/small-
-        # star rewrite this round).
-        "ann_sign_lsh": L.q_ann_sign_lsh,
-        "ann_multiprobe": L.q_ann_multiprobe,
-        "ann_ivf": L.q_ann_ivf,
-        "embedding_near_dup": L.q_embedding_near_dup,
-        "multimodal_features": L.q_multimodal_features,
-        "simhash_pairs": L.q_simhash_pairs,
-        "simhash_values": L.q_simhash_values,
+        # first. r04 rotation: token_entropy/benford_profile (oracles
+        # newly wired into oracle_sql() — their first value-checked
+        # round), dedup_clusters (large-star/small-star contraction
+        # landed this round), then the 7 queries whose last green row
+        # is r02 (they fell outside the 50-query cap in r03:
+        # language_id, quality_score, doc_fingerprints, cosine_topk,
+        # cleaned_docs, train_split_counts, stratified_sample_docs).
         "token_entropy": L.q_token_entropy,
         "benford_profile": L.q_benford_profile,
         "dedup_clusters": L.q_dedup_clusters,
+        "language_id": L.q_language_id,
+        "quality_score": L.q_quality_score,
+        "doc_fingerprints": L.q_doc_fingerprints,
+        "cosine_topk": L.q_cosine_topk,
+        "cleaned_docs": L.q_cleaned_docs,
+        "train_split_counts": L.q_train_split_counts,
+        "stratified_sample_docs": L.q_stratified_sample_docs,
         # streaming-executed correctness (real AvailableNow runs;
         # staging/checkpoint lifecycle changed this round)
         "stream_events_hourly": SQ.q_stream_events_hourly,
@@ -95,20 +97,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
         "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
         "token_stats": L.q_token_stats,
-        "language_id": L.q_language_id,
-        "quality_score": L.q_quality_score,
-        "doc_fingerprints": L.q_doc_fingerprints,
-        "cosine_topk": L.q_cosine_topk,
-        # Tail (beyond the driver's 50-query cap): fresh r02 greens whose
+        # Tail (beyond the driver's 50-query cap): fresh r03 greens whose
         # implementations are untouched this round — the safest rows to
         # leave unre-proven.
-        "cleaned_docs": L.q_cleaned_docs,
-        "train_split_counts": L.q_train_split_counts,
-        "stratified_sample_docs": L.q_stratified_sample_docs,
-        "top_customers": A.top_customers,
-        "order_priority_counts": A.order_priority_counts,
-        "promo_revenue": A.promo_revenue,
-        "top_suppliers": A.top_suppliers,
+        "ann_sign_lsh": L.q_ann_sign_lsh,
+        "ann_multiprobe": L.q_ann_multiprobe,
+        "ann_ivf": L.q_ann_ivf,
+        "embedding_near_dup": L.q_embedding_near_dup,
+        "multimodal_features": L.q_multimodal_features,
+        "simhash_pairs": L.q_simhash_pairs,
+        "simhash_values": L.q_simhash_values,
     }
 
 
@@ -582,6 +580,8 @@ def oracle_sql() -> dict[str, str]:
         "cleaned_docs": LO.cleaned_docs(),
         "train_split_counts": LO.train_split_counts(),
         "stratified_sample_docs": LO.stratified_sample_docs(),
+        "token_entropy": LO.token_entropy(),
+        "benford_profile": LO.benford_profile(),
         "stream_events_hourly": SQ.ORACLES["stream_events_hourly"],
         "stream_user_sessions": SQ.ORACLES["stream_user_sessions"],
     }

@@ -149,10 +149,15 @@ def freshness_assertion(
     """max(ts) must be within ``max_age_hours`` of ``as_of`` (default now).
     (reference: sample_pipeline.yaml:106,119 — declared, stubbed.)"""
     anchor = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
+    # Normalize both sides to TIMESTAMP before the epoch-seconds cast:
+    # TIMESTAMP_NTZ (the type parquet nanos read back as) rejects a direct
+    # cast to DOUBLE, but NTZ->TIMESTAMP->DOUBLE is legal and keeps the
+    # same wall-clock instant under the session's UTC timezone.
+    ts_norm = F.col(ts_col).cast("timestamp")
     row = df.agg(
-        F.max(ts_col).alias("max_ts"),
+        F.max(ts_norm).alias("max_ts"),
         (
-            (anchor.cast("double") - F.max(ts_col).cast("double")) / 3600.0
+            (anchor.cast("double") - F.max(ts_norm).cast("double")) / 3600.0
         ).alias("age_hours"),
     ).first()
     age = row["age_hours"]
