@@ -459,6 +459,46 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood. Input/output:
+    directed edge list (src, dst), no self-loops."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nbr_min = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    nbr_min = nbr_min.select("src", F.least("mn", "src").alias("m"))
+    # dst > src ≥ m, so (dst, m) is never a self-loop
+    return (
+        sym.join(nbr_min, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node links all its SMALLER-OR-SELF
+    neighborhood members to that neighborhood's minimum. Output edges
+    are canonically directed (src > dst)."""
+    down = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nbr_min = down.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        down.join(nbr_min, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(nbr_min.select("src", F.col("m").alias("dst")))
+        .distinct()
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -469,75 +509,62 @@ def dedup_clusters(
     where cluster_id = the minimum doc id reachable through the pair
     graph (connected components).
 
-    Iterative min-label propagation — the GraphX-free large-graph
-    pattern: each round joins every node's label against its neighbors'
-    and keeps the minimum, converging in O(component diameter) rounds
-    (near-dup components are shallow: most are pairs/triangles).
-    Each round is two shuffles on node id; `localCheckpoint` truncates
-    the growing lineage so round N doesn't replay rounds 1..N-1.
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014): each
+    round rewires the edge set toward a forest of stars centered on each
+    component's minimum node, converging in O(log^2 n) rounds regardless
+    of component DIAMETER — the property plain min-label propagation
+    lacks (a 100-hop path graph needs 100 propagation rounds but ~5
+    contraction rounds). Every round is bounded groupBy/join shuffles on
+    node id; `localCheckpoint` truncates lineage so round N doesn't
+    replay rounds 1..N-1.
 
-    The driver-side convergence check reduces a single count, and runs
-    only every second round (a converged round is re-proved free by the
-    next check; a count per round doubled the action count for graphs
-    that converge in 2-3 rounds). If the loop exhausts ``max_iterations``
-    without proving convergence — a component with diameter beyond the
-    cap — a warning is logged, because labels would then be wrong.
+    Convergence = the canonically-directed edge set reaches a fixpoint,
+    detected with a single-action (count, xxhash64-XOR) signature per
+    round (XOR, not SUM: order-insensitive over the distinct edge set
+    and immune to ANSI-mode long overflow). At fixpoint every edge is (node, component_min), so labels
+    read straight off the edge list; isolated self-pairs and star roots
+    label themselves.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
+        .where(F.col(a_col) != F.col(b_col))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    nodes = (
+        pairs.select(F.col(a_col).alias("doc_id"))
+        .unionByName(pairs.select(F.col(b_col).alias("doc_id")))
         .distinct()
-        .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
     converged = False
-    for it in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        # round 0 always changes something (labels start as self-ids for
-        # every edge endpoint); afterwards check only every 2nd round —
-        # halves driver actions at the cost of ≤1 extra (cheap) round
-        if it % 2 == 1 or it == max_iterations - 1:
-            changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "id")
-                .where(F.col("u.label") != F.col("l.label"))
-                .count()
-            )
-            if changed == 0:
-                labels = updated
-                converged = True
-                break
-        labels = updated
+    prev_sig = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
     if not converged:
         logger.warning(
-            "dedup_clusters exited after %d iterations WITHOUT converging; "
-            "cluster ids are wrong for components with diameter > %d — "
-            "raise max_iterations",
-            max_iterations,
+            "dedup_clusters exited after %d contraction rounds without a "
+            "proven fixpoint (expected O(log^2 n) rounds) — raise "
+            "max_iterations",
             max_iterations,
         )
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    assignments = edges.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    )
+    roots = nodes.join(assignments, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return assignments.unionByName(roots)
 
 
 def dedup_keep_canonical(

@@ -270,14 +270,16 @@ def test_dedup_clusters_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
 
-def test_dedup_clusters_long_path_converges(spark):
-    # a 9-node path needs ~8 propagation rounds — exercises the batched
-    # (every-2nd-round) convergence check past its first few windows
+def test_dedup_clusters_pathological_path_graph(spark):
+    # a 101-node path has diameter 100: min-label propagation would need
+    # 100 rounds (the pre-r04 loop capped at 20 and returned WRONG labels
+    # here); large-star/small-star contraction converges in O(log^2 n)
+    # rounds, so the default max_iterations=20 must solve it exactly
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(0, 100)], "doc_a long, doc_b long"
     )
     out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
-    assert out == {i: 1 for i in range(1, 10)}
+    assert out == {i: 0 for i in range(0, 101)}
 
 
 def test_dedup_clusters_warns_when_unconverged(spark, caplog):
@@ -286,10 +288,12 @@ def test_dedup_clusters_warns_when_unconverged(spark, caplog):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
     )
+    # a fixpoint can never be PROVEN in a single round (the signature
+    # needs two equal consecutive rounds), so max_iterations=1 must warn
     with caplog.at_level(logging.WARNING,
                          logger="data_pipeline_for_real_time_retail_analytics_spark.operators.dedup"):
-        dedup_clusters(pairs, max_iterations=2).collect()
-    assert any("WITHOUT converging" in r.message for r in caplog.records)
+        dedup_clusters(pairs, max_iterations=1).collect()
+    assert any("without a proven fixpoint" in r.message for r in caplog.records)
 
 
 def test_dedup_keep_canonical(spark):
