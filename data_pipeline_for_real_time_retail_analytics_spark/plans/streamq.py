@@ -24,8 +24,9 @@ src/ingestion/change_detection.py:93-134 (windowed processing loop).
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,20 +39,38 @@ from data_pipeline_for_real_time_retail_analytics_spark.streaming.ingest import 
     windowed_aggregate,
 )
 
+# staged-events cache: one staging hop per (Spark application, sf_dir),
+# so a long driver session that re-drives these queries leaves /tmp flat
+# instead of accreting one copy of the events table per call
+_STAGED: dict[tuple[str, str], str] = {}
+
 
 def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     """Write the events table as a streaming-readable (µs ts) parquet dir."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _STAGED.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     out = tempfile.mkdtemp(prefix="streamq_events_")
     load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    _STAGED[key] = out
     return out
 
 
-def _drain(spark: SparkSession, plan: DataFrame) -> DataFrame:
-    """Run the streaming plan to completion and return the memory sink."""
-    name = f"streamq_{uuid.uuid4().hex[:12]}"
+def _drain(spark: SparkSession, plan: DataFrame, name: str) -> DataFrame:
+    """Run the streaming plan to completion and return the memory sink.
+
+    The sink name is deterministic per query so a repeated drive replaces
+    the previous run's memory table instead of stacking a new one, and
+    the checkpoint dir — useless once an AvailableNow run has drained
+    into a memory sink — is deleted before returning."""
+    spark.catalog.dropTempView(name)
     ckpt = tempfile.mkdtemp(prefix="streamq_ckpt_")
-    q = run_available_now(plan, ckpt, queryName=name, output_mode="complete")
-    q.stop()
+    try:
+        q = run_available_now(plan, ckpt, queryName=name, output_mode="complete")
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -61,7 +80,9 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets equal ``date_trunc('hour', ts)`` on the oracle side."""
     stream = file_stream(spark, _stage_events(spark, sf_dir))
     agg = windowed_aggregate(stream, window="1 hour", group_extra=["event_type"])
-    return _drain(spark, agg).orderBy("window_start", "event_type")
+    return _drain(spark, agg, "streamq_events_hourly").orderBy(
+        "window_start", "event_type"
+    )
 
 
 def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +91,7 @@ def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``user_sessions`` oracle (session end = last event + gap)."""
     stream = file_stream(spark, _stage_events(spark, sf_dir))
     sess = sessionize(stream, gap="10 minutes")
-    return _drain(spark, sess).select(
+    return _drain(spark, sess, "streamq_user_sessions").select(
         "user_id", "session_start", "session_end", "n_events"
     ).orderBy("user_id", "session_start")
 

@@ -11,6 +11,7 @@ this is partition pruning, not a scan-then-filter.
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -121,12 +122,21 @@ class JDBCSource:
         watermark: str | None = None,
     ) -> dict[str, str]:
         # push the watermark predicate into the generated query (the
-        # reference's `WHERE ts > :watermark`, data_sources.py:224-228)
+        # reference binds `WHERE ts > :watermark`, data_sources.py:224-228;
+        # Spark's dbtable subquery can't carry bind parameters, so the
+        # literal is SQL-escaped — quotes doubled — and the column name is
+        # validated as a plain identifier before interpolation)
         dbtable = self.table
         if timestamp_column and watermark is not None:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$.]*", timestamp_column):
+                raise ValueError(
+                    f"timestamp_column {timestamp_column!r} is not a plain "
+                    "SQL identifier"
+                )
+            literal = str(watermark).replace("'", "''")
             dbtable = (
                 f"(SELECT * FROM {self.table} "
-                f"WHERE {timestamp_column} > '{watermark}') AS incr"
+                f"WHERE {timestamp_column} > '{literal}') AS incr"
             )
         opts = {
             "url": self.url,

@@ -207,12 +207,17 @@ def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
 
     url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
-    rows = [(i, f"2024-01-0{1 + i % 5} 10:00:00") for i in range(10)]
-    df = spark.createDataFrame(rows, "id long, ts string").selectExpr(
-        "id AS ID", "CAST(ts AS timestamp) AS TS"
+    rows = [(i, f"2024-01-0{1 + i % 5} 10:00:00", f"o'name{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, ts string, nm string").selectExpr(
+        "id AS ID", "CAST(ts AS timestamp) AS TS", "nm AS NM"
     )
     try:
-        df.write.jdbc(url, "users", mode="overwrite", properties=props)
+        # NM must be VARCHAR, not Spark's default CLOB mapping — Derby
+        # can't compare CLOB against a string literal
+        df.write.jdbc(
+            url, "users", mode="overwrite",
+            properties={**props, "createTableColumnTypes": "NM VARCHAR(32)"},
+        )
     except Exception as exc:  # pragma: no cover - driver missing in env
         pytest.skip(f"embedded Derby unavailable: {exc}")
 
@@ -228,3 +233,22 @@ def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
     got = sorted(r["ID"] for r in incr.collect())
     want = sorted(i for i in range(10) if 1 + i % 5 >= 3)  # strictly after Jan 3 00:00
     assert got == want
+
+    # adversarial watermark: an embedded quote is doubled into the pushed
+    # subquery so it stays a single string literal instead of terminating
+    # it (the r02→r03 interpolation bug); execution with a garbage
+    # watermark then fails only at the DB's own timestamp cast, never by
+    # injected SQL
+    evil = src.reader_options("TS", "2024-01-03' OR '1'='1")
+    assert "WHERE TS > '2024-01-03'' OR ''1''=''1'" in evil["dbtable"]
+
+    # live leg: a quote INSIDE a legitimate watermark round-trips through
+    # Derby (varchar watermark "o'name4" → strictly-greater names 5..9)
+    quoted = src.extract(spark, timestamp_column="NM", watermark="o'name4")
+    assert sorted(r["ID"] for r in quoted.collect()) == [5, 6, 7, 8, 9]
+
+    # identifier injection through the column name is rejected outright
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        src.reader_options("TS > '0' --", "2024-01-03 00:00:00")

@@ -1,6 +1,7 @@
 """Structured Streaming path tests — batch-equivalence via AvailableNow
 over static input (SURVEY.md §7.3c strategy)."""
 
+import tempfile
 import uuid
 
 import pytest
@@ -135,3 +136,20 @@ def test_late_events_dropped(spark, tmp_path_factory):
     # the 08:00 late row must not appear; 10:00 window finalized and emitted
     assert 8 not in rows
     assert rows.get(10) == 1
+
+
+def test_streamq_repeated_drive_leaves_tmp_flat(spark, sf_dir):
+    """Round-2 ask #5: re-driving the streaming correctness queries must
+    not accrete staged-parquet or checkpoint dirs in /tmp — staging is
+    cached per (app, sf_dir) and checkpoints are deleted after drain."""
+    import glob
+
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import streamq
+
+    first = streamq.q_stream_events_hourly(spark, sf_dir).count()
+    staged = set(glob.glob(tempfile.gettempdir() + "/streamq_events_*"))
+    ckpts = set(glob.glob(tempfile.gettempdir() + "/streamq_ckpt_*"))
+    second = streamq.q_stream_events_hourly(spark, sf_dir).count()
+    assert second == first > 0
+    assert set(glob.glob(tempfile.gettempdir() + "/streamq_events_*")) == staged
+    assert set(glob.glob(tempfile.gettempdir() + "/streamq_ckpt_*")) == ckpts
