@@ -5,6 +5,14 @@ CSV (reference: src/ingestion/extractors.py:30-35,353-413). On Spark the
 equivalent is a distributed write/read of a directory per format; pickle is
 deliberately unsupported (non-portable, insecure, and meaningless across
 JVM executors) — callers get an explicit error instead of a footgun.
+
+Beyond the reference's format matrix, ORC and Avro are first-class columnar
+/ row interchange formats, and ``merge_schema`` turns on Spark's
+schema-evolution merge for parquet/ORC directories whose files were written
+with drifting schemas (new columns appear as nulls in old files).
+Avro ships in Spark as an *external* module (``spark-avro``); when the
+deployment lacks it, serialization raises a clear error instead of Spark's
+generic data-source failure.
 """
 
 from __future__ import annotations
@@ -12,13 +20,30 @@ from __future__ import annotations
 from enum import Enum
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
 
 
 class SerializationFormat(Enum):
     JSON = "json"
     PARQUET = "parquet"
     CSV = "csv"
+    ORC = "orc"
+    AVRO = "avro"
     PICKLE = "pickle"  # recognized so we can reject it with a clear message
+
+
+_MERGEABLE = frozenset({"parquet", "orc"})
+
+
+def _raise_if_avro_missing(exc: Exception, fmt: SerializationFormat) -> None:
+    if fmt is SerializationFormat.AVRO and "Failed to find data source" in str(exc):
+        raise RuntimeError(
+            "Avro support requires the external spark-avro module "
+            "(org.apache.spark:spark-avro) on the Spark classpath; this "
+            "deployment does not ship it — add it via spark.jars.packages "
+            "or use parquet/orc"
+        ) from exc
+    raise exc
 
 
 class DataSerializer:
@@ -26,7 +51,8 @@ class DataSerializer:
 
     ``compression`` mirrors the reference's parquet compression option
     (extractors.py:365-372); CSV keeps a header so the round-trip preserves
-    column names like the pandas version does.
+    column names like the pandas version does. ``snappy`` is a valid codec
+    for parquet, ORC, and Avro alike.
     """
 
     def __init__(
@@ -48,14 +74,37 @@ class DataSerializer:
             writer = writer.option("compression", self.compression)
         if self.fmt is SerializationFormat.CSV:
             writer = writer.option("header", "true")
-        writer.format(self.fmt.value).save(path)
+        try:
+            writer.format(self.fmt.value).save(path)
+        except AnalysisException as exc:
+            _raise_if_avro_missing(exc, self.fmt)
 
-    def deserialize(self, spark: SparkSession, path: str, schema=None) -> DataFrame:
+    def deserialize(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema=None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Read the directory back; ``merge_schema=True`` unions the
+        per-file schemas (parquet/ORC only — Spark's schema-evolution
+        read) so a directory whose later files gained columns reads as
+        the superset schema with nulls backfilled."""
+        if merge_schema and self.fmt.value not in _MERGEABLE:
+            raise ValueError(
+                f"merge_schema applies to {sorted(_MERGEABLE)} directories, "
+                f"not {self.fmt.value}"
+            )
         reader = spark.read.format(self.fmt.value)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if self.fmt is SerializationFormat.CSV:
             reader = reader.option("header", "true")
             if schema is None:
                 reader = reader.option("inferSchema", "true")
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.load(path)
+        try:
+            return reader.load(path)
+        except AnalysisException as exc:
+            _raise_if_avro_missing(exc, self.fmt)

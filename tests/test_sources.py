@@ -25,7 +25,7 @@ from data_pipeline_for_real_time_retail_analytics_spark.sources.serializer impor
 # -- serializer (S5/S6) ------------------------------------------------------
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
 def test_serializer_roundtrip(spark, tmp_path, fmt):
     df = spark.createDataFrame(
         [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
@@ -37,6 +37,50 @@ def test_serializer_roundtrip(spark, tmp_path, fmt):
     back = ser.deserialize(spark, path, schema=df.schema)
     assert sorted(back.columns) == sorted(df.columns)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_serializer_avro_roundtrip_or_clear_error(spark, tmp_path):
+    """Avro is an external Spark module; where deployed the round-trip must
+    work, and where absent the serializer must raise the actionable
+    RuntimeError rather than Spark's generic lookup failure."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    ser = DataSerializer(SerializationFormat.AVRO)
+    path = str(tmp_path / "avro")
+    try:
+        ser.serialize(df, path)
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
+        return
+    back = ser.deserialize(spark, path, schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_serializer_merge_schema_evolution(spark, tmp_path, fmt):
+    """Partition/schema evolution: a directory whose later files gained a
+    column reads as the superset schema with nulls backfilled when
+    merge_schema is on (round-2 ask #7)."""
+    ser = DataSerializer(SerializationFormat(fmt))
+    path = str(tmp_path / fmt)
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    ser.serialize(old, path)
+    ser.serialize(new, path, mode="append")
+    merged = ser.deserialize(spark, path, merge_schema=True)
+    assert sorted(merged.columns) == ["id", "name", "score"]
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got == {1: None, 2: 9.5}
+
+
+def test_serializer_merge_schema_rejected_for_row_formats():
+    import pytest as _p
+
+    with _p.raises(ValueError, match="merge_schema"):
+        DataSerializer(SerializationFormat.JSON).deserialize(
+            None, "/nonexistent", merge_schema=True
+        )
 
 
 def test_serializer_rejects_pickle():
