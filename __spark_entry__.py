@@ -33,13 +33,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their last green CORRECTNESS row (plus brand-new entries) go
         # first. r04 rotation: token_entropy/benford_profile (oracles
         # newly wired into oracle_sql() — their first value-checked
-        # round), dedup_clusters (large-star/small-star contraction
-        # landed this round), then the 7 queries whose last green row
-        # is r02 (they fell outside the 50-query cap in r03:
-        # language_id, quality_score, doc_fingerprints, cosine_topk,
-        # cleaned_docs, train_split_counts, stratified_sample_docs).
+        # round), the brand-new repetition_ratio/corpus_filter,
+        # dedup_clusters (rewritten this round: min-label propagation
+        # with pointer jumping, O(log n) rounds on any diameter), then
+        # the 7 queries whose last green row is r02 (they fell outside
+        # the 50-query cap in r03: language_id, quality_score,
+        # doc_fingerprints, cosine_topk, cleaned_docs,
+        # train_split_counts, stratified_sample_docs).
         "token_entropy": L.q_token_entropy,
         "benford_profile": L.q_benford_profile,
+        "repetition_ratio": L.q_repetition_ratio,
+        "corpus_filter": L.q_corpus_filter,
         "dedup_clusters": L.q_dedup_clusters,
         "language_id": L.q_language_id,
         "quality_score": L.q_quality_score,
@@ -95,11 +99,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM training-data operators (beyond-reference mandate)
         "exact_dedup_docs": L.q_exact_dedup_docs,
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
-        "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
-        "token_stats": L.q_token_stats,
         # Tail (beyond the driver's 50-query cap): fresh r03 greens whose
         # implementations are untouched this round — the safest rows to
         # leave unre-proven.
+        "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
+        "token_stats": L.q_token_stats,
         "ann_sign_lsh": L.q_ann_sign_lsh,
         "ann_multiprobe": L.q_ann_multiprobe,
         "ann_ivf": L.q_ann_ivf,
@@ -582,6 +586,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": LO.stratified_sample_docs(),
         "token_entropy": LO.token_entropy(),
         "benford_profile": LO.benford_profile(),
+        "repetition_ratio": LO.repetition_ratio(),
+        "corpus_filter": LO.corpus_filter(),
         "stream_events_hourly": SQ.ORACLES["stream_events_hourly"],
         "stream_user_sessions": SQ.ORACLES["stream_user_sessions"],
     }

@@ -181,6 +181,111 @@ def token_entropy(
     )
 
 
+# ---------------------------------------------------------------------------
+# repetition ratio + composite corpus filter (Gopher/C4-style gates)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(toks_col: str, n: int) -> Column:
+    """Overlapping word n-grams of an array column as space-joined strings
+    (empty array when the document has fewer than ``n`` tokens — guarded
+    with CASE because Spark's ``sequence(1, 0)`` counts *down* and
+    ``slice`` rejects start 0)."""
+    return F.expr(
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"transform(sequence(1, size({toks_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks_col}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicate n-gram fractions — the published repetition
+    filter for web corpora (boilerplate, scraper loops, and SEO spam show
+    high duplicate-bigram/trigram fractions; see Gopher's repetition
+    gates): ``dup_ngram_frac = 1 - distinct/total`` for n ∈ {2, 3}.
+
+    Pure column expressions per row (no explode, no shuffle): the n-gram
+    arrays live only inside the projection, so the plan stays
+    embarrassingly parallel at corpus scale.
+    """
+    with_toks = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    )
+    out = with_toks.select(
+        F.col(id_col),
+        F.size(F.col("__toks")).alias("n_tokens"),
+        *[
+            F.round(
+                F.when(
+                    F.size(_word_ngrams("__toks", n)) > 0,
+                    1.0
+                    - F.size(F.array_distinct(_word_ngrams("__toks", n)))
+                    / F.size(_word_ngrams("__toks", n)),
+                ).otherwise(0.0),
+                6,
+            ).alias(f"dup_{name}_frac")
+            for n, name in ((2, "bigram"), (3, "trigram"))
+        ],
+    )
+    return out
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    min_alpha_token_frac: float = 0.6,
+    max_dup_trigram_frac: float = 0.3,
+) -> DataFrame:
+    """Composite keep/drop gate in the C4/Gopher style: token-count
+    bounds, mean-token-length bounds, minimum fraction of tokens
+    containing a letter, and a duplicate-trigram ceiling. Emits each
+    signal plus the final ``keep`` flag so a pipeline can both filter and
+    audit *why* documents dropped. Thresholds are config, not truth.
+
+    Single projection per row — composes with ``repetition_ratio``'s
+    n-gram expressions without any shuffle.
+    """
+    with_toks = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    )
+    n_tokens = F.size(F.col("__toks"))
+    mean_tok = F.aggregate(
+        F.col("__toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    ) / n_tokens
+    alpha_frac = (
+        F.size(F.filter(F.col("__toks"), lambda t: t.rlike("[A-Za-z]"))) / n_tokens
+    )
+    tri = _word_ngrams("__toks", 3)
+    dup_tri = F.when(
+        F.size(tri) > 0,
+        1.0 - F.size(F.array_distinct(tri)) / F.size(tri),
+    ).otherwise(0.0)
+    keep = (
+        (n_tokens >= min_tokens)
+        & (n_tokens <= max_tokens)
+        & (mean_tok >= min_mean_token_len)
+        & (mean_tok <= max_mean_token_len)
+        & (alpha_frac >= min_alpha_token_frac)
+        & (dup_tri <= max_dup_trigram_frac)
+    )
+    return with_toks.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(alpha_frac, 4).alias("alpha_token_frac"),
+        F.round(dup_tri, 6).alias("dup_trigram_frac"),
+        keep.alias("keep"),
+    )
+
+
 #: Benford's law expected first-significant-digit frequencies, log10(1+1/d)
 BENFORD_EXPECTED = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
 

@@ -38,9 +38,11 @@ from ..operators.similarity import (
 )
 from ..operators.textstats import (
     benford_profile,
+    corpus_filter,
     doc_fingerprint,
     language_id,
     quality_score,
+    repetition_ratio,
     token_entropy,
     token_stats,
 )
@@ -168,6 +170,18 @@ def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     law (fabricated-data anomaly probe)."""
     li = load_table(spark, sf_dir, "lineitem")
     return benford_profile(li, "l_extendedprice")
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate bigram/trigram fractions per document (Gopher-style
+    repetition filter)."""
+    return repetition_ratio(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style keep/drop gate with per-signal audit
+    columns."""
+    return corpus_filter(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 # -- similarity search -----------------------------------------------------------

@@ -324,6 +324,65 @@ def token_entropy() -> str:
     """
 
 
+def repetition_ratio() -> str:
+    # mirrors textstats.repetition_ratio: overlapping word n-grams as
+    # space-joined strings, dup fraction = 1 - distinct/total (0 for
+    # docs shorter than n). DuckDB range(a, b) excludes b where Spark
+    # sequence(a, b) includes it — hence the +1.
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, {TOKS} AS toks FROM documents
+        ), g AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS bi,
+                   list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS tri
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(CASE WHEN len(bi) > 0
+                          THEN 1.0 - len(list_distinct(bi)) / len(bi)
+                          ELSE 0.0 END, 6) AS dup_bigram_frac,
+               ROUND(CASE WHEN len(tri) > 0
+                          THEN 1.0 - len(list_distinct(tri)) / len(tri)
+                          ELSE 0.0 END, 6) AS dup_trigram_frac
+        FROM g ORDER BY doc_id
+    """
+
+
+def corpus_filter() -> str:
+    # mirrors textstats.corpus_filter with its default thresholds
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, {TOKS} AS toks FROM documents
+        ), feat AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                       / len(toks) AS mean_tok,
+                   len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                       / len(toks) AS alpha_frac,
+                   list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS tri
+            FROM t
+        ), scored AS (
+            SELECT doc_id, n_tokens, mean_tok, alpha_frac,
+                   CASE WHEN len(tri) > 0
+                        THEN 1.0 - len(list_distinct(tri)) / len(tri)
+                        ELSE 0.0 END AS dup_tri
+            FROM feat
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(mean_tok, 4) AS mean_token_len,
+               ROUND(alpha_frac, 4) AS alpha_token_frac,
+               ROUND(dup_tri, 6) AS dup_trigram_frac,
+               (n_tokens BETWEEN 10 AND 100000
+                AND mean_tok >= 2.0 AND mean_tok <= 12.0
+                AND alpha_frac >= 0.6 AND dup_tri <= 0.3) AS keep
+        FROM scored ORDER BY doc_id
+    """
+
+
 def benford_profile(value_col: str = "l_extendedprice", table: str = "lineitem") -> str:
     # mirrors textstats.benford_profile: first significant digit via
     # v / 10^floor(log10 v) — pure arithmetic, no string formatting

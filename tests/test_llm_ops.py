@@ -32,9 +32,11 @@ from data_pipeline_for_real_time_retail_analytics_spark.operators import (
     word_shingles,
 )
 from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import (
+    corpus_filter,
     doc_fingerprint,
     language_id,
     quality_score,
+    repetition_ratio,
 )
 
 FP_MOD = 1_000_000_007
@@ -271,10 +273,10 @@ def test_dedup_clusters_connected_components(spark):
 
 
 def test_dedup_clusters_pathological_path_graph(spark):
-    # a 101-node path has diameter 100: min-label propagation would need
-    # 100 rounds (the pre-r04 loop capped at 20 and returned WRONG labels
-    # here); large-star/small-star contraction converges in O(log^2 n)
-    # rounds, so the default max_iterations=20 must solve it exactly
+    # a 101-node path has diameter 100: plain min-label propagation would
+    # need 100 rounds (the pre-r04 loop capped at 20 and returned WRONG
+    # labels here); pointer jumping halves the label-forest height every
+    # round, so the default max_iterations=20 must solve it exactly
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 100)], "doc_a long, doc_b long"
     )
@@ -382,3 +384,35 @@ def test_benford_profile_matches_duckdb(spark, sf_dir):
         assert want[r["digit"]] == r["n"]
         import math
         assert abs(r["benford_freq"] - round(math.log10(1 + 1 / r["digit"]), 6)) < 1e-9
+
+
+def test_repetition_ratio_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab ba ab ba ab -> 2/5 distinct
+            (2, "all words differ here ok"),  # no repeated n-grams
+            (3, "x"),                   # shorter than any n-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_ratio(docs).collect()}
+    assert out[1]["dup_bigram_frac"] == round(1 - 2 / 5, 6)
+    # trigrams of doc 1: aba bab aba bab -> 2/4 distinct
+    assert out[1]["dup_trigram_frac"] == 0.5
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["dup_bigram_frac"] == 0.0 and out[3]["dup_trigram_frac"] == 0.0
+
+
+def test_corpus_filter_gates(spark):
+    good = "the quick brown fox jumps over the lazy dog and keeps running fine"
+    docs = spark.createDataFrame(
+        [
+            (1, good),                          # passes every gate
+            (2, "too short"),                   # n_tokens < 10
+            (3, " ".join(["spam ham eggs"] * 20)),  # dup trigrams ~1
+            (4, " ".join(["12345"] * 30)),      # no alpha tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["keep"] for r in corpus_filter(docs).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: False}
