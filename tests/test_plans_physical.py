@@ -150,3 +150,21 @@ def test_unblocked_near_dup_candidates_are_equi_joins(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
         # candidate join keyed on band columns, not an unkeyed self-join
         assert "band" in plan
+
+
+def test_text_filters_are_shuffle_free(spark, sf_dir):
+    """repetition_ratio / corpus_filter are pure per-row projections: any
+    Exchange in their plans means someone broke the zero-shuffle design.
+    (The n-gram lambdas themselves sit outside codegen — higher-order
+    functions always do — but the scan+tokenize stage must stay fused,
+    shown as the `*(n)` codegen markers.)"""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import (
+        corpus_filter,
+        repetition_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for op in (repetition_ratio, corpus_filter):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, f"{op.__name__} gained a shuffle"
+        assert "*(" in plan, f"{op.__name__} lost whole-stage codegen"
