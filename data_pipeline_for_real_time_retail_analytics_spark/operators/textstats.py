@@ -182,6 +182,63 @@ def token_entropy(
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF top terms (corpus-level term weighting)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smoothed idf:
+    ``ln((N+1)/(df+1)) + 1``; score = raw term count × idf; ties broken
+    by term ascending).
+
+    Shape: explode → (doc, term) counts → term doc-frequencies → join on
+    term → per-doc top-k window. Three partial-aggregated shuffles plus
+    one window shuffle on doc id; the doc-frequency side is a distinct
+    per-term aggregate (bounded by vocabulary, not corpus size), so the
+    join is skew-safe and AQE broadcast-eligible at any corpus scale.
+    ``N`` is a single scalar count action — O(1) result, no collect of
+    data rows.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.count()
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * idf).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # repetition ratio + composite corpus filter (Gopher/C4-style gates)
 # ---------------------------------------------------------------------------
 

@@ -39,6 +39,7 @@ from ..operators.similarity import (
 from ..operators.textstats import (
     benford_profile,
     corpus_filter,
+    tfidf_top_terms,
     doc_fingerprint,
     language_id,
     quality_score,
@@ -182,6 +183,12 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite C4/Gopher-style keep/drop gate with per-signal audit
     columns."""
     return corpus_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, corpus-level doc
+    frequencies)."""
+    return tfidf_top_terms(_docs(spark, sf_dir)).orderBy("doc_id", "rank")
 
 
 # -- similarity search -----------------------------------------------------------

@@ -324,6 +324,41 @@ def token_entropy() -> str:
     """
 
 
+def tfidf_top_terms(k: int = 3) -> str:
+    # mirrors textstats.tfidf_top_terms: smoothed idf ln((N+1)/(df+1))+1
+    # over lowercase whitespace tokens; same double expression order so
+    # scores (and therefore ranks) match bit-for-bit
+    toks_lower = TOKS.replace("trim(text)", "trim(lower(text))")
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest({toks_lower}) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                       AS score
+            FROM tf JOIN dfreq USING (term), n
+        )
+        SELECT doc_id,
+               CAST(rnk AS INT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               ROUND(score, 6) AS tfidf
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {k}
+        ORDER BY doc_id, rank
+    """
+
+
 def repetition_ratio() -> str:
     # mirrors textstats.repetition_ratio: overlapping word n-grams as
     # space-joined strings, dup fraction = 1 - distinct/total (0 for

@@ -416,3 +416,22 @@ def test_corpus_filter_gates(spark):
     )
     out = {r["doc_id"]: r["keep"] for r in corpus_filter(docs).collect()}
     assert out == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_tfidf_top_terms_known_values(spark):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = [
+        (r["doc_id"], r["rank"], r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_top_terms(docs, k=2).orderBy("doc_id", "rank").collect()
+    ]
+    idf_rare = round(math.log(3 / 2) + 1, 6)  # df=1 terms, N=2
+    assert out == [
+        (1, 1, "a", 2, 1, round(2 * (math.log(3 / 2) + 1), 6)),
+        (1, 2, "b", 1, 2, 1.0),  # df=2 -> idf = ln(3/3)+1 = 1
+        (2, 1, "c", 1, 1, idf_rare),
+        (2, 2, "b", 1, 2, 1.0),
+    ]
