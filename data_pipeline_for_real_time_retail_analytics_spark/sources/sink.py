@@ -123,6 +123,52 @@ class WarehouseSink:
         except Exception as exc:
             return LoadResult(False, name, 0, mode, error=str(exc))
 
+    def load_partitioned(
+        self,
+        df: DataFrame,
+        target_table: str,
+        partition_cols: list[str],
+        mode: str = "overwrite",
+        dynamic: bool = True,
+    ) -> LoadResult:
+        """Write a catalog table partitioned on ``partition_cols`` (the
+        100 TB layout: date/tenant partitions prune scans to the slices a
+        query touches). With ``dynamic=True`` an overwrite replaces ONLY
+        the partitions present in ``df`` — the incremental-batch reload
+        pattern — instead of truncating the whole table (Spark's static
+        default). The session's partitionOverwriteMode is restored after
+        the write so the setting never leaks to other writers."""
+        name = self._qualified(target_table)
+        conf = self.spark.conf
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = conf.get(key, "STATIC")
+        try:
+            n = df.count()
+            conf.set(key, "dynamic" if dynamic else "static")
+            if not self.table_exists(target_table):
+                # first load creates the partitioned table layout
+                self._sweep_stale_location(name)
+                (
+                    df.write.format(self.fmt)
+                    .mode("overwrite")
+                    .partitionBy(*partition_cols)
+                    .saveAsTable(name)
+                )
+            else:
+                # saveAsTable(overwrite) would drop/recreate the WHOLE
+                # table regardless of partitionOverwriteMode — per-
+                # partition replacement only happens through insertInto,
+                # which is positional: align to the catalog column order
+                cols = self.spark.table(name).columns
+                df.select(*cols).write.insertInto(
+                    name, overwrite=(mode == "overwrite")
+                )
+            return LoadResult(True, name, n, mode)
+        except Exception as exc:
+            return LoadResult(False, name, 0, mode, error=str(exc))
+        finally:
+            conf.set(key, prev)
+
     def execute_sql(self, sql: str, params: dict[str, Any] | None = None) -> list[Row]:
         """S8 passthrough with *parameterized* SQL — placeholders bind
         server-side (`:name`), no string interpolation (the reference

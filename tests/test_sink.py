@@ -83,3 +83,39 @@ def test_overwrite_load_sweeps_stale_unregistered_location(spark, tmp_path):
     result2 = sink.load(df, "orders_stale", mode="append")
     assert result2.success
     assert spark.table(f"{db}.orders_stale").count() == 14
+
+
+def test_load_partitioned_dynamic_overwrite(spark, sink):
+    """Dynamic partition overwrite replaces ONLY the partitions present
+    in the incoming batch — the incremental reload pattern. Static
+    saveAsTable overwrite would wipe day=1 here."""
+    df1 = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0)],
+        "id long, day string, v double",
+    )
+    r1 = sink.load_partitioned(df1, "facts", ["day"])
+    assert r1.success, r1.error
+
+    # re-load day=2 only with corrected values
+    df2 = spark.createDataFrame([(3, "d2", 99.0)], "id long, day string, v double")
+    r2 = sink.load_partitioned(df2, "facts", ["day"])
+    assert r2.success, r2.error
+
+    got = {
+        (r["id"], r["day"]): r["v"]
+        for r in spark.table(f"{sink.database}.facts").collect()
+    }
+    assert got == {(1, "d1"): 10.0, (2, "d1"): 20.0, (3, "d2"): 99.0}
+
+    # the conf must not leak out of the call
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
+
+    # partition pruning: a day-filtered read scans one partition
+    plan = (
+        spark.table(f"{sink.database}.facts")
+        .where("day = 'd1'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(day" in plan
