@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": L.q_repetition_ratio,
         "corpus_filter": L.q_corpus_filter,
         "tfidf_top_terms": L.q_tfidf_top_terms,
+        "chunked_docs": L.q_chunked_docs,
         "dedup_clusters": L.q_dedup_clusters,
         "language_id": L.q_language_id,
         "quality_score": L.q_quality_score,
@@ -98,10 +99,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_changes": S.q_cdc_apply_changes,
         "scd2_user_history": S.q_scd2_user_history,
         # LLM training-data operators (beyond-reference mandate)
-        "exact_dedup_docs": L.q_exact_dedup_docs,
         # Tail (beyond the driver's 50-query cap): fresh r03 greens whose
         # implementations are untouched this round — the safest rows to
         # leave unre-proven.
+        "exact_dedup_docs": L.q_exact_dedup_docs,
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
         "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
         "token_stats": L.q_token_stats,
@@ -590,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ratio": LO.repetition_ratio(),
         "corpus_filter": LO.corpus_filter(),
         "tfidf_top_terms": LO.tfidf_top_terms(),
+        "chunked_docs": LO.chunked_docs(),
         "stream_events_hourly": SQ.ORACLES["stream_events_hourly"],
         "stream_user_sessions": SQ.ORACLES["stream_user_sessions"],
     }

@@ -182,6 +182,56 @@ def token_entropy(
 
 
 # ---------------------------------------------------------------------------
+# document chunking (token windows with overlap)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard LLM training-data preprocessing step (context-window
+    packing input). Chunk i covers tokens ``[i*stride, i*stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap``; the last
+    chunk may be short; every document yields at least one chunk.
+
+    Pure generator expansion per row (``posexplode`` over a computed
+    index sequence — no shuffle, no UDF); chunk count uses exact integer
+    arithmetic so any engine agrees on the boundaries.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    with_toks = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    ).withColumn(
+        "__n_chunks",
+        F.expr(
+            f"(greatest(size(__toks) - {chunk_tokens}, 0) + {stride - 1}) "
+            f"div {stride} + 1"
+        ),
+    )
+    piece = F.expr(f"slice(__toks, chunk_id * {stride} + 1, {chunk_tokens})")
+    return (
+        with_toks.select(
+            F.col(id_col),
+            F.expr("explode(sequence(0, __n_chunks - 1))").alias("chunk_id"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size(piece).alias("n_tokens"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms (corpus-level term weighting)
 # ---------------------------------------------------------------------------
 

@@ -38,6 +38,7 @@ from ..operators.similarity import (
 )
 from ..operators.textstats import (
     benford_profile,
+    chunk_documents,
     corpus_filter,
     tfidf_top_terms,
     doc_fingerprint,
@@ -189,6 +190,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf, corpus-level doc
     frequencies)."""
     return tfidf_top_terms(_docs(spark, sf_dir)).orderBy("doc_id", "rank")
+
+
+def q_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks (8-token overlap) per document."""
+    return chunk_documents(_docs(spark, sf_dir)).orderBy("doc_id", "chunk_id")
 
 
 # -- similarity search -----------------------------------------------------------

@@ -324,6 +324,34 @@ def token_entropy() -> str:
     """
 
 
+def chunked_docs(chunk_tokens: int = 64, overlap: int = 8) -> str:
+    # mirrors textstats.chunk_documents: stride = chunk - overlap; chunk
+    # count by exact integer arithmetic; DuckDB's parallel unnest of two
+    # equal-length lists replaces Spark's posexplode
+    stride = chunk_tokens - overlap
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, {TOKS} AS toks FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   (greatest(len(toks) - {chunk_tokens}, 0) + {stride - 1})
+                       // {stride} + 1 AS n_chunks
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id,
+               CAST(unnest(list_transform(range(0, n_chunks),
+                    i -> len(list_slice(toks, i * {stride} + 1,
+                                        i * {stride} + {chunk_tokens}))))
+                    AS INT) AS n_tokens,
+               unnest(list_transform(range(0, n_chunks),
+                    i -> array_to_string(list_slice(toks, i * {stride} + 1,
+                                                    i * {stride} + {chunk_tokens}),
+                                         ' '))) AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id
+    """
+
+
 def tfidf_top_terms(k: int = 3) -> str:
     # mirrors textstats.tfidf_top_terms: smoothed idf ln((N+1)/(df+1))+1
     # over lowercase whitespace tokens; same double expression order so

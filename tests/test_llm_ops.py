@@ -435,3 +435,31 @@ def test_tfidf_top_terms_known_values(spark):
         (2, 1, "c", 1, 1, idf_rare),
         (2, 2, "b", 1, 2, 1.0),
     ]
+
+
+def test_chunk_documents_boundaries(spark):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc")], "doc_id long, text string"
+    )
+    # chunk=4, overlap=1 -> stride 3 -> ceil((10-4)/3)+1 = 3 chunks at
+    # token offsets 0/3/6, together covering all 10 tokens exactly
+    out = [
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    ]
+    assert out == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w3 w4 w5 w6"),
+        (1, 2, 4, "w6 w7 w8 w9"),
+        (2, 0, 2, "short doc"),  # short doc: exactly one (short) chunk
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    assert out[0][3].split()[-1] == out[1][3].split()[0]
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
