@@ -168,3 +168,20 @@ def test_text_filters_are_shuffle_free(spark, sf_dir):
         plan = _plan(op(docs))
         assert "Exchange" not in plan, f"{op.__name__} gained a shuffle"
         assert "*(" in plan, f"{op.__name__} lost whole-stage codegen"
+
+
+def test_tfidf_topk_is_pushed_down(spark, sf_dir):
+    """The per-doc top-k must compile to WindowGroupLimit (Spark's rank
+    pushdown): each map task pre-filters to its local top-3 before the
+    doc-id shuffle, so the window exchange carries k rows per doc per
+    partition, not every (doc, term) score — the difference between a
+    bounded and an unbounded shuffle at corpus scale. The term-count
+    aggregations must keep their map-side partial phase."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    plan = _final_plan(tfidf_top_terms(load_table(spark, sf_dir, "documents")))
+    assert "WindowGroupLimit" in plan, "row_number top-k pushdown lost"
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
