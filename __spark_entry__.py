@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": L.q_corpus_filter,
         "tfidf_top_terms": L.q_tfidf_top_terms,
         "chunked_docs": L.q_chunked_docs,
+        "customer_order_distribution": A.customer_order_distribution,
+        "supplier_nation_profit": A.supplier_nation_profit,
         "dedup_clusters": L.q_dedup_clusters,
         "language_id": L.q_language_id,
         "quality_score": L.q_quality_score,
@@ -83,7 +85,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_scan": S.q_incremental_scan,
         "cdc_timestamp_probe": S.q_cdc_timestamp_probe,
         "cdc_log_probe": S.q_cdc_log_probe,
-        "event_dedup": S.q_event_dedup,
         # integrity / quality (SURVEY §2.5)
         "fk_orphan_orders": S.q_fk_orphan_orders,
         "customers_without_orders": S.q_customers_without_orders,
@@ -97,11 +98,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_orders": S.q_fact_orders,
         "merge_upsert": S.q_merge_upsert,
         "cdc_apply_changes": S.q_cdc_apply_changes,
-        "scd2_user_history": S.q_scd2_user_history,
-        # LLM training-data operators (beyond-reference mandate)
         # Tail (beyond the driver's 50-query cap): fresh r03 greens whose
         # implementations are untouched this round — the safest rows to
         # leave unre-proven.
+        "scd2_user_history": S.q_scd2_user_history,
+        "event_dedup": S.q_event_dedup,
         "exact_dedup_docs": L.q_exact_dedup_docs,
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
         "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
@@ -294,6 +295,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM scored
             WHERE abs(z_score) >= 1.5
             ORDER BY event_type, hour_start
+        """,
+        "customer_order_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, COUNT(o.o_custkey) AS n_orders
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            SELECT n_orders, COUNT(*) AS n_customers
+            FROM per_cust
+            GROUP BY n_orders
+            ORDER BY n_customers DESC, n_orders DESC
+        """,
+        "supplier_nation_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS profit,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name, year(o.o_orderdate)
+            ORDER BY nation, o_year DESC
         """,
         "events_sliding": TP.ORACLES["events_sliding"],
         "user_sessions": TP.ORACLES["user_sessions"],

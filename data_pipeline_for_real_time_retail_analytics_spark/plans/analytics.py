@@ -408,3 +408,54 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-flavored: distribution of customers by order count,
+    INCLUDING zero-order customers (the left outer join is the point —
+    an inner join silently drops the biggest bucket). Two-level
+    aggregation: per-customer counts (shuffle on custkey), then the
+    tiny distribution rollup."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-flavored (no partsupp table in this schema, so revenue
+    stands in for profit): net revenue by supplier nation and order
+    year. lineitem joins orders (year) and the bounded supplier→nation
+    chain; aggregation keyed on (nation, year) after partial map-side
+    combine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    rev = money(F.col("l_extendedprice")) * (F.lit(1) - ratio(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            exact_sum(rev).alias("profit"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
