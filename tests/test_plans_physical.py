@@ -185,3 +185,15 @@ def test_tfidf_topk_is_pushed_down(spark, sf_dir):
     assert "WindowGroupLimit" in plan, "row_number top-k pushdown lost"
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_new_analytics_plan_shapes(spark, sf_dir):
+    """Q13 analog must keep its outer join (zero-order customers) and
+    partial aggregation; Q9 analog must broadcast the bounded nation dim
+    and never go cartesian."""
+    plan13 = _final_plan(A.customer_order_distribution(spark, sf_dir))
+    assert "partial_count" in plan13
+    assert "CartesianProduct" not in plan13
+    plan9 = _final_plan(A.supplier_nation_profit(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan9
+    assert "CartesianProduct" not in plan9
