@@ -1,15 +1,31 @@
 """Smoke tests for examples/ — executed against sf0.001 so the shipped
-walkthroughs can't rot as the library evolves."""
+walkthroughs can't rot as the library evolves.
+
+The examples call ``get_spark`` (getOrCreate → the suite's shared
+session) and one of them ends with ``spark.stop()``, which would kill
+the session for every later test in the run; ``_protect_session``
+makes stop a no-op for the duration of the example."""
 
 import runpy
 import sys
+from contextlib import contextmanager
+from unittest import mock
+
+
+@contextmanager
+def _protect_session(spark):
+    with mock.patch.object(type(spark), "stop", lambda self: None):
+        yield
 
 
 def test_corpus_pipeline_example_runs(spark, sf_dir, capsys):
     argv = sys.argv
     sys.argv = ["corpus_pipeline_example.py", sf_dir]
     try:
-        runpy.run_path("examples/corpus_pipeline_example.py", run_name="__main__")
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/corpus_pipeline_example.py", run_name="__main__"
+            )
     finally:
         sys.argv = argv
     out = capsys.readouterr().out
@@ -20,9 +36,10 @@ def test_extraction_validation_example_runs(spark, sf_dir, capsys):
     argv = sys.argv
     sys.argv = ["extraction_validation_example.py", sf_dir]
     try:
-        runpy.run_path(
-            "examples/extraction_validation_example.py", run_name="__main__"
-        )
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/extraction_validation_example.py", run_name="__main__"
+            )
     finally:
         sys.argv = argv
     assert "quality" in capsys.readouterr().out.lower()
