@@ -109,8 +109,8 @@ def q_minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components clustering of the MinHash near-dup pairs:
-    (doc_id, cluster_id = min reachable id). Iterative min-label
-    propagation (operators/dedup.py:dedup_clusters)."""
+    (doc_id, cluster_id = min reachable id). Min-label propagation with
+    pointer jumping (operators/dedup.py:dedup_clusters)."""
     planted = plant_near_dups(_docs(spark, sf_dir), every=PLANT_EVERY_DOCS,
                               id_offset=ID_OFFSET)
     pairs = minhash_lsh_pairs(planted, num_perm=12, bands=3, threshold=0.5)
