@@ -165,3 +165,44 @@ def test_simhash_banding_equals_all_pairs(spark, bf, max_hamming):
         if bin(fps[i] ^ fps[j]).count("1") <= max_hamming
     }
     assert got == want
+
+
+# -- chunk_documents: coverage/overlap invariants --------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=300),
+    chunk_tokens=st.integers(min_value=2, max_value=50),
+    overlap=st.integers(min_value=0, max_value=49),
+)
+def test_chunk_documents_invariants(spark, n_tokens, chunk_tokens, overlap):
+    """For any (doc length, chunk size, overlap < chunk size):
+    - concatenating chunks with the overlap removed reproduces the doc
+      exactly (no token lost, none duplicated beyond the overlap);
+    - every chunk except the last has exactly chunk_tokens tokens;
+    - consecutive chunks share exactly min(overlap, len(next)) tokens."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import chunk_documents
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    chunks = [
+        r["chunk_text"].split(" ")
+        for r in chunk_documents(
+            df, chunk_tokens=chunk_tokens, overlap=overlap
+        ).orderBy("chunk_id").collect()
+    ]
+    stride = chunk_tokens - overlap
+    rebuilt = chunks[0] + [t for c in chunks[1:] for t in c[overlap:]]
+    assert rebuilt == words
+    for c in chunks[:-1]:
+        assert len(c) == chunk_tokens
+    for a, b in zip(chunks, chunks[1:]):
+        shared = min(overlap, len(b))
+        assert a[stride:stride + shared] == b[:shared]
