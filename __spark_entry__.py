@@ -30,34 +30,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Front-loaded: the driver checks the first 50 entries in
         # insertion order, so queries whose implementation changed since
-        # their last green CORRECTNESS row (plus brand-new entries) go
-        # first. r04 rotation: token_entropy/benford_profile (oracles
-        # newly wired into oracle_sql() — their first value-checked
-        # round), the brand-new repetition_ratio/corpus_filter,
-        # dedup_clusters (rewritten this round: min-label propagation
-        # with pointer jumping, O(log n) rounds on any diameter), then
-        # the 7 queries whose last green row is r02 (they fell outside
-        # the 50-query cap in r03: language_id, quality_score,
-        # doc_fingerprints, cosine_topk, cleaned_docs,
-        # train_split_counts, stratified_sample_docs).
-        "token_entropy": L.q_token_entropy,
-        "benford_profile": L.q_benford_profile,
+        # their last green CORRECTNESS row go first. r05 rotation, per
+        # the r4 verdict's #1 ask: the 13 queries whose latest green is
+        # r03 (they sat beyond the 50-query cap in r04) lead, followed
+        # by everything edited this round (dedup_clusters +
+        # minhash_lsh_dupes now share one materialized candidate-pair
+        # computation; tfidf_top_terms takes N from the corpus-stats
+        # pass; corpus_filter coalesces keep to false;
+        # repetition_ratio's n-gram arrays are single-projection;
+        # incremental_scan sits on the watermark-escaping change; the
+        # stream twins on the streamq lifecycle). The 13 moved to the
+        # tail are untouched this round and freshly green in r04.
+        "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
+        "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
+        "simhash_pairs": L.q_simhash_pairs,
+        "simhash_values": L.q_simhash_values,
+        "exact_dedup_docs": L.q_exact_dedup_docs,
+        "ann_sign_lsh": L.q_ann_sign_lsh,
+        "ann_multiprobe": L.q_ann_multiprobe,
+        "ann_ivf": L.q_ann_ivf,
+        "embedding_near_dup": L.q_embedding_near_dup,
+        "multimodal_features": L.q_multimodal_features,
+        "token_stats": L.q_token_stats,
+        "scd2_user_history": S.q_scd2_user_history,
+        "event_dedup": S.q_event_dedup,
+        # edited this round
+        "dedup_clusters": L.q_dedup_clusters,
+        "tfidf_top_terms": L.q_tfidf_top_terms,
         "repetition_ratio": L.q_repetition_ratio,
         "corpus_filter": L.q_corpus_filter,
-        "tfidf_top_terms": L.q_tfidf_top_terms,
-        "chunked_docs": L.q_chunked_docs,
-        "customer_order_distribution": A.customer_order_distribution,
-        "supplier_nation_profit": A.supplier_nation_profit,
-        "dedup_clusters": L.q_dedup_clusters,
-        "language_id": L.q_language_id,
-        "quality_score": L.q_quality_score,
-        "doc_fingerprints": L.q_doc_fingerprints,
-        "cosine_topk": L.q_cosine_topk,
-        "cleaned_docs": L.q_cleaned_docs,
-        "train_split_counts": L.q_train_split_counts,
-        "stratified_sample_docs": L.q_stratified_sample_docs,
-        # streaming-executed correctness (real AvailableNow runs;
-        # staging/checkpoint lifecycle changed this round)
+        # streaming-executed correctness (real AvailableNow runs)
         "stream_events_hourly": SQ.q_stream_events_hourly,
         "stream_user_sessions": SQ.q_stream_user_sessions,
         # analytics (SURVEY §2.6-2.8 aggregations/joins/sorts)
@@ -76,12 +78,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": A.events_hourly,
         "events_props_stats": A.events_props_stats,
         "event_anomalies": A.event_anomalies,
-        # temporal operators (windows / as-of / skew-salted)
+        # temporal operators (windows / as-of; salted_event_rollup is in
+        # the tail this round — untouched, fresh r04 green)
         "events_sliding": TP.q_events_sliding,
         "user_sessions": TP.q_user_sessions,
         "click_attribution": TP.q_click_attribution,
-        "salted_event_rollup": TP.q_salted_event_rollup,
-        # CDC (SURVEY §2.2)
+        # CDC (SURVEY §2.2; incremental_scan exercises the registry
+        # whose watermark escaping tightened this round)
         "incremental_scan": S.q_incremental_scan,
         "cdc_timestamp_probe": S.q_cdc_timestamp_probe,
         "cdc_log_probe": S.q_cdc_log_probe,
@@ -98,22 +101,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_orders": S.q_fact_orders,
         "merge_upsert": S.q_merge_upsert,
         "cdc_apply_changes": S.q_cdc_apply_changes,
-        # Tail (beyond the driver's 50-query cap): fresh r03 greens whose
+        # Tail (beyond the driver's 50-query cap): fresh r04 greens whose
         # implementations are untouched this round — the safest rows to
         # leave unre-proven.
-        "scd2_user_history": S.q_scd2_user_history,
-        "event_dedup": S.q_event_dedup,
-        "exact_dedup_docs": L.q_exact_dedup_docs,
-        "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
-        "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
-        "token_stats": L.q_token_stats,
-        "ann_sign_lsh": L.q_ann_sign_lsh,
-        "ann_multiprobe": L.q_ann_multiprobe,
-        "ann_ivf": L.q_ann_ivf,
-        "embedding_near_dup": L.q_embedding_near_dup,
-        "multimodal_features": L.q_multimodal_features,
-        "simhash_pairs": L.q_simhash_pairs,
-        "simhash_values": L.q_simhash_values,
+        "token_entropy": L.q_token_entropy,
+        "benford_profile": L.q_benford_profile,
+        "chunked_docs": L.q_chunked_docs,
+        "customer_order_distribution": A.customer_order_distribution,
+        "supplier_nation_profit": A.supplier_nation_profit,
+        "language_id": L.q_language_id,
+        "quality_score": L.q_quality_score,
+        "doc_fingerprints": L.q_doc_fingerprints,
+        "cosine_topk": L.q_cosine_topk,
+        "cleaned_docs": L.q_cleaned_docs,
+        "train_split_counts": L.q_train_split_counts,
+        "stratified_sample_docs": L.q_stratified_sample_docs,
+        "salted_event_rollup": TP.q_salted_event_rollup,
     }
 
 

@@ -241,6 +241,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document (smoothed idf:
     ``ln((N+1)/(df+1)) + 1``; score = raw term count × idf; ties broken
@@ -251,8 +252,9 @@ def tfidf_top_terms(
     one window shuffle on doc id; the doc-frequency side is a distinct
     per-term aggregate (bounded by vocabulary, not corpus size), so the
     join is skew-safe and AQE broadcast-eligible at any corpus scale.
-    ``N`` is a single scalar count action — O(1) result, no collect of
-    data rows.
+    ``N`` comes from ``n_docs`` when the caller already knows it (a
+    pipeline's corpus-stats pass — see plans/llm.py); otherwise a single
+    scalar count action, O(1) result, no collect of data rows.
     """
     tok = df.select(
         F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term")
@@ -264,7 +266,8 @@ def tfidf_top_terms(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    n_docs = df.count()
+    if n_docs is None:
+        n_docs = df.count()
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     scored = tf.join(dfreq, "term").select(
         F.col(id_col),
@@ -316,28 +319,37 @@ def repetition_ratio(
 
     Pure column expressions per row (no explode, no shuffle): the n-gram
     arrays live only inside the projection, so the plan stays
-    embarrassingly parallel at corpus scale.
+    embarrassingly parallel at corpus scale. Each n-gram array is built in
+    its OWN projection and referenced by attribute in the dup-fraction
+    expressions — higher-order-function lambdas sit outside whole-stage
+    codegen subexpression elimination, so inlining the transform() three
+    times (size / distinct / guard) would materialize the array up to 3×
+    per row. CollapseProject keeps the split because the alias is
+    non-cheap and multiply referenced (same trick as the MinHash (h1,h2)
+    projection in operators/dedup.py).
     """
-    with_toks = df.select(
+    with_grams = df.select(
         F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
-    )
-    out = with_toks.select(
+    ).select(
         F.col(id_col),
         F.size(F.col("__toks")).alias("n_tokens"),
+        _word_ngrams("__toks", 2).alias("__bi"),
+        _word_ngrams("__toks", 3).alias("__tri"),
+    )
+    return with_grams.select(
+        F.col(id_col),
+        "n_tokens",
         *[
             F.round(
                 F.when(
-                    F.size(_word_ngrams("__toks", n)) > 0,
-                    1.0
-                    - F.size(F.array_distinct(_word_ngrams("__toks", n)))
-                    / F.size(_word_ngrams("__toks", n)),
+                    F.size(F.col(g)) > 0,
+                    1.0 - F.size(F.array_distinct(F.col(g))) / F.size(F.col(g)),
                 ).otherwise(0.0),
                 6,
             ).alias(f"dup_{name}_frac")
-            for n, name in ((2, "bigram"), (3, "trigram"))
+            for g, name in (("__bi", "bigram"), ("__tri", "trigram"))
         ],
     )
-    return out
 
 
 def corpus_filter(
@@ -357,11 +369,21 @@ def corpus_filter(
     signal plus the final ``keep`` flag so a pipeline can both filter and
     audit *why* documents dropped. Thresholds are config, not truth.
 
-    Single projection per row — composes with ``repetition_ratio``'s
-    n-gram expressions without any shuffle.
+    Shuffle-free per-row projections — composes with
+    ``repetition_ratio``'s n-gram expressions. The trigram array gets its
+    own projection (referenced 3× by the dup fraction; see
+    ``repetition_ratio`` on why the split avoids re-materializing it),
+    and ``keep`` is NULL-coalesced to false so NULL-text documents are
+    explicitly DROPPED rather than surfacing three-valued-logic NULLs to
+    consumers that count ``keep = false`` rejections or write to
+    non-nullable columns.
     """
-    with_toks = df.select(
+    with_grams = df.select(
         F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.col("__toks"),
+        _word_ngrams("__toks", 3).alias("__tri"),
     )
     n_tokens = F.size(F.col("__toks"))
     mean_tok = F.aggregate(
@@ -370,7 +392,7 @@ def corpus_filter(
     alpha_frac = (
         F.size(F.filter(F.col("__toks"), lambda t: t.rlike("[A-Za-z]"))) / n_tokens
     )
-    tri = _word_ngrams("__toks", 3)
+    tri = F.col("__tri")
     dup_tri = F.when(
         F.size(tri) > 0,
         1.0 - F.size(F.array_distinct(tri)) / F.size(tri),
@@ -383,13 +405,13 @@ def corpus_filter(
         & (alpha_frac >= min_alpha_token_frac)
         & (dup_tri <= max_dup_trigram_frac)
     )
-    return with_toks.select(
+    return with_grams.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         F.round(mean_tok, 4).alias("mean_token_len"),
         F.round(alpha_frac, 4).alias("alpha_token_frac"),
         F.round(dup_tri, 6).alias("dup_trigram_frac"),
-        keep.alias("keep"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
     )
 
 

@@ -16,7 +16,17 @@ from __future__ import annotations
 from ..operators.textstats import BPE_TOKEN_RE, LANG_LEXICONS
 
 # tokenizer: identical to textstats.ws_tokens (split trimmed text on \s+)
-TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def toks_expr(inner: str = "trim(text)") -> str:
+    """Whitespace tokenizer over an arbitrary inner expression — the one
+    place the oracle-side tokenizer is defined, so variants (e.g. the
+    lowercased tfidf tokenizer) parameterize it instead of string-replacing
+    TOKS, which would silently no-op if the expression were ever reworded."""
+    return rf"regexp_split_to_array({inner}, '\s+')"
+
+
+TOKS = toks_expr()
 
 # planted corpus: originals ∪ every-25th doc with first 2 words dropped,
 # ids offset by 10,000,000 — mirrors dedup.plant_near_dups
@@ -356,7 +366,7 @@ def tfidf_top_terms(k: int = 3) -> str:
     # mirrors textstats.tfidf_top_terms: smoothed idf ln((N+1)/(df+1))+1
     # over lowercase whitespace tokens; same double expression order so
     # scores (and therefore ranks) match bit-for-bit
-    toks_lower = TOKS.replace("trim(text)", "trim(lower(text))")
+    toks_lower = toks_expr("trim(lower(text))")
     return rf"""
         WITH tok AS (
             SELECT doc_id,
@@ -439,9 +449,10 @@ def corpus_filter() -> str:
                ROUND(mean_tok, 4) AS mean_token_len,
                ROUND(alpha_frac, 4) AS alpha_token_frac,
                ROUND(dup_tri, 6) AS dup_trigram_frac,
-               (n_tokens BETWEEN 10 AND 100000
-                AND mean_tok >= 2.0 AND mean_tok <= 12.0
-                AND alpha_frac >= 0.6 AND dup_tri <= 0.3) AS keep
+               COALESCE(n_tokens BETWEEN 10 AND 100000
+                        AND mean_tok >= 2.0 AND mean_tok <= 12.0
+                        AND alpha_frac >= 0.6 AND dup_tri <= 0.3,
+                        FALSE) AS keep
         FROM scored ORDER BY doc_id
     """
 

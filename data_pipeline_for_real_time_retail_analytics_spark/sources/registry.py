@@ -125,13 +125,23 @@ class JDBCSource:
         # reference binds `WHERE ts > :watermark`, data_sources.py:224-228;
         # Spark's dbtable subquery can't carry bind parameters, so the
         # literal is SQL-escaped — quotes doubled — and the column name is
-        # validated as a plain identifier before interpolation)
+        # validated as a plain identifier before interpolation).
+        # Backslashes are rejected outright: on backends where backslash
+        # escapes quotes (e.g. MySQL's default sql_mode) a watermark like
+        # `abc\` or `\'` would still break out of the quote-doubled
+        # literal, and no real timestamp/sequence watermark contains one.
         dbtable = self.table
         if timestamp_column and watermark is not None:
             if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$.]*", timestamp_column):
                 raise ValueError(
                     f"timestamp_column {timestamp_column!r} is not a plain "
                     "SQL identifier"
+                )
+            if "\\" in str(watermark):
+                raise ValueError(
+                    f"watermark {watermark!r} contains a backslash; only "
+                    "plain timestamp/sequence literals can be pushed into "
+                    "a JDBC dbtable subquery"
                 )
             literal = str(watermark).replace("'", "''")
             dbtable = (

@@ -130,6 +130,7 @@ class WarehouseSink:
         partition_cols: list[str],
         mode: str = "overwrite",
         dynamic: bool = True,
+        count_rows: bool = False,
     ) -> LoadResult:
         """Write a catalog table partitioned on ``partition_cols`` (the
         100 TB layout: date/tenant partitions prune scans to the slices a
@@ -137,13 +138,18 @@ class WarehouseSink:
         the partitions present in ``df`` — the incremental-batch reload
         pattern — instead of truncating the whole table (Spark's static
         default). The session's partitionOverwriteMode is restored after
-        the write so the setting never leaks to other writers."""
+        the write so the setting never leaks to other writers.
+
+        Row counting is opt-in (``count_rows=True``): a pre-write
+        ``df.count()`` executes the full input plan a second time, which
+        is real money for the large incremental batches this API targets.
+        When off, ``LoadResult.rows`` is -1 (unknown)."""
         name = self._qualified(target_table)
         conf = self.spark.conf
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = conf.get(key, "STATIC")
         try:
-            n = df.count()
+            n = df.count() if count_rows else -1
             conf.set(key, "dynamic" if dynamic else "static")
             if not self.table_exists(target_table):
                 # first load creates the partitioned table layout

@@ -296,3 +296,10 @@ def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         src.reader_options("TS > '0' --", "2024-01-03 00:00:00")
+
+    # backslash watermarks are rejected: quote-doubling alone is not
+    # enough on backslash-escaping dialects (MySQL default sql_mode),
+    # where `abc\` or `\'` would still break out of the literal
+    for evil_wm in ("abc\\", "2024-01-03\\'", "\\"):
+        with _pytest.raises(ValueError, match="backslash"):
+            src.reader_options("TS", evil_wm)
