@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": L.q_exact_dedup_docs,
         "ann_sign_lsh": L.q_ann_sign_lsh,
         "ann_multiprobe": L.q_ann_multiprobe,
+        "ann_multitable": L.q_ann_multitable,
         "ann_ivf": L.q_ann_ivf,
         "embedding_near_dup": L.q_embedding_near_dup,
         "multimodal_features": L.q_multimodal_features,
@@ -100,10 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_customers": S.q_dim_customers,
         "fact_orders": S.q_fact_orders,
         "merge_upsert": S.q_merge_upsert,
-        "cdc_apply_changes": S.q_cdc_apply_changes,
         # Tail (beyond the driver's 50-query cap): fresh r04 greens whose
         # implementations are untouched this round — the safest rows to
-        # leave unre-proven.
+        # leave unre-proven. cdc_apply_changes rotated out to make room
+        # for the new ann_multitable entry.
+        "cdc_apply_changes": S.q_cdc_apply_changes,
         "token_entropy": L.q_token_entropy,
         "benford_profile": L.q_benford_profile,
         "chunked_docs": L.q_chunked_docs,
@@ -610,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": LO.cosine_topk(),
         "ann_sign_lsh": LO.ann_sign_lsh(),
         "ann_multiprobe": LO.ann_multiprobe(),
+        "ann_multitable": LO.ann_multitable(),
         "ann_ivf": LO.ann_ivf(),
         "embedding_near_dup": LO.embedding_near_dup(),
         "multimodal_features": LO.multimodal_features(),

@@ -51,6 +51,34 @@ def _warmup(spark: SparkSession) -> None:
         "overwrite"
     ).save()
 
+    # Spin the Structured Streaming engine once (first streaming query in
+    # a session pays ~2 s of one-time init on top of its own work —
+    # measured in NOTES round 5), so the stream_* queries time their
+    # steady state like everything else.
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="bench_warm_src_")
+    ckpt = tempfile.mkdtemp(prefix="bench_warm_ckpt_")
+    try:
+        spark.range(10).write.mode("overwrite").parquet(src)
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(src)
+            .groupBy()
+            .count()
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
 
 def main() -> None:
     spark = (

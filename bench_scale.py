@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Order-of-magnitude scale spot-check (round-5 plan item).
+
+Generates a deterministic ~``SCALE``× copy of the two tables the heavy
+operators consume (``documents``, ``events``) from $SPARK_GRAFT_SF_DIR
+(default sf0.1), then times the most expensive queries at base and
+scaled size. The point is empirical evidence for the plan-shape
+arguments: candidate-bounded dedup tiers and bounded-state streaming
+should scale ~linearly in input size, never super-linearly.
+
+Copy k of a document gets a ``c<k>`` text prefix and an id offset, so
+copies are NOT near-duplicates of each other — the near-dup pair
+structure (planted mutants per copy) scales linearly with the corpus
+instead of quadratically, matching how a real corpus grows. Events keep
+their timestamp range (10× rows per window — how event volume actually
+grows) with per-copy user/event id offsets.
+
+Usage: python bench_scale.py [--scale N]   (writes one JSON line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: the five most expensive registry queries (round-4 bench) + the exact
+#: ones whose 100 TB claims lean on candidate-bounded plan shapes
+HEAVY = [
+    "minhash_lsh_dupes",
+    "dedup_clusters",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "stream_events_hourly",
+]
+
+#: id offset per generated copy — far below the 10M planting offset so
+#: scaled ids and planted-dup ids never collide
+COPY_OFFSET = 1_000_000
+
+
+def build_scaled_dir(spark: SparkSession, out_dir: str, scale: int) -> None:
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, SF_DIR, "documents")
+    scaled_docs = None
+    for k in range(scale):
+        c = docs
+        if k:
+            c = c.select(
+                (F.col("doc_id") + k * COPY_OFFSET).alias("doc_id"),
+                F.concat(F.lit(f"c{k} "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + len(f"c{k} ")).alias("n_chars"),
+            )
+        scaled_docs = c if scaled_docs is None else scaled_docs.unionByName(c)
+    scaled_docs.coalesce(8).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    scaled_events = None
+    for k in range(scale):
+        c = events
+        if k:
+            c = c.select(
+                (F.col("event_id") + k * COPY_OFFSET * 10).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * COPY_OFFSET).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        scaled_events = c if scaled_events is None else scaled_events.unionByName(c)
+    scaled_events.coalesce(16).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+
+def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    queries = entrymod.queries()
+    for name in HEAVY:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+        gc.collect()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bench_scale")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.cleaner.periodicGC.interval", "45s")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scaled_dir = f"/tmp/spark_graft_scale_{args.scale}x"
+    build_scaled_dir(spark, scaled_dir, args.scale)
+
+    base = time_queries(spark, SF_DIR)
+    scaled = time_queries(spark, scaled_dir)
+    ratios = {
+        n: round(scaled[n] / base[n], 2) if base[n] > 0 else -1.0 for n in HEAVY
+    }
+    print(
+        json.dumps(
+            {
+                "scale": args.scale,
+                "base_sec": base,
+                "scaled_sec": scaled,
+                "ratio": ratios,
+                "base_dir": SF_DIR,
+            }
+        )
+    )
+    shutil.rmtree(scaled_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

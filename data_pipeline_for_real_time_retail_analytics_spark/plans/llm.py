@@ -34,6 +34,7 @@ from ..operators.similarity import (
     ann_topk_ivf,
     ann_topk_sign_lsh,
     ann_topk_sign_lsh_multiprobe,
+    ann_topk_sign_lsh_multitable,
     cosine_topk,
     embedding_near_dup_pairs,
     plant_dup_vectors,
@@ -270,6 +271,17 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_sign_lsh_multiprobe(queries, embs, k=5, n_bits=8).orderBy(
         "query_id", "rank"
     )
+
+
+def q_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH top-5 (8 tables × 4 bits over disjoint
+    dimension blocks) — the LSH-amplification recall dial
+    (operators/similarity.py:ann_topk_sign_lsh_multitable)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
+    return ann_topk_sign_lsh_multitable(
+        queries, embs, k=5, n_bits=4, n_tables=8
+    ).orderBy("query_id", "rank")
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

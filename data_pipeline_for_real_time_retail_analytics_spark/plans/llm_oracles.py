@@ -514,11 +514,17 @@ def cosine_topk(k: int = 5, every: int = 100) -> str:
     """
 
 
-_BUCKET = " + ".join(
-    f"CASE WHEN embedding[{i + 1}] > 0 THEN CAST({1 << i} AS BIGINT) "
-    f"ELSE CAST(0 AS BIGINT) END"
-    for i in range(8)
-)
+def _bucket_expr(n_bits: int = 8, offset: int = 0) -> str:
+    """Axis-sign LSH bucket over dimension block [offset, offset+n_bits) —
+    mirrors similarity.sign_lsh_bucket bit for bit."""
+    return " + ".join(
+        f"CASE WHEN embedding[{offset + i + 1}] > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for i in range(n_bits)
+    )
+
+
+_BUCKET = _bucket_expr()
 
 
 def ann_sign_lsh(k: int = 5, every: int = 100) -> str:
@@ -558,6 +564,43 @@ def ann_multiprobe(k: int = 5, every: int = 100, n_bits: int = 8) -> str:
             SELECT query_id, match_id, {_cosine("qv", "cv")} AS sim
             FROM c JOIN q USING (bucket)
             WHERE query_id <> match_id
+        )
+        SELECT query_id, match_id, ROUND(sim, 6) AS cosine_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, match_id) AS INT) AS rank
+        FROM sims
+        QUALIFY rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def ann_multitable(
+    k: int = 5, every: int = 100, n_bits: int = 4, n_tables: int = 8
+) -> str:
+    # mirrors similarity.ann_topk_sign_lsh_multitable: n_tables independent
+    # sign-LSH tables over disjoint dimension blocks, candidates = union of
+    # same-bucket matches across tables, pair-deduped before exact ranking
+    tables_q = "\n            UNION ALL ".join(
+        f"SELECT vec_id AS query_id, embedding AS qv, {t} AS tbl, "
+        f"{_bucket_expr(n_bits, t * n_bits)} AS bucket "
+        f"FROM embeddings WHERE vec_id % {every} = 0"
+        for t in range(n_tables)
+    )
+    tables_c = "\n            UNION ALL ".join(
+        f"SELECT vec_id AS match_id, embedding AS cv, {t} AS tbl, "
+        f"{_bucket_expr(n_bits, t * n_bits)} AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+    return rf"""
+        WITH q AS ({tables_q}),
+        c AS ({tables_c}),
+        cand AS (
+            SELECT DISTINCT query_id, match_id, qv, cv
+            FROM c JOIN q USING (tbl, bucket)
+            WHERE query_id <> match_id
+        ),
+        sims AS (
+            SELECT query_id, match_id, {_cosine("qv", "cv")} AS sim FROM cand
         )
         SELECT query_id, match_id, ROUND(sim, 6) AS cosine_sim,
                CAST(row_number() OVER (PARTITION BY query_id

@@ -197,3 +197,64 @@ def test_new_analytics_plan_shapes(spark, sf_dir):
     plan9 = _final_plan(A.supplier_nation_profit(spark, sf_dir))
     assert "BroadcastHashJoin" in plan9
     assert "CartesianProduct" not in plan9
+
+
+def test_term_skewed_corpus_partial_aggregates(spark):
+    """Skew stress (round-5 verdict ask): one hot term in 50% of all
+    documents. The only term-keyed (skewable) shuffle in the text
+    operators is tfidf's doc-frequency aggregate — it must keep its
+    map-side partial phase so the hot term reaches the exchange as ONE
+    row per input partition, never one row per document (the
+    single-reducer blowup). token_entropy's shuffles are keyed by doc_id
+    by construction, so a hot TERM cannot concentrate them — pinned here
+    via the plan's partitioning keys."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import (
+        tfidf_top_terms,
+        token_entropy,
+    )
+
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("hotterm ")).otherwise(F.lit("")),
+            F.lit("u"),
+            F.col("id").cast("string"),
+            F.lit(" v"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    ).repartition(16)
+
+    tfidf = tfidf_top_terms(docs, n_docs=n)
+    plan = tfidf._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, "doc-frequency aggregate lost map-side combine"
+    # correctness under skew: the hot term's document frequency is exact
+    hot = tfidf.where(F.col("term") == "hotterm").select("df").distinct().collect()
+    assert [r["df"] for r in hot] == [n // 2]
+
+    ent_plan = token_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for part in _re.findall(r"hashpartitioning\(([^)]*)\)", ent_plan):
+        assert "doc_id" in part, f"token_entropy shuffle not doc-keyed: {part}"
+
+
+def test_ann_multitable_is_bucket_equi_join(spark, sf_dir):
+    """The multi-table sign-LSH candidate join must stay (table, bucket)-
+    keyed — L× corpus rows but never cartesian/nested-loop — and keep the
+    broadcast on the (small) exploded query side only."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.similarity import (
+        ann_topk_sign_lsh_multitable,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    plan = _plan(ann_topk_sign_lsh_multitable(queries, embs, k=5, n_bits=4, n_tables=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan and "tbl" in plan
+    assert "BroadcastHashJoin" in plan  # query side broadcast, corpus streamed
