@@ -211,10 +211,15 @@ def ann_topk_sign_lsh_multitable(
     sim = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("match_id"))
-        # the same pair collides in several tables — dedup before ranking
-        .select("query_id", "match_id", "qv", "cv")
-        .dropDuplicates(["query_id", "match_id"])
+        # cosine BEFORE the pair dedup: a pair colliding in several
+        # tables recomputes the (cheap, map-local) dot product up to L
+        # times, but the dedup shuffle then carries one double per
+        # candidate instead of both embedding arrays — and first(sim)
+        # partial-aggregates map-side (the simhash first(hamming)
+        # pattern; value-deterministic since duplicates carry equal sim)
         .select("query_id", "match_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .groupBy("query_id", "match_id")
+        .agg(F.first("sim").alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
     return (
