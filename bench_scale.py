@@ -8,11 +8,15 @@ scaled size. The point is empirical evidence for the plan-shape
 arguments: candidate-bounded dedup tiers and bounded-state streaming
 should scale ~linearly in input size, never super-linearly.
 
-Copy k of a document gets a ``c<k>`` text prefix and an id offset, so
-copies are NOT near-duplicates of each other — the near-dup pair
-structure (planted mutants per copy) scales linearly with the corpus
-instead of quadratically, matching how a real corpus grows. Events keep
-their timestamp range (10× rows per window — how event volume actually
+Copy k of a document tags EVERY token with ``c<k>`` (plus an id
+offset), so copies share no word shingles at n ≥ 2 — a mere text
+prefix would leave all but the first n-1 shingles identical across
+copies, making every document a high-Jaccard near-dup of its 9+
+siblings and growing the TRUE pair count quadratically in the scale
+factor (measured: 38× wall at 30× input before this fix). With
+per-token tagging the near-dup structure (planted mutants per copy)
+scales linearly, matching how a real corpus grows. Events keep their
+timestamp range (10× rows per window — how event volume actually
 grows) with per-copy user/event id offsets.
 
 Usage: python bench_scale.py [--scale N]   (writes one JSON line)
@@ -61,10 +65,17 @@ def build_scaled_dir(spark: SparkSession, out_dir: str, scale: int) -> None:
         if k:
             c = c.select(
                 (F.col("doc_id") + k * COPY_OFFSET).alias("doc_id"),
-                F.concat(F.lit(f"c{k} "), F.col("text")).alias("text"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.trim(F.col("text")), r"\s+"),
+                        lambda w: F.concat(F.lit(f"c{k}"), w),
+                    ),
+                ).alias("text"),
                 "lang",
                 "source",
-                (F.col("n_chars") + len(f"c{k} ")).alias("n_chars"),
+                # n_chars approximate for copies; the heavy queries read text only
+                "n_chars",
             )
         scaled_docs = c if scaled_docs is None else scaled_docs.unionByName(c)
     scaled_docs.coalesce(8).write.mode("overwrite").parquet(
