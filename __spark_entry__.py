@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail are untouched this round and freshly green in r04.
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
         "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
+        "contaminated_docs": L.q_contaminated_docs,
         "simhash_pairs": L.q_simhash_pairs,
         "simhash_values": L.q_simhash_values,
         "exact_dedup_docs": L.q_exact_dedup_docs,
@@ -100,11 +101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staging_orders": S.q_staging_orders,
         "dim_customers": S.q_dim_customers,
         "fact_orders": S.q_fact_orders,
-        "merge_upsert": S.q_merge_upsert,
         # Tail (beyond the driver's 50-query cap): fresh r04 greens whose
         # implementations are untouched this round — the safest rows to
-        # leave unre-proven. cdc_apply_changes rotated out to make room
-        # for the new ann_multitable entry.
+        # leave unre-proven. cdc_apply_changes and merge_upsert rotated
+        # out to make room for the new ann_multitable and
+        # contaminated_docs entries.
+        "merge_upsert": S.q_merge_upsert,
         "cdc_apply_changes": S.q_cdc_apply_changes,
         "token_entropy": L.q_token_entropy,
         "benford_profile": L.q_benford_profile,
@@ -601,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
         # value-checked, not rows-only)
         "exact_dedup_docs": LO.exact_dedup_docs(),
         "minhash_lsh_dupes": LO.minhash_lsh_dupes(),
+        "contaminated_docs": LO.contaminated_docs(),
         "dedup_clusters": LO.dedup_clusters(),
         "ngram_jaccard_pairs": LO.ngram_jaccard_pairs(),
         "simhash_pairs": LO.simhash_pairs(),

@@ -90,6 +90,71 @@ def with_shingles(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (corpus vs eval-set n-gram collision)
+# ---------------------------------------------------------------------------
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_common: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark-decontamination probe: (document, benchmark-item) pairs
+    sharing at least ``min_common`` distinct word ``n``-grams — the
+    published pre-training contamination rule (n-gram collision against
+    evaluation sets; 13-grams is the classic choice). Emits ``n_common``
+    and ``contamination_frac`` = n_common / document's distinct n-grams,
+    so a pipeline can both drop exact leaks (frac ≈ 1) and audit partial
+    overlap.
+
+    Shape: each side shingles to DISTINCT n-grams, explodes, and joins on
+    a 16-hex-char md5 prefix of the n-gram (the shuffle carries 16 fixed
+    chars, not the raw 13-word string) followed by a partial-aggregated
+    (doc, bench) count. Benchmark sets are evaluation suites — orders of
+    magnitude smaller than the corpus — so AQE broadcasts that side at
+    runtime and the corpus side never shuffles more than its exploded
+    hash stream; cost scales with corpus n-gram volume, not with
+    |corpus| × |benchmark|.
+    """
+    c = with_shingles(corpus, n, text_col, id_col).select(
+        F.col(id_col),
+        "n_shingles",
+        F.explode(
+            F.transform("shingles", lambda s: F.substring(F.md5(s), 1, 16))
+        ).alias("__g"),
+    )
+    b = (
+        with_shingles(benchmark, n, text_col, id_col)
+        .select(
+            F.col(id_col).alias(bench_id_col),
+            F.explode(
+                F.transform("shingles", lambda s: F.substring(F.md5(s), 1, 16))
+            ).alias("__g"),
+        )
+    )
+    hits = (
+        c.join(b, "__g")
+        .groupBy(id_col, bench_id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        hits.where(F.col("n_common") >= min_common)
+        .select(
+            id_col,
+            bench_id_col,
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_shingles"), 6).alias(
+                "contamination_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (blocked pairwise)
 # ---------------------------------------------------------------------------
 

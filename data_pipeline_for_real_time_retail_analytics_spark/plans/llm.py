@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    contamination_pairs,
     content_hash,
     dedup_clusters,
     exact_dedup,
@@ -161,6 +162,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared ``planted_minhash_pairs`` materialization — recomputing it
     was ~85% of this query's round-4 cost."""
     return dedup_clusters(planted_minhash_pairs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents (with planted mutants)
+    sharing ≥1 distinct word 8-gram with the every-100th original docs
+    standing in as an eval set; identity pairs excluded, so the known
+    positives are the planted mutants of benchmark members
+    (operators/dedup.py:contamination_pairs)."""
+    planted = plant_near_dups(_docs(spark, sf_dir), every=PLANT_EVERY_DOCS,
+                              id_offset=ID_OFFSET)
+    bench = _docs(spark, sf_dir).where(F.col("doc_id") % 100 == 0)
+    return (
+        contamination_pairs(planted, bench, n=8, min_common=1)
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .orderBy("doc_id", "bench_id")
+    )
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -362,6 +362,52 @@ def chunked_docs(chunk_tokens: int = 64, overlap: int = 8) -> str:
     """
 
 
+def contaminated_docs(n: int = 8, every: int = 100, min_common: int = 1) -> str:
+    # mirrors dedup.contamination_pairs over the planted corpus vs the
+    # every-100th original documents as the "benchmark" set; identity
+    # pairs excluded in both engines. n-gram slice bounds are inclusive
+    # in DuckDB's list_slice (i .. i+n-1 = n tokens).
+    def sh(toks: str) -> str:
+        return (
+            f"list_distinct(list_transform("
+            f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+        )
+
+    return rf"""
+        WITH {PLANTED},
+        csh AS (
+            SELECT doc_id, {sh(TOKS)} AS sh FROM corpus
+            WHERE len({TOKS}) >= {n}
+        ),
+        cex AS (
+            SELECT doc_id, len(sh) AS n_shingles,
+                   unnest(list_transform(sh, s -> substring(md5(s), 1, 16))) AS g
+            FROM csh
+        ),
+        bsh AS (
+            SELECT doc_id AS bench_id, {sh(TOKS)} AS sh FROM documents
+            WHERE doc_id % {every} = 0 AND len({TOKS}) >= {n}
+        ),
+        bex AS (
+            SELECT bench_id,
+                   unnest(list_transform(sh, s -> substring(md5(s), 1, 16))) AS g
+            FROM bsh
+        ),
+        hits AS (
+            SELECT doc_id, bench_id, n_shingles, COUNT(*) AS n_common
+            FROM cex JOIN bex USING (g)
+            GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, bench_id, CAST(n_common AS BIGINT) AS n_common,
+               ROUND(CAST(n_common AS DOUBLE) / n_shingles, 6)
+                   AS contamination_frac
+        FROM hits
+        WHERE n_common >= {min_common} AND doc_id <> bench_id
+        ORDER BY doc_id, bench_id
+    """
+
+
 def tfidf_top_terms(k: int = 3) -> str:
     # mirrors textstats.tfidf_top_terms: smoothed idf ln((N+1)/(df+1))+1
     # over lowercase whitespace tokens; same double expression order so

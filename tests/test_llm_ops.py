@@ -463,3 +463,34 @@ def test_chunk_documents_boundaries(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_contamination_pairs_finds_benchmark_leaks(spark):
+    """A corpus doc containing a benchmark item's text verbatim (plus
+    extra words) must be flagged with every benchmark n-gram matched;
+    unrelated docs must not collide at n=4."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains bench 10
+            (2, "one two three four five six seven"),     # clean
+            (3, "alpha beta gamma delta"),                 # exact copy of bench 10
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "nine ten eleven twelve")],
+        "doc_id long, text string",
+    )
+    out = contamination_pairs(corpus, bench, n=4, min_common=1).collect()
+    got = {(r["doc_id"], r["bench_id"]): (r["n_common"], r["contamination_frac"])
+           for r in out}
+    # doc 3 == bench 10: its single 4-gram matches -> frac 1.0
+    assert got[(3, 10)] == (1, 1.0)
+    # doc 1 contains bench 10's only 4-gram among its 3 distinct 4-grams
+    assert got[(1, 10)][0] == 1 and abs(got[(1, 10)][1] - round(1 / 3, 6)) < 1e-9
+    # clean doc and clean bench item never appear
+    assert not any(d == 2 or b == 11 for d, b in got)
