@@ -49,9 +49,12 @@ HEAVY = [
     "stream_events_hourly",
 ]
 
-#: id offset per generated copy — far below the 10M planting offset so
-#: scaled ids and planted-dup ids never collide
-COPY_OFFSET = 1_000_000
+#: id offset per generated copy. Must satisfy
+#: scale * COPY_OFFSET + max(doc_id) < plant_near_dups' 10M ID_OFFSET or
+#: copy ids collide with planted-mutant ids and silently corrupt the
+#: dedup workload being timed — validated in main().
+COPY_OFFSET = 100_000
+MAX_SCALE = 90
 
 
 def build_scaled_dir(spark: SparkSession, out_dir: str, scale: int) -> None:
@@ -118,6 +121,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=10)
     args = ap.parse_args()
+    if not 2 <= args.scale <= MAX_SCALE:
+        ap.error(
+            f"--scale must be in [2, {MAX_SCALE}]: above that, copy ids "
+            "reach plant_near_dups' 10M planting offset and collide"
+        )
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -131,6 +139,13 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # same untimed warmup as bench.py — without it the FIRST streaming
+    # query (base stream_events_hourly) absorbs ~2 s of one-time engine
+    # init the scaled run doesn't pay, deflating every scaled/base ratio
+    import bench as _bench
+
+    _bench._warmup(spark)
 
     scaled_dir = f"/tmp/spark_graft_scale_{args.scale}x"
     build_scaled_dir(spark, scaled_dir, args.scale)

@@ -107,9 +107,11 @@ def contamination_pairs(
     sharing at least ``min_common`` distinct word ``n``-grams — the
     published pre-training contamination rule (n-gram collision against
     evaluation sets; 13-grams is the classic choice). Emits ``n_common``
-    and ``contamination_frac`` = n_common / document's distinct n-grams,
-    so a pipeline can both drop exact leaks (frac ≈ 1) and audit partial
-    overlap.
+    and ``contamination_frac`` = n_common / the BENCHMARK item's distinct
+    n-grams — i.e. how much of the eval item leaked — so a verbatim
+    benchmark item embedded in an arbitrarily long web page still scores
+    ≈ 1 (normalizing by the document's n-gram count would score that
+    canonical leak near 0 and a drop-at-1 rule would keep it).
 
     Shape: each side shingles to DISTINCT n-grams, explodes, and joins on
     a 16-hex-char md5 prefix of the n-gram (the shuffle carries 16 fixed
@@ -122,7 +124,6 @@ def contamination_pairs(
     """
     c = with_shingles(corpus, n, text_col, id_col).select(
         F.col(id_col),
-        "n_shingles",
         F.explode(
             F.transform("shingles", lambda s: F.substring(F.md5(s), 1, 16))
         ).alias("__g"),
@@ -131,6 +132,7 @@ def contamination_pairs(
         with_shingles(benchmark, n, text_col, id_col)
         .select(
             F.col(id_col).alias(bench_id_col),
+            F.col("n_shingles").alias("__bench_n"),
             F.explode(
                 F.transform("shingles", lambda s: F.substring(F.md5(s), 1, 16))
             ).alias("__g"),
@@ -138,7 +140,7 @@ def contamination_pairs(
     )
     hits = (
         c.join(b, "__g")
-        .groupBy(id_col, bench_id_col, "n_shingles")
+        .groupBy(id_col, bench_id_col, "__bench_n")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
@@ -147,7 +149,7 @@ def contamination_pairs(
             id_col,
             bench_id_col,
             "n_common",
-            F.round(F.col("n_common") / F.col("n_shingles"), 6).alias(
+            F.round(F.col("n_common") / F.col("__bench_n"), 6).alias(
                 "contamination_frac"
             ),
         )

@@ -170,6 +170,7 @@ def ann_topk_sign_lsh_multitable(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-TABLE sign-LSH ANN — classic LSH amplification (the E2LSH /
     FALCONN construction): ``n_tables`` independent hash tables, table t
@@ -186,9 +187,20 @@ def ann_topk_sign_lsh_multitable(
     probed buckets. At 100 TB, L×corpus is a write-time indexed layout
     (one partition family per table), queries touch L partitions.
 
-    Requires ``n_tables * n_bits <= dim``; with the 64-dim test corpus the
-    default 8×4 uses the first 32 dimensions.
+    Requires ``n_tables * n_bits <= dim`` — pass ``dim`` to have that
+    checked eagerly. Without it, an out-of-range dimension block reads
+    NULL under non-ANSI Spark, silently hashing EVERY vector to bucket 0
+    of that table (a per-table cross product), or throws
+    INVALID_ARRAY_INDEX under ANSI — neither is a useful failure mode.
+    With the 64-dim test corpus the default 8×4 uses the first 32
+    dimensions.
     """
+    if dim is not None and n_tables * n_bits > dim:
+        raise ValueError(
+            f"n_tables({n_tables}) * n_bits({n_bits}) = {n_tables * n_bits} "
+            f"exceeds the embedding dimension {dim}; out-of-range sign "
+            "bits would degenerate to single-bucket tables"
+        )
     tbl = F.explode(
         F.array(
             *[

@@ -99,8 +99,22 @@ def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 #     localCheckpoint materializes the few-hundred-row pair set once and
 #     truncates its lineage, so the second consumer pays ~zero.
 #   _NDOCS: tfidf's smoothed-idf N, a scalar corpus stat.
+#   Staleness contract: entries live for the application's lifetime and
+#   key on the PATH, not the data — if a pipeline rewrites the files
+#   under sf_dir mid-application (data refresh into the same directory),
+#   call clear_caches() first or the cached pairs/N describe the old
+#   data. The testdata dirs these queries target are immutable, so the
+#   driver/bench sessions never hit this.
 _PAIRS: dict[tuple[str, str], DataFrame] = {}
 _NDOCS: dict[tuple[str, str], int] = {}
+
+
+def clear_caches() -> None:
+    """Drop the per-application pipeline caches (shared MinHash pairs,
+    corpus stats). Call after rewriting data under a previously-queried
+    sf_dir within the same Spark application."""
+    _PAIRS.clear()
+    _NDOCS.clear()
 
 
 def planted_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +311,7 @@ def q_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
     return ann_topk_sign_lsh_multitable(
-        queries, embs, k=5, n_bits=4, n_tables=8
+        queries, embs, k=5, n_bits=4, n_tables=8, dim=64
     ).orderBy("query_id", "rank")
 
 

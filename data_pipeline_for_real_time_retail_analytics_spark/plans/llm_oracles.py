@@ -381,7 +381,7 @@ def contaminated_docs(n: int = 8, every: int = 100, min_common: int = 1) -> str:
             WHERE len({TOKS}) >= {n}
         ),
         cex AS (
-            SELECT doc_id, len(sh) AS n_shingles,
+            SELECT doc_id,
                    unnest(list_transform(sh, s -> substring(md5(s), 1, 16))) AS g
             FROM csh
         ),
@@ -390,17 +390,17 @@ def contaminated_docs(n: int = 8, every: int = 100, min_common: int = 1) -> str:
             WHERE doc_id % {every} = 0 AND len({TOKS}) >= {n}
         ),
         bex AS (
-            SELECT bench_id,
+            SELECT bench_id, len(sh) AS bench_n,
                    unnest(list_transform(sh, s -> substring(md5(s), 1, 16))) AS g
             FROM bsh
         ),
         hits AS (
-            SELECT doc_id, bench_id, n_shingles, COUNT(*) AS n_common
+            SELECT doc_id, bench_id, bench_n, COUNT(*) AS n_common
             FROM cex JOIN bex USING (g)
             GROUP BY 1, 2, 3
         )
         SELECT doc_id, bench_id, CAST(n_common AS BIGINT) AS n_common,
-               ROUND(CAST(n_common AS DOUBLE) / n_shingles, 6)
+               ROUND(CAST(n_common AS DOUBLE) / bench_n, 6)
                    AS contamination_frac
         FROM hits
         WHERE n_common >= {min_common} AND doc_id <> bench_id

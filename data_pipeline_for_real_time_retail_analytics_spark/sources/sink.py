@@ -143,7 +143,9 @@ class WarehouseSink:
         Row counting is opt-in (``count_rows=True``): a pre-write
         ``df.count()`` executes the full input plan a second time, which
         is real money for the large incremental batches this API targets.
-        When off, ``LoadResult.rows`` is -1 (unknown)."""
+        When off (the default), ``LoadResult.rows_loaded`` is -1
+        (unknown) — callers that audit on exact row counts must pass
+        ``count_rows=True``."""
         name = self._qualified(target_table)
         conf = self.spark.conf
         key = "spark.sql.sources.partitionOverwriteMode"

@@ -133,3 +133,12 @@ def test_amplification_ordering_on_real_corpus(spark, sf_dir):
     # 8×4-bit tables must recover a non-trivial fraction even here
     # (theory: 1-(1-p^4)^8 ≈ 0.7 at p ≈ 0.62)
     assert multitable >= 0.4, f"multitable recall {multitable}"
+
+
+def test_multitable_rejects_out_of_range_tables(spark, clustered):
+    """n_tables*n_bits beyond the embedding dimension must fail eagerly
+    when dim is declared — silently single-bucket tables (non-ANSI NULL
+    comparison) are a per-table cross product at scale."""
+    corpus, _ = clustered
+    with pytest.raises(ValueError, match="exceeds the embedding dimension"):
+        ann_topk_sign_lsh_multitable(corpus, corpus, n_bits=8, n_tables=16, dim=64)
