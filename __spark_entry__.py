@@ -14,8 +14,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics as A
+from data_pipeline_for_real_time_retail_analytics_spark.plans import curation as CU
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm as L
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm_oracles as LO
+from data_pipeline_for_real_time_retail_analytics_spark.plans import profiling as PF
 from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
 from data_pipeline_for_real_time_retail_analytics_spark.plans import streamq as SQ
 from data_pipeline_for_real_time_retail_analytics_spark.plans import temporal as TP
@@ -39,8 +41,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pass; corpus_filter coalesces keep to false;
         # repetition_ratio's n-gram arrays are single-projection;
         # incremental_scan sits on the watermark-escaping change; the
-        # stream twins on the streamq lifecycle). The 13 moved to the
-        # tail are untouched this round and freshly green in r04.
+        # stream twins on the streamq lifecycle), plus this round's six
+        # NEW queries (boilerplate_ngrams, mixture_sample_docs,
+        # stream_click_purchases, price_quantiles, event_funnel,
+        # customer_running_spend). To fit the cap, six untouched
+        # r04-green analytics queries (nation_revenue, brand_stats,
+        # returned_revenue_by_customer, small_quantity_revenue,
+        # large_orders, events_hourly — all in the unmodified
+        # plans/analytics.py) rotate to the tail alongside the 13 moved
+        # there after their fresh r04 greens.
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
         "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
         "contaminated_docs": L.q_contaminated_docs,
@@ -61,23 +70,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": L.q_tfidf_top_terms,
         "repetition_ratio": L.q_repetition_ratio,
         "corpus_filter": L.q_corpus_filter,
-        # streaming-executed correctness (real AvailableNow runs)
+        # NEW this round: corpus curation (plans/curation.py)
+        "boilerplate_ngrams": CU.q_boilerplate_ngrams,
+        "mixture_sample_docs": CU.q_mixture_sample_docs,
+        # streaming-executed correctness (real AvailableNow runs);
+        # stream_click_purchases (stream-stream interval join) is NEW
         "stream_events_hourly": SQ.q_stream_events_hourly,
         "stream_user_sessions": SQ.q_stream_user_sessions,
+        "stream_click_purchases": SQ.q_stream_click_purchases,
+        # NEW this round: profiling/funnel/window-frame (plans/profiling.py)
+        "price_quantiles": PF.q_price_quantiles,
+        "event_funnel": PF.q_event_funnel,
+        "customer_running_spend": PF.q_customer_running_spend,
         # analytics (SURVEY §2.6-2.8 aggregations/joins/sorts)
         "pricing_summary": A.pricing_summary,
         "revenue_by_segment": A.revenue_by_segment,
         "top_customers": A.top_customers,
         "order_priority_counts": A.order_priority_counts,
-        "nation_revenue": A.nation_revenue,
         "revenue_rollup": A.revenue_rollup,
         "promo_revenue": A.promo_revenue,
         "top_suppliers": A.top_suppliers,
-        "brand_stats": A.brand_stats,
-        "returned_revenue_by_customer": A.returned_revenue_by_customer,
-        "small_quantity_revenue": A.small_quantity_revenue,
-        "large_orders": A.large_orders,
-        "events_hourly": A.events_hourly,
         "events_props_stats": A.events_props_stats,
         "event_anomalies": A.event_anomalies,
         # temporal operators (windows / as-of; salted_event_rollup is in
@@ -103,9 +115,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_orders": S.q_fact_orders,
         # Tail (beyond the driver's 50-query cap): fresh r04 greens whose
         # implementations are untouched this round — the safest rows to
-        # leave unre-proven. cdc_apply_changes and merge_upsert rotated
-        # out to make room for the new ann_multitable and
-        # contaminated_docs entries.
+        # leave unre-proven. The six analytics entries here rotated out
+        # of the front to admit this round's six new queries; their
+        # module (plans/analytics.py) is unmodified since its r04 green.
+        "nation_revenue": A.nation_revenue,
+        "brand_stats": A.brand_stats,
+        "returned_revenue_by_customer": A.returned_revenue_by_customer,
+        "small_quantity_revenue": A.small_quantity_revenue,
+        "large_orders": A.large_orders,
+        "events_hourly": A.events_hourly,
         "merge_upsert": S.q_merge_upsert,
         "cdc_apply_changes": S.q_cdc_apply_changes,
         "token_entropy": L.q_token_entropy,
@@ -630,4 +648,12 @@ def oracle_sql() -> dict[str, str]:
         "chunked_docs": LO.chunked_docs(),
         "stream_events_hourly": SQ.ORACLES["stream_events_hourly"],
         "stream_user_sessions": SQ.ORACLES["stream_user_sessions"],
+        "stream_click_purchases": SQ.ORACLES["stream_click_purchases"],
+        # corpus curation (plans/curation.py)
+        "boilerplate_ngrams": CU.ORACLES["boilerplate_ngrams"],
+        "mixture_sample_docs": CU.ORACLES["mixture_sample_docs"],
+        # profiling / funnel / window frame (plans/profiling.py)
+        "price_quantiles": PF.ORACLES["price_quantiles"],
+        "event_funnel": PF.ORACLES["event_funnel"],
+        "customer_running_spend": PF.ORACLES["customer_running_spend"],
     }

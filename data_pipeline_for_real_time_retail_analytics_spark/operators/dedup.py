@@ -157,6 +157,57 @@ def contamination_pairs(
 
 
 # ---------------------------------------------------------------------------
+# cross-document repeated spans (boilerplate detection / inverted index)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    max_postings: int = 20,
+    posting_df_cap: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word ``n``-grams that repeat across documents — the C4-style
+    "span occurring in more than one document" boilerplate probe, with a
+    bounded inverted-index posting list per gram. Returns
+    ``(gram, df, postings)`` where ``df`` counts distinct documents
+    containing the gram (each document contributes its DISTINCT grams
+    once, via ``word_shingles``) and ``postings`` is the comma-joined
+    ascending doc-id list, truncated to ``max_postings`` entries.
+
+    Shape: two partial-aggregated shuffles on the gram string. Pass 1
+    computes ``df`` with a plain count — map-side combine keeps a
+    universal boilerplate gram ("click here to subscribe" in 10^9 docs)
+    from concentrating rows on one reducer. Pass 2 builds posting lists
+    ONLY for grams whose df ≤ ``posting_df_cap`` (a join against the
+    pass-1 survivors), so the per-gram ``collect_list`` state is bounded
+    by the cap, never by corpus size; over-cap grams keep df but get a
+    NULL posting list. Never quadratic, no windows, no unbounded state.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    dfreq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    kept = dfreq.where(F.col("df") >= min_docs)
+    postable = kept.where(F.col("df") <= posting_df_cap).select("gram")
+    postings = (
+        exploded.join(postable, "gram")
+        .groupBy("gram")
+        .agg(
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list(F.col(id_col))), 1, max_postings),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return kept.join(postings, "gram", "left").select("gram", "df", "postings")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (blocked pairwise)
 # ---------------------------------------------------------------------------
 

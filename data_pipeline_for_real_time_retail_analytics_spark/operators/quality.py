@@ -87,6 +87,36 @@ def whole_row_duplicates(df: DataFrame) -> DataFrame:
     )
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    extra_aggs: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Exact linearly-interpolated quantiles of ``value_col`` per group —
+    the distribution-profiling extension of the reference's
+    describe()-style numeric profile (src/ingestion/extractors.py:
+    252-262, mean/std/min/max only). One column per prob, named ``q25``
+    style; ``extra_aggs`` appends further aggregate expressions.
+
+    ``F.percentile`` is the exact sort-based aggregate (matches DuckDB's
+    ``quantile_cont`` bit-for-bit — both NIST linear interpolation): one
+    shuffle on the group keys with per-group state proportional to the
+    group's distinct values. At 100 TB with huge groups, swap in
+    ``approx_percentile`` (t-digest, bounded state, partial-agg) — same
+    call shape; this operator stays exact because profile assertions
+    compare against exact oracle numbers.
+    """
+    aggs = [
+        F.percentile(F.col(value_col), F.lit(p)).alias(f"q{int(p * 100)}")
+        for p in probs
+    ]
+    for name, expr in (extra_aggs or {}).items():
+        aggs.append(expr.alias(name))
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
 def all_null_row_count(df: DataFrame) -> DataFrame:
     """K6: rows where every column is NULL
     (reference: src/ingestion/extractors.py:236-239)."""

@@ -1,0 +1,197 @@
+"""Distribution profiling, funnel, and window-frame queries.
+
+Extends the validation/profile surface (plans/validation.py, reference:
+src/ingestion/extractors.py:252-262 — mean/std/min/max only) with the
+distribution-grade profiles a retail-analytics warehouse actually runs:
+exact grouped quantiles, a multi-stage conversion funnel, and running
+per-customer aggregates under an explicit window frame. Each query has a
+DuckDB oracle in ``ORACLES`` (wired via __spark_entry__.oracle_sql()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.agg import money
+from ..operators.quality import grouped_quantiles
+from ..sources import load_table
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles (+p99) of extended price per return flag
+    (operators/quality.py:grouped_quantiles). One shuffle on the 3-value
+    flag key; exact interpolated percentiles match DuckDB's
+    ``quantile_cont`` bit-for-bit, so the profile is value-checked, not
+    tolerance-checked."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    out = grouped_quantiles(
+        li,
+        "l_extendedprice",
+        keys=["l_returnflag"],
+        probs=(0.25, 0.5, 0.75, 0.99),
+        extra_aggs={
+            "n_rows": F.count(F.lit(1)),
+            "price_min": F.round(F.min("l_extendedprice"), 2),
+            "price_max": F.round(F.max("l_extendedprice"), 2),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("q25", 4).alias("q25"),
+        F.round("q50", 4).alias("q50"),
+        F.round("q75", 4).alias("q75"),
+        F.round("q99", 4).alias("q99"),
+        "n_rows",
+        "price_min",
+        "price_max",
+    ).orderBy("l_returnflag")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view → click → purchase: per user, the first
+    view, the first click strictly after it, the first purchase strictly
+    after that; then one global rollup of stage survivors.
+
+    Shape: three aggregates all keyed on user_id — one user_id shuffle
+    feeds the cascade (the follow-up joins are co-partitioned), and each
+    stage carries ONE row per user, so the funnel never multiplies rows.
+    The final one-row rollup chain is partial-aggregated counts crossed
+    together; no windows over the raw event stream, no self-join
+    explosion, no driver-side count action.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    first_click = (
+        ev.where(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    first_purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stages = (
+        ev.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(first_view.agg(F.count(F.lit(1)).alias("n_view")))
+        .crossJoin(first_click.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            first_purchase.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+    return stages.select(
+        "n_users",
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        F.round(F.col("n_view") / F.col("n_users"), 4).alias("view_rate"),
+        F.round(F.col("n_view_click") / F.col("n_view"), 4).alias("click_rate"),
+        F.round(F.col("n_view_click_purchase") / F.col("n_view_click"), 4).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend over their order history (running
+    DECIMAL sum + order sequence number under an explicit
+    ROWS UNBOUNDED PRECEDING frame), thinned to every 50th customer to
+    bound the output. The customer filter sits BEFORE the window, so it
+    pushes into the orders scan and prunes whole partitions of the
+    window key; one shuffle on custkey serves both window functions."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    thin = orders.where(F.col("o_custkey") % 50 == 0)
+    order_cols = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_frame = (
+        W.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_seq = W.partitionBy("o_custkey").orderBy(*order_cols)
+    return thin.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("timestamp").alias("order_date"),
+        F.round(money(F.col("o_totalprice")), 2).cast("double").alias("order_total"),
+        F.row_number().over(w_seq).alias("order_seq"),
+        F.round(F.sum(money(F.col("o_totalprice"))).over(w_frame), 2)
+        .cast("double")
+        .alias("running_spend"),
+    ).orderBy("customer_id", "order_seq")
+
+
+ORACLES: dict[str, str] = {
+    "price_quantiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS q99,
+               COUNT(*) AS n_rows,
+               ROUND(MIN(l_extendedprice), 2) AS price_min,
+               ROUND(MAX(l_extendedprice), 2) AS price_max
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "event_funnel": """
+        WITH fv AS (
+            SELECT user_id, MIN(ts) AS view_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fc AS (
+            SELECT e.user_id, MIN(e.ts) AS click_ts
+            FROM events e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'click' AND e.ts > fv.view_ts
+            GROUP BY e.user_id
+        ),
+        fp AS (
+            SELECT e.user_id, MIN(e.ts) AS purchase_ts
+            FROM events e JOIN fc ON e.user_id = fc.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fc.click_ts
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+               (SELECT COUNT(*) FROM fv) AS n_view,
+               (SELECT COUNT(*) FROM fc) AS n_view_click,
+               (SELECT COUNT(*) FROM fp) AS n_view_click_purchase,
+               ROUND((SELECT COUNT(*) FROM fv)
+                     / (SELECT COUNT(DISTINCT user_id) FROM events), 4)
+                   AS view_rate,
+               ROUND((SELECT COUNT(*) FROM fc)
+                     / (SELECT COUNT(*) FROM fv), 4) AS click_rate,
+               ROUND((SELECT COUNT(*) FROM fp)
+                     / (SELECT COUNT(*) FROM fc), 4) AS purchase_rate
+    """,
+    "customer_running_spend": """
+        SELECT o_custkey AS customer_id,
+               o_orderkey AS order_id,
+               CAST(o_orderdate AS TIMESTAMP) AS order_date,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE)
+                   AS order_total,
+               CAST(row_number() OVER w AS INT) AS order_seq,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+                   AS running_spend
+        FROM orders
+        WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY customer_id, order_seq
+    """,
+}

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
 from data_pipeline_for_real_time_retail_analytics_spark.streaming.ingest import (
     file_stream,
+    interval_join,
     run_available_now,
     sessionize,
     windowed_aggregate,
@@ -57,17 +58,21 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def _drain(spark: SparkSession, plan: DataFrame, name: str) -> DataFrame:
+def _drain(
+    spark: SparkSession, plan: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Run the streaming plan to completion and return the memory sink.
 
     The sink name is deterministic per query so a repeated drive replaces
     the previous run's memory table instead of stacking a new one, and
     the checkpoint dir — useless once an AvailableNow run has drained
-    into a memory sink — is deleted before returning."""
+    into a memory sink — is deleted before returning. Aggregations drain
+    in ``complete`` mode; stream-stream joins require ``append`` (their
+    inner matches emit exactly once as found)."""
     spark.catalog.dropTempView(name)
     ckpt = tempfile.mkdtemp(prefix="streamq_ckpt_")
     try:
-        q = run_available_now(plan, ckpt, queryName=name, output_mode="complete")
+        q = run_available_now(plan, ckpt, queryName=name, output_mode=output_mode)
         q.stop()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -96,6 +101,48 @@ def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def q_stream_click_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, actually executed as two streams:
+    every click matched to the same user's purchases of the PRECEDING
+    hour (streaming/ingest.py:interval_join — watermarks on both sides,
+    join state expires at watermark + lookback). Inner matches emit as
+    found, so the AvailableNow drain in append mode yields the complete
+    batch-equal answer."""
+    src = _stage_events(spark, sf_dir)
+    clicks = (
+        file_stream(spark, src)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        file_stream(spark, src)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.round(F.col("value").cast("decimal(12,2)"), 2)
+            .cast("double")
+            .alias("purchase_value"),
+        )
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lookback="1 hour",
+    )
+    return _drain(
+        spark, joined, "streamq_click_purchases", output_mode="append"
+    ).orderBy("click_id", "purchase_id")
+
+
 ORACLES: dict[str, str] = {
     "stream_events_hourly": """
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
@@ -108,6 +155,20 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2, 3
         ORDER BY window_start, event_type
+    """,
+    "stream_click_purchases": """
+        SELECT c.event_id AS click_id, c.user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               p.event_id AS purchase_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               CAST(ROUND(CAST(p.value AS DECIMAL(12,2)), 2) AS DOUBLE)
+                   AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        ORDER BY click_id, purchase_id
     """,
     "stream_user_sessions": """
         WITH o AS (

@@ -141,6 +141,51 @@ def sessionize(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    delay: str = "60 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval: each left row
+    matches right rows on the keys with ``right_ts`` in
+    ``[left_ts - lookback, left_ts]`` — e.g. every click joined to the
+    purchases of the preceding hour. Works identically on batch frames
+    (watermarks are a no-op there), which is what the batch-equivalence
+    tests and the DuckDB oracle exploit.
+
+    Both sides carry watermarks and the join condition bounds BOTH event
+    times, so Spark can expire join state: left rows are dropped once the
+    right watermark passes ``left_ts``, right rows once the left
+    watermark passes ``right_ts + lookback`` — state stays proportional
+    to ``delay + lookback`` of traffic, never to the stream's history.
+    Inner-join matches emit as found (no watermark wait), so an
+    AvailableNow drain yields the complete answer. Timestamp columns must
+    be pre-renamed to distinct names; only ``key_cols`` may collide.
+    """
+    is_streaming = left.isStreaming
+    lw = left.withWatermark(left_ts, delay) if is_streaming else left
+    rw = right.withWatermark(right_ts, delay) if is_streaming else right
+    cond = F.expr(
+        " AND ".join(
+            [f"l.{k} = r.{k}" for k in key_cols]
+            + [
+                f"r.{right_ts} >= l.{left_ts} - INTERVAL {lookback}",
+                f"r.{right_ts} <= l.{left_ts}",
+            ]
+        )
+    )
+    joined = lw.alias("l").join(rw.alias("r"), cond, "inner")
+    # collapse the duplicated key columns back to a single copy
+    keep = [F.col(f"l.{k}").alias(k) for k in key_cols]
+    keep += [F.col(f"l.{c}") for c in left.columns if c not in key_cols]
+    keep += [F.col(f"r.{c}") for c in right.columns if c not in key_cols]
+    return joined.select(*keep)
+
+
 def validated_foreach_batch(
     validate_fn: Callable[[DataFrame], DataFrame],
     out_path: str,

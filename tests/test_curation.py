@@ -1,0 +1,230 @@
+"""Unit tests for the round-5 curation operators: cross-document
+boilerplate n-grams, target-mixture sampling, grouped quantiles, the
+funnel rollup, and the stream-stream interval join (batch semantics +
+streaming batch-equivalence). The DuckDB value parity for the showcase
+queries lives in test_oracle_parity.py; these tests pin the operator
+semantics on small hand-built inputs where the expected answer is
+obvious.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
+    boilerplate_ngrams,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.operators.mixture import (
+    mixture_thresholds,
+    target_mixture_sample,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.operators.quality import (
+    grouped_quantiles,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.streaming.ingest import (
+    interval_join,
+    run_available_now,
+)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-grams
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_ngrams_finds_shared_span(spark):
+    shared = "one two three four five"
+    docs = _docs_df(
+        spark,
+        [
+            (1, f"{shared} alpha beta"),
+            (2, f"gamma {shared} delta"),
+            (3, "totally different words here make no gram"),
+        ],
+    )
+    out = boilerplate_ngrams(docs, n=5, min_docs=2).collect()
+    grams = {r["gram"]: r for r in out}
+    assert shared in grams
+    assert grams[shared]["df"] == 2
+    assert grams[shared]["postings"] == "1,2"
+    # no gram from the unrelated doc repeats
+    assert all(r["df"] >= 2 for r in out)
+
+
+def test_boilerplate_ngrams_distinct_within_doc(spark):
+    # the same gram twice in ONE doc counts that doc once
+    docs = _docs_df(
+        spark,
+        [
+            (1, "a b c d e x a b c d e"),
+            (2, "a b c d e y"),
+        ],
+    )
+    out = {r["gram"]: r["df"] for r in boilerplate_ngrams(docs, n=5).collect()}
+    assert out["a b c d e"] == 2
+
+
+def test_boilerplate_ngrams_posting_cap_and_df_cap(spark):
+    shared = "p q r s t"
+    docs = _docs_df(spark, [(i, shared) for i in range(8)])
+    out = boilerplate_ngrams(docs, n=5, min_docs=2, max_postings=3).collect()
+    (row,) = out
+    assert row["df"] == 8
+    assert row["postings"] == "0,1,2"  # truncated to max_postings, ascending
+    capped = boilerplate_ngrams(
+        docs, n=5, min_docs=2, max_postings=3, posting_df_cap=4
+    ).collect()
+    (row,) = capped
+    assert row["df"] == 8 and row["postings"] is None  # over cap → df only
+
+
+# ---------------------------------------------------------------------------
+# target-mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def _strata_df(spark, sizes: dict[str, int]):
+    rows = []
+    i = 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_mixture_thresholds_binding_stratum_kept_whole(spark):
+    # de is scarcest relative to its target → binds; its threshold is the
+    # full bucket range (kept whole), en/es thin to proportion
+    df = _strata_df(spark, {"en": 800, "es": 400, "de": 50})
+    thr = {
+        r["lang"]: r["__thr"]
+        for r in mixture_thresholds(
+            df, "lang", {"en": 0.5, "es": 0.3, "de": 0.2}
+        ).collect()
+    }
+    # T = min(800/0.5, 400/0.3, 50/0.2) = 250
+    assert thr["de"] == 10_000  # 250*0.2/50 = 1.0
+    assert thr["en"] == int(250 * 0.5 / 800 * 10_000)
+    assert thr["es"] == int(250 * 0.3 / 400 * 10_000)
+
+
+def test_target_mixture_sample_proportions_and_drops(spark):
+    df = _strata_df(spark, {"en": 2000, "es": 1000, "junk": 500})
+    out = target_mixture_sample(df, "doc_id", "lang", {"en": 0.6, "es": 0.4})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert "junk" not in counts  # stratum absent from targets dropped
+    # T = min(2000/0.6, 1000/0.4) = 2500 → en ≈ 1500, es = 1000 (binding)
+    assert counts["es"] == pytest.approx(1000, abs=1)
+    assert counts["en"] == pytest.approx(1500, rel=0.05)  # hash-rate noise
+    # deterministic: same call → identical membership
+    again = target_mixture_sample(df, "doc_id", "lang", {"en": 0.6, "es": 0.4})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_quantiles_exact_interpolation(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4]] + [("b", 10.0)],
+        "k string, v double",
+    )
+    rows = {
+        r["k"]: r
+        for r in grouped_quantiles(df, "v", ["k"], probs=(0.25, 0.5)).collect()
+    }
+    assert rows["a"]["q25"] == pytest.approx(1.75)  # 1 + 0.75*(2-1)
+    assert rows["a"]["q50"] == pytest.approx(2.5)
+    assert rows["b"]["q25"] == 10.0 and rows["b"]["q50"] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# interval join: batch semantics + streaming batch-equivalence
+# ---------------------------------------------------------------------------
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def _join_inputs(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 10:00:00")),
+            (2, 7, _ts("2024-01-01 12:00:00")),
+            (3, 8, _ts("2024-01-01 10:30:00")),
+        ],
+        "click_id long, user_id long, click_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 7, _ts("2024-01-01 09:30:00"), 5.0),   # 30 min before click 1
+            (102, 7, _ts("2024-01-01 08:59:59"), 6.0),   # > 1h before click 1
+            (103, 7, _ts("2024-01-01 10:00:00"), 7.0),   # exactly at click 1
+            (104, 9, _ts("2024-01-01 10:00:00"), 8.0),   # other user
+        ],
+        "purchase_id long, user_id long, purchase_ts timestamp, purchase_value double",
+    )
+    return left, right
+
+
+def test_interval_join_batch_bounds(spark):
+    left, right = _join_inputs(spark)
+    out = interval_join(
+        left, right, ["user_id"], "click_ts", "purchase_ts", lookback="1 hour"
+    )
+    got = sorted((r["click_id"], r["purchase_id"]) for r in out.collect())
+    # click 1 matches 101 (inside) and 103 (inclusive upper bound);
+    # 102 is outside the 1 h lookback (exclusive? no — 1 h AND 1 s older)
+    assert got == [(1, 101), (1, 103)]
+    assert set(out.columns) == {
+        "click_id", "user_id", "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value",
+    }
+
+
+def test_interval_join_streaming_equals_batch(spark, tmp_path):
+    left, right = _join_inputs(spark)
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(ldir)
+    right.write.parquet(rdir)
+    ls = spark.readStream.schema(left.schema).parquet(ldir)
+    rs = spark.readStream.schema(right.schema).parquet(rdir)
+    joined = interval_join(
+        ls, rs, ["user_id"], "click_ts", "purchase_ts", lookback="1 hour"
+    )
+    assert joined.isStreaming
+    ckpt = tempfile.mkdtemp(prefix="ivj_ckpt_")
+    try:
+        spark.catalog.dropTempView("ivj_sink")
+        q = run_available_now(joined, ckpt, queryName="ivj_sink",
+                              output_mode="append")
+        q.stop()
+        stream_rows = sorted(
+            (r["click_id"], r["purchase_id"])
+            for r in spark.table("ivj_sink").collect()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    batch_rows = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join(
+            left, right, ["user_id"], "click_ts", "purchase_ts", lookback="1 hour"
+        ).collect()
+    )
+    assert stream_rows == batch_rows == [(1, 101), (1, 103)]
