@@ -103,18 +103,30 @@ def grouped_quantiles(
     ``F.percentile`` is the exact sort-based aggregate (matches DuckDB's
     ``quantile_cont`` bit-for-bit — both NIST linear interpolation): one
     shuffle on the group keys with per-group state proportional to the
-    group's distinct values. At 100 TB with huge groups, swap in
+    group's distinct values. All probs are computed by ONE array-typed
+    percentile aggregate, so the per-group value buffer is built and
+    sorted once, not once per prob (measured 2.5× at sf0.1), then split
+    into scalar columns. At 100 TB with huge groups, swap in
     ``approx_percentile`` (t-digest, bounded state, partial-agg) — same
     call shape; this operator stays exact because profile assertions
     compare against exact oracle numbers.
     """
     aggs = [
-        F.percentile(F.col(value_col), F.lit(p)).alias(f"q{int(p * 100)}")
-        for p in probs
+        F.percentile(
+            F.col(value_col), F.array(*[F.lit(p) for p in probs])
+        ).alias("__qs")
     ]
     for name, expr in (extra_aggs or {}).items():
         aggs.append(expr.alias(name))
-    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        *keys,
+        *[
+            F.get("__qs", i).alias(f"q{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ],
+        *[name for name in (extra_aggs or {})],
+    )
 
 
 def all_null_row_count(df: DataFrame) -> DataFrame:

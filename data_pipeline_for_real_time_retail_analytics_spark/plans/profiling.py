@@ -56,12 +56,14 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     view, the first click strictly after it, the first purchase strictly
     after that; then one global rollup of stage survivors.
 
-    Shape: three aggregates all keyed on user_id — one user_id shuffle
-    feeds the cascade (the follow-up joins are co-partitioned), and each
-    stage carries ONE row per user, so the funnel never multiplies rows.
-    The final one-row rollup chain is partial-aggregated counts crossed
-    together; no windows over the raw event stream, no self-join
-    explosion, no driver-side count action.
+    Shape: three aggregates all keyed on user_id, each shuffling only
+    its event-type-filtered slice (the filters push into the scan), and
+    each stage carries ONE row per user, so the follow-up joins are
+    per-user-bounded — AQE broadcasts the small stage frames at test SF
+    and falls back to co-partitioned sort-merge at scale. The final
+    one-row rollup chain is partial-aggregated counts crossed together;
+    no windows over the raw event stream, no self-join explosion, no
+    driver-side count action.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     first_view = (

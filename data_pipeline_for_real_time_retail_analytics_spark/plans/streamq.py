@@ -58,6 +58,19 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+#: state-store partition count for the streaming correctness queries.
+#: ``spark.sql.shuffle.partitions`` at stream START fixes the number of
+#: state-store instances for the query's lifetime — a CAPACITY knob that
+#: must match stream volume, not the batch session default: every store
+#: pays provider-init + per-batch commit regardless of data (a
+#: stream-stream join runs FOUR stores per partition; at 32 partitions
+#: that fixed cost was 8.6 s against 0.5 s of actual join work —
+#: measured in NOTES round 5). 8 suits the test-harness volumes; a
+#: production deployment sizes it to throughput and can repartition
+#: state only via a fresh checkpoint.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def _drain(
     spark: SparkSession, plan: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -68,13 +81,21 @@ def _drain(
     the checkpoint dir — useless once an AvailableNow run has drained
     into a memory sink — is deleted before returning. Aggregations drain
     in ``complete`` mode; stream-stream joins require ``append`` (their
-    inner matches emit exactly once as found)."""
+    inner matches emit exactly once as found). The session's shuffle
+    partitions are dialed to ``STREAM_SHUFFLE_PARTITIONS`` around the
+    stream start (the only moment the setting binds a stream) and always
+    restored."""
     spark.catalog.dropTempView(name)
     ckpt = tempfile.mkdtemp(prefix="streamq_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        )
         q = run_available_now(plan, ckpt, queryName=name, output_mode=output_mode)
         q.stop()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 

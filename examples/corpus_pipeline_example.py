@@ -22,9 +22,13 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from pyspark.sql import functions as F
 
 from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
+    boilerplate_ngrams,
     dedup_clusters,
     dedup_keep_canonical,
     minhash_lsh_pairs,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.operators.mixture import (
+    target_mixture_sample,
 )
 from data_pipeline_for_real_time_retail_analytics_spark.operators.sampling import (
     train_val_test_split,
@@ -63,16 +67,30 @@ def main() -> None:
     pairs = minhash_lsh_pairs(gated, threshold=0.5)
     survivors = dedup_keep_canonical(gated, dedup_clusters(pairs))
 
-    # 4. overlapping token-window chunks (the model-input unit)
-    chunks = chunk_documents(survivors, chunk_tokens=64, overlap=8)
+    # 4. boilerplate audit: spans repeating across surviving docs (df
+    #    pass is partial-aggregated; posting lists bounded by the df cap)
+    boiler = boilerplate_ngrams(survivors, n=5, min_docs=2)
 
-    # 5. deterministic hash-range split — stable under re-runs,
+    # 5. thin to the target language mixture (binding language kept
+    #    whole, the rest downsampled by hash-bucket membership)
+    with_lang = survivors.join(docs.select("doc_id", "lang"), "doc_id")
+    mixed = target_mixture_sample(
+        with_lang, "doc_id", "lang",
+        targets={"en": 0.4, "es": 0.2, "fr": 0.2, "de": 0.1, "zh": 0.1},
+    )
+
+    # 6. overlapping token-window chunks (the model-input unit)
+    chunks = chunk_documents(mixed, chunk_tokens=64, overlap=8)
+
+    # 7. deterministic hash-range split — stable under re-runs,
     #    partitioning, and corpus growth
-    split = train_val_test_split(survivors, "doc_id", val_rate=0.05,
+    split = train_val_test_split(mixed, "doc_id", val_rate=0.05,
                                  test_rate=0.05)
 
     print(f"raw docs:        {n_raw}")
     print(f"after filter:    {survivors.count()}")
+    print(f"boilerplate 5-grams: {boiler.count()}")
+    print(f"after mixture:   {mixed.count()}")
     print(f"chunks:          {chunks.count()}")
     split.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs")).orderBy(
         "split"

@@ -85,6 +85,35 @@ def test_boilerplate_ngrams_posting_cap_and_df_cap(spark):
     assert row["df"] == 8 and row["postings"] is None  # over cap → df only
 
 
+def test_boilerplate_skewed_gram_partial_aggregates(spark):
+    """Skew stress: one universal boilerplate gram in 50% of documents.
+    The df pass must keep map-side combine (hot gram reaches the
+    exchange as one row per input partition), and the posting pass must
+    exclude the over-cap gram from collect_list entirely — the bounded-
+    state guarantee the operator docstring claims."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(
+                F.col("id") % 2 == 0, F.lit("click here to subscribe now ")
+            ).otherwise(F.lit("")),
+            F.lit("u"), F.col("id").cast("string"),
+            F.lit(" v"), F.col("id").cast("string"),
+            F.lit(" w"), F.col("id").cast("string"),
+            F.lit(" x"), F.col("id").cast("string"),
+            F.lit(" y"), F.col("id").cast("string"),
+        ).alias("text"),
+    ).repartition(16)
+    out = boilerplate_ngrams(docs, n=5, min_docs=2, posting_df_cap=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, "df aggregate lost map-side combine"
+    rows = out.collect()
+    (hot,) = [r for r in rows if r["gram"] == "click here to subscribe now"]
+    assert hot["df"] == n // 2
+    assert hot["postings"] is None  # over posting_df_cap: no list built
+
+
 # ---------------------------------------------------------------------------
 # target-mixture sampling
 # ---------------------------------------------------------------------------
