@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from datetime import datetime
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -127,6 +127,58 @@ def grouped_quantiles(
         ],
         *[name for name in (extra_aggs or {})],
     )
+
+
+def approx_profile(
+    df: DataFrame,
+    numeric_cols: list[str],
+    rsd: float = 0.05,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based profile — the 100 TB twin of the exact profiles:
+    HyperLogLog++ distinct counts (``approx_count_distinct``, relative
+    error ``rsd``) and t-digest quantiles (``approx_percentile``) per
+    column, all in ONE partial-aggregated pass with BOUNDED per-column
+    state (KB of sketch, independent of row count), where the exact
+    versions hold every distinct value in memory. No oracle entry by
+    design: sketch estimates are engine-specific; accuracy is pinned by
+    tolerance tests against the exact operators instead
+    (test_curation.py)."""
+    aggs: list[Column] = []
+    for c in numeric_cols:
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}_approx_distinct"))
+        aggs.append(
+            F.percentile_approx(
+                F.col(c), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+            ).alias(f"{c}_approx_qs")
+        )
+    return df.agg(*aggs)
+
+
+def sketched_distinct_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mergeable-sketch pattern: one HLL *sketch* (not estimate) per
+    group via ``hll_sketch_agg``, plus a grand-total row that UNIONS the
+    group sketches (``hll_union_agg``) instead of rescanning the data —
+    how a 100 TB pipeline keeps per-day/per-shard sketches and rolls
+    them up to any coarser grain for free. Returns
+    ``(group, approx_distinct, is_total)``."""
+    sketches = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(F.col(value_col)).alias("__sk")
+    )
+    per_group = sketches.select(
+        F.col(group_col),
+        F.hll_sketch_estimate("__sk").alias("approx_distinct"),
+        F.lit(0).alias("is_total"),
+    )
+    total = sketches.agg(F.hll_union_agg("__sk").alias("__sk")).select(
+        F.lit(None).cast(df.schema[group_col].dataType).alias(group_col),
+        F.hll_sketch_estimate("__sk").alias("approx_distinct"),
+        F.lit(1).alias("is_total"),
+    )
+    return per_group.unionByName(total)
 
 
 def all_null_row_count(df: DataFrame) -> DataFrame:

@@ -149,8 +149,9 @@ def interval_join(
     right_ts: str,
     lookback: str = "1 hour",
     delay: str = "60 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval: each left row
+    """Stream-stream join with an event-time interval: each left row
     matches right rows on the keys with ``right_ts`` in
     ``[left_ts - lookback, left_ts]`` — e.g. every click joined to the
     purchases of the preceding hour. Works identically on batch frames
@@ -165,7 +166,18 @@ def interval_join(
     Inner-join matches emit as found (no watermark wait), so an
     AvailableNow drain yields the complete answer. Timestamp columns must
     be pre-renamed to distinct names; only ``key_cols`` may collide.
+
+    ``how='left_outer'`` additionally emits unmatched left rows with
+    NULL right columns — but only once the watermark PROVES no future
+    match can arrive, which happens in a LATER micro-batch than the row
+    itself (watermarks advance at batch end). A single AvailableNow pass
+    therefore returns only the inner matches; the outer rows arrive on
+    the next trigger over the same checkpoint once newer data has moved
+    the watermark (test_curation.py::test_interval_join_left_outer_*
+    drives exactly that two-phase sequence).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval_join supports inner/left_outer, got {how!r}")
     is_streaming = left.isStreaming
     lw = left.withWatermark(left_ts, delay) if is_streaming else left
     rw = right.withWatermark(right_ts, delay) if is_streaming else right
@@ -178,7 +190,7 @@ def interval_join(
             ]
         )
     )
-    joined = lw.alias("l").join(rw.alias("r"), cond, "inner")
+    joined = lw.alias("l").join(rw.alias("r"), cond, how)
     # collapse the duplicated key columns back to a single copy
     keep = [F.col(f"l.{k}").alias(k) for k in key_cols]
     keep += [F.col(f"l.{c}") for c in left.columns if c not in key_cols]

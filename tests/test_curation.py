@@ -181,6 +181,55 @@ def test_grouped_quantiles_exact_interpolation(spark):
 
 
 # ---------------------------------------------------------------------------
+# sketch-based approx profiles (bounded-state twins of the exact ops)
+# ---------------------------------------------------------------------------
+
+
+def test_approx_profile_within_tolerance(spark, sf_dir):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.quality import (
+        approx_profile,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    (row,) = approx_profile(li, ["l_extendedprice"], rsd=0.05).collect()
+    exact_distinct = li.select("l_extendedprice").distinct().count()
+    assert row["l_extendedprice_approx_distinct"] == pytest.approx(
+        exact_distinct, rel=0.10  # 2× the configured rsd as the hard gate
+    )
+    exact_median = li.agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5))
+    ).collect()[0][0]
+    assert row["l_extendedprice_approx_qs"][1] == pytest.approx(
+        exact_median, rel=0.05
+    )
+
+
+def test_sketched_distinct_by_group_and_union(spark, sf_dir):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.quality import (
+        sketched_distinct_by_group,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = sketched_distinct_by_group(ev, "event_type", "user_id").collect()
+    per_group = {r["event_type"]: r["approx_distinct"] for r in rows
+                 if r["is_total"] == 0}
+    (total,) = [r["approx_distinct"] for r in rows if r["is_total"] == 1]
+    exact_total = ev.select("user_id").distinct().count()
+    # the union of group sketches must estimate the GLOBAL cardinality,
+    # not the sum of the groups (users appear in several event types)
+    assert total == pytest.approx(exact_total, rel=0.05)
+    assert sum(per_group.values()) > total  # overlap collapsed by union
+    for et, est in per_group.items():
+        exact = (
+            ev.where(F.col("event_type") == et)
+            .select("user_id").distinct().count()
+        )
+        assert est == pytest.approx(exact, rel=0.05)
+
+
+# ---------------------------------------------------------------------------
 # interval join: batch semantics + streaming batch-equivalence
 # ---------------------------------------------------------------------------
 
@@ -225,6 +274,71 @@ def test_interval_join_batch_bounds(spark):
         "click_id", "user_id", "click_ts",
         "purchase_id", "purchase_ts", "purchase_value",
     }
+
+
+def test_interval_join_left_outer_batch(spark):
+    left, right = _join_inputs(spark)
+    out = interval_join(
+        left, right, ["user_id"], "click_ts", "purchase_ts",
+        lookback="1 hour", how="left_outer",
+    )
+    got = sorted((r["click_id"], r["purchase_id"]) for r in out.collect())
+    # clicks 2 and 3 have no purchase in window → NULL right side
+    assert got == [(1, 101), (1, 103), (2, None), (3, None)]
+
+
+def test_interval_join_left_outer_streaming_two_phase(spark, tmp_path):
+    """Outer rows emit only once the watermark proves no match can
+    arrive — i.e. on a LATER trigger than the unmatched row itself.
+    Phase 1 (all base data): inner matches only. Phase 2 (late files
+    push both watermarks far past the unmatched clicks): the NULL-row
+    completions for clicks 2 and 3 appear."""
+    left, right = _join_inputs(spark)
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(ldir)
+    right.write.parquet(rdir)
+    ckpt, outdir = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drive():
+        # a FILE sink (not memory) — it supports checkpoint recovery, so
+        # the second AvailableNow pass resumes the same query
+        ls = spark.readStream.schema(left.schema).parquet(ldir)
+        rs = spark.readStream.schema(right.schema).parquet(rdir)
+        joined = interval_join(
+            ls, rs, ["user_id"], "click_ts", "purchase_ts",
+            lookback="1 hour", how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return sorted(
+            (r["click_id"], r["purchase_id"])
+            for r in spark.read.parquet(outdir).collect()
+        )
+
+    phase1 = drive()
+    assert phase1 == [(1, 101), (1, 103)]  # outer rows not yet provable
+
+    # late traffic advances BOTH event-time watermarks past the
+    # unmatched clicks (+ the 60-minute delay)
+    spark.createDataFrame(
+        [(99, 999, _ts("2024-01-02 10:00:00"))], left.schema
+    ).write.mode("append").parquet(ldir)
+    spark.createDataFrame(
+        [(199, 999, _ts("2024-01-02 10:00:00"), 0.0)], right.schema
+    ).write.mode("append").parquet(rdir)
+
+    phase2 = drive()
+    assert (2, None) in phase2 and (3, None) in phase2
+    # inner matches were emitted once in phase 1, not re-emitted
+    assert phase2.count((1, 101)) == 1 and phase2.count((1, 103)) == 1
 
 
 def test_interval_join_streaming_equals_batch(spark, tmp_path):
