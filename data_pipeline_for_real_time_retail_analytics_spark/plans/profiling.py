@@ -136,6 +136,62 @@ def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("customer_id", "order_seq")
 
 
+def q_segment_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment × order-year revenue matrix via ``pivot`` with an
+    EXPLICIT value list — the wide-format reshape every BI export needs.
+    Naming the pivot values matters twice: Catalyst skips the extra
+    distinct-scan it otherwise runs to discover them, and the output
+    schema is static (a 100 TB job cannot let data content decide its
+    column count). One shuffle on the 5-value segment key; the year
+    columns are CASE-filtered partial aggregates."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    years = [1995, 1996, 1997, 1998]
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.year("o_orderdate").alias("o_year"),
+        money(F.col("o_totalprice")).alias("price"),
+    )
+    wide = (
+        j.where(F.col("o_year").isin(years))
+        .groupBy("c_mktsegment")
+        .pivot("o_year", years)
+        .agg(F.round(F.sum("price"), 2).cast("double"))
+    )
+    return wide.select(
+        "c_mktsegment",
+        *[F.col(str(y)).alias(f"rev_{y}") for y in years],
+    ).orderBy("c_mktsegment")
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all four grouping
+    combinations — full detail, per-type totals, per-hour totals, grand
+    total — in ONE pass with grouping flags (the multi-grain companion
+    to revenue_rollup's hierarchy). Spark expands the cube map-side and
+    partial-aggregates each grain before the single shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour_of_day"), "value"
+    )
+    return (
+        ev.cube("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money(F.col("value"))), 2)
+            .cast("double")
+            .alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("is_type_total"),
+            F.grouping("hour_of_day").cast("int").alias("is_hour_total"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("hour_of_day").asc_nulls_first(),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "price_quantiles": """
         SELECT l_returnflag,
@@ -178,6 +234,38 @@ ORACLES: dict[str, str] = {
                      / (SELECT COUNT(*) FROM fv), 4) AS click_rate,
                ROUND((SELECT COUNT(*) FROM fp)
                      / (SELECT COUNT(*) FROM fc), 4) AS purchase_rate
+    """,
+    "segment_year_pivot": """
+        WITH j AS (
+            SELECT c.c_mktsegment,
+                   year(o.o_orderdate) AS o_year,
+                   CAST(o.o_totalprice AS DECIMAL(12,2)) AS price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(ROUND(SUM(CASE WHEN o_year = 1995 THEN price END), 2)
+                    AS DOUBLE) AS rev_1995,
+               CAST(ROUND(SUM(CASE WHEN o_year = 1996 THEN price END), 2)
+                    AS DOUBLE) AS rev_1996,
+               CAST(ROUND(SUM(CASE WHEN o_year = 1997 THEN price END), 2)
+                    AS DOUBLE) AS rev_1997,
+               CAST(ROUND(SUM(CASE WHEN o_year = 1998 THEN price END), 2)
+                    AS DOUBLE) AS rev_1998
+        FROM j
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "events_cube": """
+        SELECT event_type,
+               hour(ts) AS hour_of_day,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS sum_value,
+               CAST(GROUPING(event_type) AS INT) AS is_type_total,
+               CAST(GROUPING(hour(ts)) AS INT) AS is_hour_total
+        FROM events
+        GROUP BY CUBE (event_type, hour(ts))
+        ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST
     """,
     "customer_running_spend": """
         SELECT o_custkey AS customer_id,
