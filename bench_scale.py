@@ -47,6 +47,10 @@ HEAVY = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "stream_events_hourly",
+    # round-5 additions whose scale claims deserve the same evidence:
+    # the two-pass gram aggregation and the stream-stream join state
+    "boilerplate_ngrams",
+    "stream_click_purchases",
 ]
 
 #: id offset per generated copy. Must satisfy
