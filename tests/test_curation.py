@@ -161,6 +161,36 @@ def test_target_mixture_sample_proportions_and_drops(spark):
     )
 
 
+def test_mixture_thresholds_are_broadcast(spark):
+    """The per-stratum threshold frame is bounded by stratum cardinality
+    (dozens), never data-scale — the operator pins it as a broadcast so
+    the membership filter is map-side at any corpus size."""
+    df = _strata_df(spark, {"en": 200, "es": 100})
+    out = target_mixture_sample(df, "doc_id", "lang", {"en": 0.5, "es": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    """Reshape pair: pivot with an explicit value list, then unpivot
+    (melt) back — recovers exactly the long-form aggregate once the
+    NULL cells (combinations absent from the data, materialized by the
+    widening) are filtered; unpivot itself keeps them."""
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 1, 5.0), ("a", 2, 7.0), ("b", 1, 3.0)],
+        "k string, yr int, v double",
+    )
+    wide = df.groupBy("k").pivot("yr", [1, 2]).agg(F.sum("v"))
+    long = wide.unpivot("k", ["1", "2"], "yr", "v").where(F.col("v").isNotNull())
+    got = sorted((r["k"], int(r["yr"]), r["v"]) for r in long.collect())
+    expect = sorted(
+        (r["k"], r["yr"], r["s"])
+        for r in df.groupBy("k", "yr").agg(F.sum("v").alias("s")).collect()
+    )
+    assert got == expect  # ("b", 2) never existed and is filtered back out
+
+
 # ---------------------------------------------------------------------------
 # grouped quantiles
 # ---------------------------------------------------------------------------
