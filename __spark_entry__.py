@@ -42,15 +42,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # repetition_ratio's n-gram arrays are single-projection;
         # incremental_scan sits on the watermark-escaping change; the
         # stream twins on the streamq lifecycle), plus this round's
-        # eight NEW queries (boilerplate_ngrams, mixture_sample_docs,
+        # nine NEW queries (boilerplate_ngrams, mixture_sample_docs,
         # stream_click_purchases, price_quantiles, event_funnel,
-        # customer_running_spend, segment_year_pivot, events_cube). To
-        # fit the cap, eight untouched r04-green analytics queries
-        # (nation_revenue, events_props_stats, event_anomalies,
-        # brand_stats, returned_revenue_by_customer,
-        # small_quantity_revenue, large_orders, events_hourly — all in
-        # the unmodified plans/analytics.py) rotate to the tail
-        # alongside the 13 moved there after their fresh r04 greens.
+        # customer_running_spend, segment_year_pivot, events_cube,
+        # events_hourly_dense). To fit the cap, nine untouched
+        # r04-green analytics queries (nation_revenue, top_suppliers,
+        # events_props_stats, event_anomalies, brand_stats,
+        # returned_revenue_by_customer, small_quantity_revenue,
+        # large_orders, events_hourly — all in the unmodified
+        # plans/analytics.py) rotate to the tail alongside the 13 moved
+        # there after their fresh r04 greens.
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
         "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
         "contaminated_docs": L.q_contaminated_docs,
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_spend": PF.q_customer_running_spend,
         "segment_year_pivot": PF.q_segment_year_pivot,
         "events_cube": PF.q_events_cube,
+        "events_hourly_dense": PF.q_events_hourly_dense,
         # analytics (SURVEY §2.6-2.8 aggregations/joins/sorts)
         "pricing_summary": A.pricing_summary,
         "revenue_by_segment": A.revenue_by_segment,
@@ -93,7 +95,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": A.order_priority_counts,
         "revenue_rollup": A.revenue_rollup,
         "promo_revenue": A.promo_revenue,
-        "top_suppliers": A.top_suppliers,
         # temporal operators (windows / as-of; salted_event_rollup is in
         # the tail this round — untouched, fresh r04 green)
         "events_sliding": TP.q_events_sliding,
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the front to admit this round's six new queries; their
         # module (plans/analytics.py) is unmodified since its r04 green.
         "nation_revenue": A.nation_revenue,
+        "top_suppliers": A.top_suppliers,
         "events_props_stats": A.events_props_stats,
         "event_anomalies": A.event_anomalies,
         "brand_stats": A.brand_stats,
@@ -662,4 +664,5 @@ def oracle_sql() -> dict[str, str]:
         "customer_running_spend": PF.ORACLES["customer_running_spend"],
         "segment_year_pivot": PF.ORACLES["segment_year_pivot"],
         "events_cube": PF.ORACLES["events_cube"],
+        "events_hourly_dense": PF.ORACLES["events_hourly_dense"],
     }

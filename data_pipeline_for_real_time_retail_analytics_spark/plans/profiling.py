@@ -192,7 +192,72 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series for a sparse event slice (high-value
+    purchases): every hour between the series' min and max appears, with
+    zeros and an ``is_gap`` flag where no event landed — the
+    densification every downstream charting/forecasting consumer needs.
+
+    Spark-first generator: the hour grid comes from ``sequence()`` over
+    a one-row min/max aggregate, exploded — grid size is time-span /
+    step, independent of event volume, and nothing touches the driver.
+    The left join back to the hourly aggregate is broadcast-eligible
+    (both sides are grid-sized, not data-sized) at any corpus scale."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 45))
+        .select(F.date_trunc("hour", F.col("ts")).alias("hour_start"), "value")
+    )
+    hourly = ev.groupBy("hour_start").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(money(F.col("value"))), 2).cast("double").alias("s"),
+    )
+    bounds = ev.agg(
+        F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    return (
+        grid.join(hourly, "hour_start", "left")
+        .select(
+            "hour_start",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("s"), F.lit(0.0)).alias("sum_value"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("hour_start")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "events_hourly_dense": """
+        WITH ev AS (
+            SELECT date_trunc('hour', ts) AS hs, value
+            FROM events
+            WHERE event_type = 'purchase' AND value > 45
+        ),
+        hourly AS (
+            SELECT hs, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                       AS s
+            FROM ev GROUP BY hs
+        ),
+        b AS (SELECT MIN(hs) AS lo, MAX(hs) AS hi FROM ev),
+        grid AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS hour_start
+            FROM b
+        )
+        SELECT g.hour_start,
+               COALESCE(h.n, 0) AS n_events,
+               COALESCE(h.s, 0.0) AS sum_value,
+               CAST(h.n IS NULL AS INT) AS is_gap
+        FROM grid g LEFT JOIN hourly h ON g.hour_start = h.hs
+        ORDER BY g.hour_start
+    """,
     "price_quantiles": """
         SELECT l_returnflag,
                ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
