@@ -31,27 +31,27 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Front-loaded: the driver checks the first 50 entries in
-        # insertion order, so queries whose implementation changed since
-        # their last green CORRECTNESS row go first. r05 rotation, per
-        # the r4 verdict's #1 ask: the 13 queries whose latest green is
-        # r03 (they sat beyond the 50-query cap in r04) lead, followed
-        # by everything edited this round (dedup_clusters +
-        # minhash_lsh_dupes now share one materialized candidate-pair
-        # computation; tfidf_top_terms takes N from the corpus-stats
-        # pass; corpus_filter coalesces keep to false;
-        # repetition_ratio's n-gram arrays are single-projection;
-        # incremental_scan sits on the watermark-escaping change; the
-        # stream twins on the streamq lifecycle), plus this round's
-        # nine NEW queries (boilerplate_ngrams, mixture_sample_docs,
-        # stream_click_purchases, price_quantiles, event_funnel,
-        # customer_running_spend, segment_year_pivot, events_cube,
-        # events_hourly_dense). To fit the cap, nine untouched
-        # r04-green analytics queries (nation_revenue, top_suppliers,
-        # events_props_stats, event_anomalies, brand_stats,
-        # returned_revenue_by_customer, small_quantity_revenue,
-        # large_orders, events_hourly — all in the unmodified
-        # plans/analytics.py) rotate to the tail alongside the 13 moved
-        # there after their fresh r04 greens.
+        # insertion order. r05 rotation rule — a query goes in the front
+        # 50 if ANY file its implementation touches changed since its
+        # last green CORRECTNESS row; the tail holds ONLY queries whose
+        # implementation files are bit-identical to their r04-green
+        # state (verify with `git diff 5f5e6dc..HEAD --name-only`).
+        # Front composition: the 13 r03-latest-green queries (r4
+        # verdict ask #1) + contaminated_docs/ann_multitable (new in the
+        # r5 advisory session), everything the advisory session edited
+        # (shared MinHash pairs, tfidf corpus-stats N, corpus_filter
+        # NULL coalesce, repetition_ratio single-projection, registry
+        # watermark escaping, streamq lifecycle), this round's nine NEW
+        # queries, every query wrapped by the touched plans/llm.py or
+        # operators/{textstats,similarity,quality,dedup}.py or
+        # streaming/ingest.py (token_entropy, benford_profile,
+        # chunked_docs, language_id, quality_score, doc_fingerprints,
+        # cosine_topk, cleaned_docs, train_split_counts,
+        # stratified_sample_docs, fk/integrity checks, streams), and
+        # six clean-file re-proof picks (flagship + validation engine +
+        # mart + sessions). Rotated to the tail: ten clean-file
+        # r04-greens (analytics/temporal/CDC-probe/transform entries on
+        # unmodified modules).
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
         "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
         "contaminated_docs": L.q_contaminated_docs,
@@ -88,39 +88,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_year_pivot": PF.q_segment_year_pivot,
         "events_cube": PF.q_events_cube,
         "events_hourly_dense": PF.q_events_hourly_dense,
-        # analytics (SURVEY §2.6-2.8 aggregations/joins/sorts)
+        # wrapped by the touched plans/llm.py (shared-cache plumbing) /
+        # operators/textstats.py / operators/similarity.py — fresh rows
+        # so no tail entry sits on a modified file
+        "token_entropy": L.q_token_entropy,
+        "benford_profile": L.q_benford_profile,
+        "chunked_docs": L.q_chunked_docs,
+        "language_id": L.q_language_id,
+        "quality_score": L.q_quality_score,
+        "doc_fingerprints": L.q_doc_fingerprints,
+        "cosine_topk": L.q_cosine_topk,
+        "cleaned_docs": L.q_cleaned_docs,
+        "train_split_counts": L.q_train_split_counts,
+        "stratified_sample_docs": L.q_stratified_sample_docs,
+        # CDC incremental scan (registry.py watermark escaping changed)
+        "incremental_scan": S.q_incremental_scan,
+        # integrity checks (operators/quality.py gained the quantile /
+        # sketch operators this round)
+        "fk_orphan_orders": S.q_fk_orphan_orders,
+        "customers_without_orders": S.q_customers_without_orders,
+        "whole_row_dups_lineitem": S.q_whole_row_dups_lineitem,
+        # clean-file re-proof picks: flagship analytics, validation
+        # engine, mart construction, sessionization
         "pricing_summary": A.pricing_summary,
         "revenue_by_segment": A.revenue_by_segment,
+        "validation_orders": S.q_validation_orders,
+        "profile_customer": S.q_profile_customer,
+        "fact_orders": S.q_fact_orders,
+        "user_sessions": TP.q_user_sessions,
+        # Tail (beyond the driver's 50-query cap): r04 greens whose
+        # implementation files are ALL bit-identical to their green
+        # state (plans/analytics.py, plans/temporal.py,
+        # plans/showcase.py, operators/{cdc,transform,skew,windows,
+        # asof}.py carry no r5 edits — `git diff 5f5e6dc..HEAD`).
         "top_customers": A.top_customers,
         "order_priority_counts": A.order_priority_counts,
         "revenue_rollup": A.revenue_rollup,
         "promo_revenue": A.promo_revenue,
-        # temporal operators (windows / as-of; salted_event_rollup is in
-        # the tail this round — untouched, fresh r04 green)
-        "events_sliding": TP.q_events_sliding,
-        "user_sessions": TP.q_user_sessions,
-        "click_attribution": TP.q_click_attribution,
-        # CDC (SURVEY §2.2; incremental_scan exercises the registry
-        # whose watermark escaping tightened this round)
-        "incremental_scan": S.q_incremental_scan,
-        "cdc_timestamp_probe": S.q_cdc_timestamp_probe,
-        "cdc_log_probe": S.q_cdc_log_probe,
-        # integrity / quality (SURVEY §2.5)
-        "fk_orphan_orders": S.q_fk_orphan_orders,
-        "customers_without_orders": S.q_customers_without_orders,
-        "whole_row_dups_lineitem": S.q_whole_row_dups_lineitem,
-        # validation engine (SURVEY §2.4-2.6)
-        "validation_orders": S.q_validation_orders,
-        "profile_customer": S.q_profile_customer,
-        # transform layer (SURVEY §2.7)
-        "staging_orders": S.q_staging_orders,
-        "dim_customers": S.q_dim_customers,
-        "fact_orders": S.q_fact_orders,
-        # Tail (beyond the driver's 50-query cap): fresh r04 greens whose
-        # implementations are untouched this round — the safest rows to
-        # leave unre-proven. The six analytics entries here rotated out
-        # of the front to admit this round's six new queries; their
-        # module (plans/analytics.py) is unmodified since its r04 green.
         "nation_revenue": A.nation_revenue,
         "top_suppliers": A.top_suppliers,
         "events_props_stats": A.events_props_stats,
@@ -130,21 +134,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": A.small_quantity_revenue,
         "large_orders": A.large_orders,
         "events_hourly": A.events_hourly,
-        "merge_upsert": S.q_merge_upsert,
-        "cdc_apply_changes": S.q_cdc_apply_changes,
-        "token_entropy": L.q_token_entropy,
-        "benford_profile": L.q_benford_profile,
-        "chunked_docs": L.q_chunked_docs,
         "customer_order_distribution": A.customer_order_distribution,
         "supplier_nation_profit": A.supplier_nation_profit,
-        "language_id": L.q_language_id,
-        "quality_score": L.q_quality_score,
-        "doc_fingerprints": L.q_doc_fingerprints,
-        "cosine_topk": L.q_cosine_topk,
-        "cleaned_docs": L.q_cleaned_docs,
-        "train_split_counts": L.q_train_split_counts,
-        "stratified_sample_docs": L.q_stratified_sample_docs,
+        "events_sliding": TP.q_events_sliding,
+        "click_attribution": TP.q_click_attribution,
         "salted_event_rollup": TP.q_salted_event_rollup,
+        "cdc_timestamp_probe": S.q_cdc_timestamp_probe,
+        "cdc_log_probe": S.q_cdc_log_probe,
+        "staging_orders": S.q_staging_orders,
+        "dim_customers": S.q_dim_customers,
+        "merge_upsert": S.q_merge_upsert,
+        "cdc_apply_changes": S.q_cdc_apply_changes,
     }
 
 
