@@ -51,6 +51,28 @@ def _warmup(spark: SparkSession) -> None:
         "overwrite"
     ).save()
 
+    # Exercise the higher-order-function evaluator + md5/conv expression
+    # classes once: the first query that touches transform/aggregate/
+    # zip_with pays their class-loading and interpreter setup (HOFs sit
+    # outside whole-stage codegen), which otherwise lands entirely on the
+    # first shingle-tier query in the single-run protocol.
+    from pyspark.sql import functions as F
+
+    hof = df.select(
+        F.aggregate(
+            F.transform(
+                F.split(F.concat_ws(" ", df.v.cast("string"), F.lit("w")), " "),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            ),
+            F.array_repeat(F.lit(0).cast("long"), 4),
+            lambda acc, x: F.zip_with(
+                acc, F.sequence(F.lit(0), F.lit(3)),
+                lambda a, i: F.greatest(a, F.pmod(x + i.cast("long"), F.lit(97))),
+            ),
+        ).alias("h")
+    )
+    hof.write.format("noop").mode("overwrite").save()
+
     # Spin the Structured Streaming engine once (first streaming query in
     # a session pays ~2 s of one-time init on top of its own work —
     # measured in NOTES round 5), so the stream_* queries time their
