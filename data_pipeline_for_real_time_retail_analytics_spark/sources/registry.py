@@ -168,7 +168,32 @@ class JDBCSource:
         spark: SparkSession,
         timestamp_column: str | None = None,
         watermark: str | None = None,
+        push_via_filter: bool = True,
     ) -> DataFrame:
+        """Scan the table; with a watermark, return only rows strictly
+        newer. Default path (``push_via_filter``): read the PLAIN table
+        reference and apply a DataFrame filter — Spark's JDBC relation
+        compiles pushed filters into the remote WHERE clause with
+        dialect-correct literal escaping (visible as ``PushedFilters:
+        [GreaterThan(...)]`` in the plan), so no SQL string is ever
+        assembled by hand and the escaping question disappears
+        structurally. The literal is cast to the COLUMN's JDBC-reported
+        type so the comparison stays pushable (an implicit cast landing
+        on the column side would block pushdown and turn the scan into
+        full-table + local filter). ``push_via_filter=False`` keeps the
+        validated dbtable-subquery formulation (reader_options) for
+        backends whose drivers mis-handle filter pushdown."""
+        if timestamp_column and watermark is not None and push_via_filter:
+            opts = self.reader_options(None, None)
+            df = spark.read.format("jdbc").options(**opts).load()
+            dtypes = dict(df.dtypes)
+            if timestamp_column not in dtypes:
+                raise ValueError(
+                    f"timestamp_column {timestamp_column!r} not in "
+                    f"{self.table} columns {sorted(dtypes)}"
+                )
+            literal = F.lit(str(watermark)).cast(dtypes[timestamp_column])
+            return df.where(F.col(timestamp_column) > literal)
         opts = self.reader_options(timestamp_column, watermark)
         return spark.read.format("jdbc").options(**opts).load()
 

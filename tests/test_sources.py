@@ -277,6 +277,28 @@ def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
     got = sorted(r["ID"] for r in incr.collect())
     want = sorted(i for i in range(10) if 1 + i % 5 >= 3)  # strictly after Jan 3 00:00
     assert got == want
+    # the default path pushes the predicate through Spark's JDBC filter
+    # compilation (remote WHERE with dialect escaping), not a local
+    # filter over a full scan and not a hand-assembled subquery
+    plan = incr._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(TS" in plan
+    # legacy dbtable-subquery path agrees row-for-row
+    legacy = src.extract(
+        spark, timestamp_column="TS", watermark="2024-01-03 00:00:00",
+        push_via_filter=False,
+    )
+    assert sorted(r["ID"] for r in legacy.collect()) == want
+    # a backslash watermark is fine on the filter path (no SQL string is
+    # ever assembled — the legacy path must still reject it)
+    assert src.extract(
+        spark, timestamp_column="NM", watermark="a\\"
+    ).count() == 10  # every name sorts after 'a\'
+    with pytest.raises(ValueError):
+        src.extract(spark, timestamp_column="NM", watermark="a\\",
+                    push_via_filter=False)
+    # unknown column fails fast with the column inventory
+    with pytest.raises(ValueError, match="not in"):
+        src.extract(spark, timestamp_column="NOPE", watermark="x")
 
     # adversarial watermark: an embedded quote is doubled into the pushed
     # subquery so it stays a single string literal instead of terminating
