@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -176,6 +177,34 @@ class WarehouseSink:
             return LoadResult(False, name, 0, mode, error=str(exc))
         finally:
             conf.set(key, prev)
+
+    def load_clustered(
+        self,
+        df: DataFrame,
+        path: str,
+        cluster_cols: list[str],
+        n_files: int = 8,
+        mode: str = "overwrite",
+    ) -> LoadResult:
+        """Range-clustered parquet layout: ``repartitionByRange`` on the
+        cluster columns then ``sortWithinPartitions`` before the write,
+        so each output file owns a DISJOINT key range and rows inside it
+        are sorted. Parquet then records tight per-file/per-row-group
+        min/max stats, and any scan filtered on the cluster columns
+        skips every file whose range misses — the poor man's Z-order,
+        and at 100 TB the difference between touching one file and
+        touching all of them. One range shuffle (sampling pass + write),
+        no driver-side data."""
+        try:
+            (
+                df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+                .sortWithinPartitions(*cluster_cols)
+                .write.mode(mode)
+                .parquet(path)
+            )
+            return LoadResult(True, path, -1, mode)
+        except Exception as exc:
+            return LoadResult(False, path, 0, mode, error=str(exc))
 
     def execute_sql(self, sql: str, params: dict[str, Any] | None = None) -> list[Row]:
         """S8 passthrough with *parameterized* SQL — placeholders bind

@@ -119,3 +119,34 @@ def test_load_partitioned_dynamic_overwrite(spark, sink):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_load_clustered_disjoint_sorted_files(spark, sink, tmp_path):
+    """Range-clustered layout: every output file owns a disjoint key
+    range (parquet min/max then skips whole files for range predicates)
+    and rows inside each file are sorted on the cluster key."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"),  # scrambled key
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "clustered")
+    res = sink.load_clustered(df, out, ["k"], n_files=8)
+    assert res.success
+
+    files = sorted(_glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        ks = pdf["k"].tolist()
+        assert ks == sorted(ks), f"{f} not sorted within file"
+        ranges.append((ks[0], ks[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap — no skipping possible"
+    # nothing lost in the re-layout
+    assert spark.read.parquet(out).count() == 10_000
