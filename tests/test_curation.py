@@ -211,6 +211,59 @@ def test_grouped_quantiles_exact_interpolation(spark):
 
 
 # ---------------------------------------------------------------------------
+# funnel ordering semantics
+# ---------------------------------------------------------------------------
+
+
+def test_event_funnel_strict_ordering(spark, tmp_path, monkeypatch):
+    """A click BEFORE the user's first view must not count as
+    view→click, and a purchase before the first qualifying click must
+    not count as view→click→purchase — the funnel is strictly ordered,
+    not a per-user event-type existence check."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.profiling import (
+        q_event_funnel,
+    )
+
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 10:05:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 10:10:00", 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE first view -> no funnel click
+        (4, "2024-01-01 09:00:00", 2, "click", 0.0, "{}"),
+        (5, "2024-01-01 10:00:00", 2, "view", 0.0, "{}"),
+        # user 3: purchase before the qualifying click -> stage 3 no
+        (6, "2024-01-01 10:00:00", 3, "view", 0.0, "{}"),
+        (7, "2024-01-01 10:02:00", 3, "purchase", 1.0, "{}"),
+        (8, "2024-01-01 10:05:00", 3, "click", 0.0, "{}"),
+        # user 4: no view at all
+        (9, "2024-01-01 10:00:00", 4, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "funnel_events")
+    df.write.parquet(src)
+
+    import data_pipeline_for_real_time_retail_analytics_spark.plans.profiling as prof
+    import data_pipeline_for_real_time_retail_analytics_spark.sources.registry as reg
+
+    real_load = reg.load_table
+    monkeypatch.setattr(
+        prof, "load_table",
+        lambda spark_, sf_dir, name: spark_.read.parquet(src)
+        if name == "events" else real_load(spark_, sf_dir, name),
+    )
+    (row,) = q_event_funnel(spark, "ignored").collect()
+    assert row["n_users"] == 4
+    assert row["n_view"] == 3          # users 1, 2, 3
+    assert row["n_view_click"] == 2    # users 1, 3 (user 2's click too early)
+    assert row["n_view_click_purchase"] == 1  # only user 1
+
+
+# ---------------------------------------------------------------------------
 # sketch-based approx profiles (bounded-state twins of the exact ops)
 # ---------------------------------------------------------------------------
 
