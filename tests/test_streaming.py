@@ -82,6 +82,27 @@ def test_validated_foreach_batch_sink(spark, events_dir, tmp_path_factory):
     q.stop()
 
 
+def test_validated_foreach_batch_observed_stats(spark, events_dir, tmp_path_factory):
+    """E4 per-batch extraction stats ride the write pass via Observation
+    — no extra count jobs — and reconcile exactly with what was read
+    and written."""
+    sink = str(tmp_path_factory.mktemp("obs_sink"))
+    stats: list[dict] = []
+    stream = file_stream(spark, events_dir)
+    body = validated_foreach_batch(
+        lambda df: df.where(F.col("value") >= 100), sink, stats=stats
+    )
+    q = run_available_now(stream, _ckpt(tmp_path_factory), foreach_batch=body)
+    q.stop()
+    src = spark.read.parquet(events_dir)
+    assert stats, "no batch stats collected"
+    assert sum(s["rows_in"] for s in stats) == src.count()
+    n_valid = src.where(F.col("value") >= 100).count()
+    assert sum(s["rows_valid"] for s in stats) == n_valid
+    assert spark.read.parquet(sink).count() == n_valid
+    assert all(s["rows_valid"] <= s["rows_in"] for s in stats)
+
+
 def test_sessionize_runs_and_conserves_events(spark, events_dir, tmp_path_factory):
     stream = file_stream(spark, events_dir)
     sess = sessionize(stream, gap="30 minutes")
