@@ -313,6 +313,41 @@ def test_sketched_distinct_by_group_and_union(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# per-key resample + interpolate (grouped-map applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_interpolate_linear_gaps(spark):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.resample import (
+        grouped_interpolate,
+    )
+
+    rows = [
+        # user 1: observations at 10:00 (2.0) and 13:00 (8.0) — the
+        # 11:00/12:00 buckets must interpolate to 4.0 and 6.0
+        (1, "2024-01-01 10:30:00", 2.0),
+        (1, "2024-01-01 13:10:00", 8.0),
+        # two points in ONE bucket average first (10:00 -> 3.0)
+        (2, "2024-01-01 10:00:00", 2.0),
+        (2, "2024-01-01 10:40:00", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = grouped_interpolate(df, ["user_id"], freq="1h")
+    got = {
+        (r["user_id"], str(r["bucket_start"])): (r["value"], r["was_observed"])
+        for r in out.collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00")] == (2.0, True)
+    assert got[(1, "2024-01-01 11:00:00")] == (4.0, False)  # interpolated
+    assert got[(1, "2024-01-01 12:00:00")] == (6.0, False)
+    assert got[(1, "2024-01-01 13:00:00")] == (8.0, True)
+    assert got[(2, "2024-01-01 10:00:00")] == (3.0, True)  # bucket mean
+    # no buckets invented outside each key's observed range
+    assert len(got) == 5
+
+
+# ---------------------------------------------------------------------------
 # interval join: batch semantics + streaming batch-equivalence
 # ---------------------------------------------------------------------------
 
