@@ -313,6 +313,63 @@ def test_sketched_distinct_by_group_and_union(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# cogrouped applyInPandas cross-validation of the native as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_agrees_with_cogrouped_merge_asof(spark, sf_dir):
+    """Two independent implementations of backward as-of semantics must
+    agree on real data: the engine's merge-formulation as-of join
+    (operators/asof.py, pure DataFrame ops) vs a cogrouped
+    applyInPandas twin running pandas.merge_asof per user — also the
+    repo's exercise of the cogroup Arrow path."""
+    import pandas as pd
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.asof import (
+        asof_join_backward,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("pid"),
+        F.col("value").alias("pval"),
+    )
+    native = asof_join_backward(
+        clicks, purchases, key_cols=["user_id"], ts_col="ts",
+        right_value_cols=["pid", "pval"],
+    )
+
+    def _merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("ts").rename(columns={"ts": "r_ts"})
+        out = pd.merge_asof(
+            left, right[["r_ts", "pid", "pval"]],
+            left_on="ts", right_on="r_ts", direction="backward",
+        )
+        out["pid"] = out["pid"].astype("Int64")
+        return out[["event_id", "user_id", "ts", "pid", "pval"]]
+
+    twin = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            lambda l, r: _merge(l, r),
+            schema="event_id long, user_id long, ts timestamp, "
+                   "pid long, pval double",
+        )
+    )
+    a = {r["event_id"]: (r["pid"], r["pval"]) for r in native.collect()}
+    b = {r["event_id"]: (r["pid"], r["pval"]) for r in twin.collect()}
+    assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
 # per-key resample + interpolate (grouped-map applyInPandas)
 # ---------------------------------------------------------------------------
 
