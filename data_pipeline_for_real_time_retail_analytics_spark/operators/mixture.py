@@ -34,6 +34,11 @@ def mixture_thresholds(
     All arithmetic is IEEE double in a fixed expression order, so the
     DuckDB oracle reproduces the thresholds bit-for-bit.
     """
+    if not targets:
+        raise ValueError(
+            "targets must name at least one stratum with a positive "
+            "share — an empty mixture is a config error, not a sample"
+        )
     p_map = F.create_map(
         *[F.lit(x) for kv in targets.items() for x in (kv[0], float(kv[1]))]
     )

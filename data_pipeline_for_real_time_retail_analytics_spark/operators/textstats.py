@@ -260,12 +260,11 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        tok.select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # tf already carries exactly ONE row per (doc, term), so document
+    # frequency is a plain count over it — no second explode of the
+    # corpus and no distinct shuffle (both existed here before r5; the
+    # values are identical by construction)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if n_docs is None:
         n_docs = df.count()
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)

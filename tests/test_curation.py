@@ -85,6 +85,48 @@ def test_boilerplate_ngrams_posting_cap_and_df_cap(spark):
     assert row["df"] == 8 and row["postings"] is None  # over cap → df only
 
 
+def test_boilerplate_ngrams_matches_python_reference(spark):
+    """Property check against an independent pure-Python computation of
+    distinct-per-doc n-gram document frequencies, over a deterministic
+    pseudo-random corpus with a tiny vocabulary (forces collisions)."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(60)
+    ]
+    n = 3
+    expect: dict[str, set] = {}
+    for i, text in docs:
+        toks = text.split()
+        for j in range(len(toks) - n + 1):
+            expect.setdefault(" ".join(toks[j:j + n]), set()).add(i)
+    expect_df = {g: len(ids) for g, ids in expect.items() if len(ids) >= 2}
+
+    out = boilerplate_ngrams(
+        spark.createDataFrame(docs, "doc_id long, text string"), n=n, min_docs=2
+    ).collect()
+    got = {r["gram"]: r["df"] for r in out}
+    assert got == expect_df
+    for r in out:
+        assert r["postings"] == ",".join(
+            str(i) for i in sorted(expect[r["gram"]])[:20]
+        )
+
+
+def test_mixture_and_quantiles_empty_edges(spark):
+    """Empty-input edges: an empty target mixture is a config error
+    (raises, instead of Spark's opaque empty-create_map analysis
+    failure); quantiles of an empty frame return no rows."""
+    df = _strata_df(spark, {"en": 10})
+    with pytest.raises(ValueError, match="at least one stratum"):
+        target_mixture_sample(df, "doc_id", "lang", {})
+    empty = spark.createDataFrame([], "k string, v double")
+    assert grouped_quantiles(empty, "v", ["k"]).count() == 0
+
+
 def test_boilerplate_skewed_gram_partial_aggregates(spark):
     """Skew stress: one universal boilerplate gram in 50% of documents.
     The df pass must keep map-side combine (hot gram reaches the
