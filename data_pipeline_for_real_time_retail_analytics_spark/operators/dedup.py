@@ -186,6 +186,15 @@ def boilerplate_ngrams(
     pass-1 survivors), so the per-gram ``collect_list`` state is bounded
     by the cap, never by corpus size; over-cap grams keep df but get a
     NULL posting list. Never quadratic, no windows, no unbounded state.
+
+    The two passes deliberately re-scan the input (no ReuseExchange:
+    column pruning gives the df pass a gram-only subtree and the
+    posting pass a (doc_id, gram) subtree, so the exchanges are not
+    identical). The alternative — one repartition("gram") feeding both
+    aggregations — would share the shuffle but move it BEFORE partial
+    aggregation, sending every raw (doc, gram) row of a hot gram to a
+    single reducer; re-scanning a map-side-combined explode is the
+    safer trade at corpus scale.
     """
     exploded = df.select(
         F.col(id_col),
