@@ -33,6 +33,13 @@ def mixture_thresholds(
     data-scale). No collect, no driver loop — the same plan at 100 TB.
     All arithmetic is IEEE double in a fixed expression order, so the
     DuckDB oracle reproduces the thresholds bit-for-bit.
+
+    A target stratum with ZERO rows in the data makes the mixture
+    infeasible (the strict contract T = min n_c/p_c gives T = 0): the
+    one-row T aggregate counts the strata it saw, and the threshold
+    projection fails loudly if any target is missing, naming them —
+    silently renormalizing over the present strata would return a
+    sample claiming a mixture it does not have.
     """
     if not targets:
         raise ValueError(
@@ -48,7 +55,27 @@ def mixture_thresholds(
         .withColumn("__p", p_map[F.col(strata_col)])
         .where(F.col("__p").isNotNull())
     )
-    t_total = counts.select(F.min(F.col("__n") / F.col("__p")).alias("__t"))
+    t_total = counts.select(
+        F.min(F.col("__n") / F.col("__p")).alias("__t"),
+        F.count(F.lit(1)).alias("__n_strata"),
+    )
+    n_expected = len(targets)
+    t_total = t_total.select(
+        F.when(F.col("__n_strata") == n_expected, F.col("__t"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("target mixture infeasible: only "),
+                    F.col("__n_strata").cast("string"),
+                    F.lit(
+                        f" of {n_expected} target strata exist in the "
+                        "data (a missing stratum forces T = 0)"
+                    ),
+                )
+            )
+        )
+        .alias("__t")
+    )
     return counts.crossJoin(F.broadcast(t_total)).select(
         strata_col,
         F.floor(F.col("__t") * F.col("__p") / F.col("__n") * F.lit(buckets)).alias(

@@ -154,9 +154,13 @@ def q_segment_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("o_year"),
         money(F.col("o_totalprice")).alias("price"),
     )
+    # no pre-group year filter: pivot with an explicit value list
+    # already routes out-of-list years to no column, and filtering
+    # before the groupBy would DROP a segment whose orders all fall
+    # outside the pivot years — the oracle (and the right answer)
+    # keeps that segment with all-NULL revenue columns
     wide = (
-        j.where(F.col("o_year").isin(years))
-        .groupBy("c_mktsegment")
+        j.groupBy("c_mktsegment")
         .pivot("o_year", years)
         .agg(F.round(F.sum("price"), 2).cast("double"))
     )

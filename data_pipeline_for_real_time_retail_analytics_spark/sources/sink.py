@@ -185,6 +185,7 @@ class WarehouseSink:
         cluster_cols: list[str],
         n_files: int = 8,
         mode: str = "overwrite",
+        count_rows: bool = False,
     ) -> LoadResult:
         """Range-clustered parquet layout: ``repartitionByRange`` on the
         cluster columns then ``sortWithinPartitions`` before the write,
@@ -194,15 +195,21 @@ class WarehouseSink:
         skips every file whose range misses — the poor man's Z-order,
         and at 100 TB the difference between touching one file and
         touching all of them. One range shuffle (sampling pass + write),
-        no driver-side data."""
+        no driver-side data.
+
+        Row counting follows the ``load_partitioned`` contract: opt-in
+        (``count_rows=True`` runs the input plan an extra time);
+        otherwise ``rows_loaded`` is the documented -1 = unknown
+        sentinel."""
         try:
+            n = df.count() if count_rows else -1
             (
                 df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
                 .sortWithinPartitions(*cluster_cols)
                 .write.mode(mode)
                 .parquet(path)
             )
-            return LoadResult(True, path, -1, mode)
+            return LoadResult(True, path, n, mode)
         except Exception as exc:
             return LoadResult(False, path, 0, mode, error=str(exc))
 

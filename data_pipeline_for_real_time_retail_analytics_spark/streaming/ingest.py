@@ -229,12 +229,11 @@ def validated_foreach_batch(
         if stats is None:
             validate_fn(batch_df).write.mode("append").parquet(out_path)
             return
-        obs_in = Observation(f"ingest_in_{epoch_id}")
-        observed = (
-            batch_df
-            if pre_count is not None
-            else batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows"))
-        )
+        obs_in = None
+        observed = batch_df
+        if pre_count is None:
+            obs_in = Observation(f"ingest_in_{epoch_id}")
+            observed = batch_df.observe(obs_in, F.count(F.lit(1)).alias("rows"))
         obs_out = Observation(f"ingest_out_{epoch_id}")
         good = validate_fn(observed).observe(
             obs_out, F.count(F.lit(1)).alias("rows")

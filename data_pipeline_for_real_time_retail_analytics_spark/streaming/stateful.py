@@ -195,7 +195,11 @@ def lifetime_totals_tws(
             T.StructField("total", T.DoubleType()),
         ]
     )
-    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
+    if state_ttl_minutes is not None and state_ttl_minutes <= 0:
+        raise ValueError("state_ttl_minutes must be positive when given")
+    ttl_ms = (
+        int(state_ttl_minutes * 60_000) if state_ttl_minutes is not None else None
+    )
 
     class _TotalsProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -216,9 +220,12 @@ def lifetime_totals_tws(
         def close(self) -> None:
             pass
 
+    # state TTL is only legal under processing-time semantics — Spark
+    # raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL if a
+    # TTL'd state variable is created in TimeMode.None
     return df.groupBy(*key_cols).transformWithStateInPandas(
         statefulProcessor=_TotalsProcessor(),
         outputStructType=out_schema,
         outputMode="update",
-        timeMode="None",
+        timeMode="processingTime" if ttl_ms is not None else "None",
     )

@@ -116,6 +116,19 @@ def test_boilerplate_ngrams_matches_python_reference(spark):
         )
 
 
+def test_mixture_missing_stratum_raises(spark):
+    """A target naming a stratum with zero rows makes the mixture
+    infeasible (T = min n_c/p_c = 0); the operator must fail loudly
+    naming the shortfall, not silently renormalize over the strata it
+    found (which would return a sample claiming an unmet mixture)."""
+    df = _strata_df(spark, {"en": 100, "es": 50})
+    out = target_mixture_sample(
+        df, "doc_id", "lang", {"en": 0.5, "zh": 0.5}
+    )
+    with pytest.raises(Exception, match="infeasible"):
+        out.count()
+
+
 def test_mixture_and_quantiles_empty_edges(spark):
     """Empty-input edges: an empty target mixture is a config error
     (raises, instead of Spark's opaque empty-create_map analysis
