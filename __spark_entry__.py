@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics as A
+from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics2 as A2
 from data_pipeline_for_real_time_retail_analytics_spark.plans import curation as CU
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm as L
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm_oracles as LO
@@ -21,6 +22,7 @@ from data_pipeline_for_real_time_retail_analytics_spark.plans import profiling a
 from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
 from data_pipeline_for_real_time_retail_analytics_spark.plans import streamq as SQ
 from data_pipeline_for_real_time_retail_analytics_spark.plans import temporal as TP
+from data_pipeline_for_real_time_retail_analytics_spark.plans import training as TR
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -108,19 +110,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphan_orders": S.q_fk_orphan_orders,
         "customers_without_orders": S.q_customers_without_orders,
         "whole_row_dups_lineitem": S.q_whole_row_dups_lineitem,
-        # clean-file re-proof picks: flagship analytics, validation
-        # engine, mart construction, sessionization
+        # NEW this session: training-data export (plans/training.py —
+        # bigram-LM perplexity, sequence packing, embedding clusters)
+        "lm_perplexity": TR.q_lm_perplexity,
+        "packed_sequences": TR.q_packed_sequences,
+        "embedding_clusters": TR.q_embedding_clusters,
+        # NEW this session: cross-nation trade analytics
+        # (plans/analytics2.py — TPC-H Q7/Q8/Q22 shapes)
+        "volume_shipping": A2.q_volume_shipping,
+        "market_share": A2.q_market_share,
+        "idle_customer_balance": A2.q_idle_customer_balance,
+        # Tail (beyond the driver's 50-query cap): r04 greens whose
+        # implementation files are ALL bit-identical to their green
+        # state (plans/analytics.py, plans/temporal.py,
+        # plans/showcase.py, plans/validation.py, operators/{cdc,
+        # transform,skew,windows,asof}.py carry no r5 edits —
+        # `git diff 5f5e6dc..HEAD`). The six former clean-file re-proof
+        # picks moved here to make room for this session's six new
+        # queries; their provenance argument is unchanged.
         "pricing_summary": A.pricing_summary,
         "revenue_by_segment": A.revenue_by_segment,
         "validation_orders": S.q_validation_orders,
         "profile_customer": S.q_profile_customer,
         "fact_orders": S.q_fact_orders,
         "user_sessions": TP.q_user_sessions,
-        # Tail (beyond the driver's 50-query cap): r04 greens whose
-        # implementation files are ALL bit-identical to their green
-        # state (plans/analytics.py, plans/temporal.py,
-        # plans/showcase.py, operators/{cdc,transform,skew,windows,
-        # asof}.py carry no r5 edits — `git diff 5f5e6dc..HEAD`).
         "top_customers": A.top_customers,
         "order_priority_counts": A.order_priority_counts,
         "revenue_rollup": A.revenue_rollup,
@@ -665,4 +678,12 @@ def oracle_sql() -> dict[str, str]:
         "segment_year_pivot": PF.ORACLES["segment_year_pivot"],
         "events_cube": PF.ORACLES["events_cube"],
         "events_hourly_dense": PF.ORACLES["events_hourly_dense"],
+        # training-data export (plans/training.py)
+        "lm_perplexity": TR.ORACLES["lm_perplexity"],
+        "packed_sequences": TR.ORACLES["packed_sequences"],
+        "embedding_clusters": TR.ORACLES["embedding_clusters"],
+        # cross-nation trade analytics (plans/analytics2.py)
+        "volume_shipping": A2.ORACLES["volume_shipping"],
+        "market_share": A2.ORACLES["market_share"],
+        "idle_customer_balance": A2.ORACLES["idle_customer_balance"],
     }

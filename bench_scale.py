@@ -51,6 +51,9 @@ HEAVY = [
     # the two-pass gram aggregation and the stream-stream join state
     "boilerplate_ngrams",
     "stream_click_purchases",
+    # this session's bigram LM: two corpus explodes + vocabulary-keyed
+    # joins — the term-skew shape the 100 TB argument must survive
+    "lm_perplexity",
 ]
 
 #: id offset per generated copy. Must satisfy

@@ -1,0 +1,122 @@
+"""Training-data-export showcase queries: bigram-LM perplexity scoring,
+sequence packing, and embedding cluster assignment (driver correctness
+gate).
+
+Same pattern as plans/curation.py — new round's queries live in their
+own module so previously-proven queries keep bit-identical backing
+files; oracle SQL mirrors the Spark plan step for step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.embcluster import assign_embedding_clusters
+from ..operators.lm import score_bigram_lm
+from ..operators.packing import pack_sequences
+from ..operators.similarity import ivf_centroids
+from ..operators.textstats import ws_tokens
+from .llm import _docs, _embs
+from .llm_oracles import TOKS, _cosine
+
+#: packing capacity — ~4 synthetic docs (30-40 tokens each) per sequence
+SEQ_LEN = 128
+#: bucket span for the distributed prefix sum (any value → same output)
+BUCKET_SPAN = 64
+#: cluster count for the SemDeDup-style assignment
+N_CLUSTERS = 16
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bits/bigram under the corpus-trained add-0.5 bigram
+    LM (operators/lm.py:score_bigram_lm)."""
+    return score_bigram_lm(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous start-offset packing of the corpus token stream into
+    SEQ_LEN-capacity training sequences
+    (operators/packing.py:pack_sequences)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", seq_len=SEQ_LEN, bucket_span=BUCKET_SPAN
+    ).orderBy("doc_id")
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-cosine assignment of every embedding to the deterministic
+    N_CLUSTERS-seed codebook (operators/embcluster.py)."""
+    embs = _embs(spark, sf_dir)
+    cents = ivf_centroids(embs, n_cells=N_CLUSTERS)
+    return assign_embedding_clusters(embs, cents).orderBy("vec_id")
+
+
+ORACLES: dict[str, str] = {
+    "lm_perplexity": rf"""
+        WITH t AS (SELECT doc_id, {TOKS} AS w FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+                   unnest(list_slice(w, 2, len(w))) AS w2
+            FROM t WHERE len(w) >= 2
+        ),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+        v AS (
+            SELECT COUNT(DISTINCT tk) AS v FROM (
+                SELECT w1 AS tk FROM c12 UNION ALL SELECT w2 FROM c12
+            )
+        ),
+        scored AS (
+            SELECT bg.doc_id,
+                   log2((COALESCE(c12.c12, 0) + 0.5)
+                        / (CAST(COALESCE(c1.c1, 0) AS DOUBLE)
+                           + 0.5 * CAST(v.v AS DOUBLE))) AS lp
+            FROM bg
+            LEFT JOIN c12 USING (w1, w2)
+            LEFT JOIN c1 USING (w1)
+            CROSS JOIN v
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-AVG(lp), 6) AS nll_bits
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    "packed_sequences": rf"""
+        WITH t AS (
+            SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cb
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               cb // {SEQ_LEN} AS seq_id,
+               cb % {SEQ_LEN} AS offset_in_seq
+        FROM c ORDER BY doc_id
+    """,
+    "embedding_clusters": rf"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings ORDER BY vec_id LIMIT {N_CLUSTERS}
+        ),
+        sims AS (
+            SELECT e.vec_id, c.cid,
+                   {_cosine("e.embedding", "c.cv")} AS csim
+            FROM embeddings e CROSS JOIN cents c
+        )
+        SELECT vec_id, cid AS cluster, ROUND(csim, 6) AS centroid_sim
+        FROM sims
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY csim DESC, cid DESC
+        ) = 1
+        ORDER BY vec_id
+    """,
+}
