@@ -158,6 +158,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_customers": S.q_dim_customers,
         "merge_upsert": S.q_merge_upsert,
         "cdc_apply_changes": S.q_cdc_apply_changes,
+        # r5-new but beyond the front-50 budget: proven by the local
+        # parity replica (tests/test_oracle_parity.py) this session;
+        # MUST rotate into the r6 front for a driver row (the 13
+        # re-proof slots free up once CORRECTNESS_r05 lands).
+        "shuffled_shards": TR.q_shuffled_shards,
     }
 
 
@@ -682,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": TR.ORACLES["lm_perplexity"],
         "packed_sequences": TR.ORACLES["packed_sequences"],
         "embedding_clusters": TR.ORACLES["embedding_clusters"],
+        "shuffled_shards": TR.ORACLES["shuffled_shards"],
         # cross-nation trade analytics (plans/analytics2.py)
         "volume_shipping": A2.ORACLES["volume_shipping"],
         "market_share": A2.ORACLES["market_share"],

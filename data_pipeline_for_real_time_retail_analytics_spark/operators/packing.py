@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "shuffle_shards"]
 
 
 def pack_sequences(
@@ -100,4 +100,43 @@ def pack_sequences(
         "n_tokens",
         F.expr(f"cum_before div {seq_len}").alias("seq_id"),
         (F.col("cum_before") % F.lit(seq_len)).alias("offset_in_seq"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int = 16, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every row
+    gets a ``(shard, pos)`` address — shard by id-hash, position by
+    hash order within the shard — so writers emit shards independently
+    and a reader consuming shard 0..n in pos order sees one fixed
+    pseudo-random permutation of the corpus, reproducible across runs,
+    partitionings, and engines (md5 arithmetic, DuckDB-oracle-exact).
+
+    The alternative — ``orderBy(rand(seed))`` — is partitioning-
+    dependent AND needs a global sort; this is one hash per row, one
+    shuffle on shard, and a per-shard window (parallel across shards —
+    at 100 TB pick n_shards ≥ cluster parallelism so no window task
+    owns more than ~corpus/n_shards rows).
+
+    Hash ties (two ids sharing an md5 prefix) break by id, keeping the
+    permutation total and stable.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("sort_key"))
+        .withColumn("shard", F.pmod(F.col("sort_key"), F.lit(n_shards)))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
     )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.embcluster import assign_embedding_clusters
 from ..operators.lm import score_bigram_lm
-from ..operators.packing import pack_sequences
+from ..operators.packing import pack_sequences, shuffle_shards
 from ..operators.similarity import ivf_centroids
 from ..operators.textstats import ws_tokens
 from .llm import _docs, _embs
@@ -26,6 +26,8 @@ SEQ_LEN = 128
 BUCKET_SPAN = 64
 #: cluster count for the SemDeDup-style assignment
 N_CLUSTERS = 16
+#: shard count for the deterministic training-export shuffle
+N_SHARDS = 16
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,7 +56,33 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_embedding_clusters(embs, cents).orderBy("vec_id")
 
 
+def q_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into N_SHARDS export
+    shards (operators/packing.py:shuffle_shards)."""
+    return shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_shards=N_SHARDS
+    ).orderBy("shard", "pos")
+
+
 ORACLES: dict[str, str] = {
+    "shuffled_shards": rf"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(
+                       CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT)
+                       AS sort_key
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, sort_key, sort_key % {N_SHARDS} AS shard
+            FROM keyed
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY sort_key, doc_id
+               ) AS BIGINT) AS pos
+        FROM sh ORDER BY shard, pos
+    """,
     "lm_perplexity": rf"""
         WITH t AS (SELECT doc_id, {TOKS} AS w FROM documents),
         bg AS (

@@ -115,6 +115,42 @@ def test_packing_window_is_bucket_partitioned(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_shuffle_shards_is_total_permutation(spark):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.packing import (
+        shuffle_shards,
+    )
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, "doc_id", n_shards=8).collect()
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # positions are 1..len per shard — gap-free addressing for readers
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic across invocations and partitionings
+    again = shuffle_shards(df.repartition(13), "doc_id", n_shards=8).collect()
+    assert sorted(out) == sorted(again)
+    # a different seed yields a different permutation
+    other = shuffle_shards(df, "doc_id", n_shards=8, seed=1).collect()
+    assert sorted(out) != sorted(other)
+
+
+def test_shuffle_shards_window_is_shard_partitioned(spark):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.packing import (
+        shuffle_shards,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = (
+        shuffle_shards(df, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(shard" in plan
+
+
 def test_packing_rejects_bad_params(spark):
     df = _packing_input(spark)
     with pytest.raises(ValueError):
