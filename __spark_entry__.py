@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MUST rotate into the r6 front for a driver row (the 13
         # re-proof slots free up once CORRECTNESS_r05 lands).
         "shuffled_shards": TR.q_shuffled_shards,
+        "incremental_dedup_new_docs": L.q_incremental_dedup_new_docs,
+        "dedup_survivors": L.q_dedup_survivors,
     }
 
 
@@ -688,6 +690,8 @@ def oracle_sql() -> dict[str, str]:
         "packed_sequences": TR.ORACLES["packed_sequences"],
         "embedding_clusters": TR.ORACLES["embedding_clusters"],
         "shuffled_shards": TR.ORACLES["shuffled_shards"],
+        "incremental_dedup_new_docs": LO.incremental_near_dups(split_at=10_000_000),
+        "dedup_survivors": LO.dedup_survivors(),
         # cross-nation trade analytics (plans/analytics2.py)
         "volume_shipping": A2.ORACLES["volume_shipping"],
         "market_share": A2.ORACLES["market_share"],

@@ -351,18 +351,19 @@ def minhash_band_keys(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
-def minhash_lsh_pairs(
+def _banded_signatures(
     df: DataFrame,
-    num_perm: int = 12,
-    bands: int = 3,
-    threshold: float = 0.5,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    num_perm: int,
+    bands: int,
+    n: int,
+    text_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard
-    verification. ``bands`` must divide ``num_perm``; candidate recall is
-    1-(1-t^rows)^bands for true Jaccard t."""
+    """(id, n_shingles, shingles, band_id, band_key) — the shared
+    MinHash-LSH front half: shingle → signature → exploded band keys.
+    Factored out so the self-join (``minhash_lsh_pairs``) and the
+    incremental new-vs-corpus join (``minhash_lsh_pairs_between``)
+    produce band keys from the identical expression tree."""
     rows = num_perm // bands
     sh = with_shingles(df, n, text_col, id_col)
     # Two-step signature: the md5-derived (h1, h2) pair array stays a
@@ -400,11 +401,12 @@ def minhash_lsh_pairs(
             ),
         ).alias("sig"),
     )
-    # Carry the shingle arrays through the band self-join: both sides are
-    # the IDENTICAL subtree hash-partitioned on (band_id, band_key), so
-    # ReuseExchange computes shingling + signatures ONCE — cheaper than
-    # re-deriving arrays via two extra joins after candidate generation.
-    banded = sig.select(
+    # Carry the shingle arrays through the band join: in the self-join
+    # both sides are the IDENTICAL subtree hash-partitioned on
+    # (band_id, band_key), so ReuseExchange computes shingling +
+    # signatures ONCE — cheaper than re-deriving arrays via two extra
+    # joins after candidate generation.
+    return sig.select(
         id_col,
         "n_shingles",
         "shingles",
@@ -412,6 +414,21 @@ def minhash_lsh_pairs(
             "band_id", "band_key"
         ),
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perm: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard
+    verification. ``bands`` must divide ``num_perm``; candidate recall is
+    1-(1-t^rows)^bands for true Jaccard t."""
+    banded = _banded_signatures(df, num_perm, bands, n, text_col, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -435,6 +452,55 @@ def minhash_lsh_pairs(
     jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
     return (
         cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.round(jac, 4) >= threshold)
+    )
+
+
+def minhash_lsh_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    num_perm: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup detection: (corpus_id, new_id, jaccard) for
+    every NEW document whose shingle Jaccard against an EXISTING corpus
+    document clears ``threshold`` — the daily-ingest shape at 100 TB,
+    where re-deduplicating the whole corpus per batch is off the table.
+
+    Cost: the corpus side pays one banded-signature pass (amortizable:
+    persist its band table and this becomes an index lookup), the new
+    side is batch-sized, and the band equi-join's candidate volume
+    scales with true collisions exactly as in the self-join case. No
+    corpus×corpus or corpus×batch pair ever materializes.
+    """
+    nb = _banded_signatures(new_df, num_perm, bands, n, text_col, id_col)
+    cb = _banded_signatures(corpus_df, num_perm, bands, n, text_col, id_col)
+    c = cb.alias("c")
+    b = nb.alias("b")
+    cand = (
+        c.join(
+            b,
+            (F.col("c.band_id") == F.col("b.band_id"))
+            & (F.col("c.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            F.col(f"b.{id_col}").alias("new_id"),
+            F.col("c.shingles").alias("sh_a"),
+            F.col("c.n_shingles").alias("n_a"),
+            F.col("b.shingles").alias("sh_b"),
+            F.col("b.n_shingles").alias("n_b"),
+        )
+        .dropDuplicates(["corpus_id", "new_id"])
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cand.select("corpus_id", "new_id", F.round(jac, 4).alias("jaccard"))
         .where(F.round(jac, 4) >= threshold)
     )
 

@@ -21,8 +21,10 @@ from ..operators.dedup import (
     contamination_pairs,
     content_hash,
     dedup_clusters,
+    dedup_keep_canonical,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_between,
     ngram_jaccard_pairs,
     plant_near_dups,
     simhash_pairs,
@@ -176,6 +178,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared ``planted_minhash_pairs`` materialization — recomputing it
     was ~85% of this query's round-4 cost."""
     return dedup_clusters(planted_minhash_pairs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: treat the planted mutants (ids ≥ ID_OFFSET) as
+    today's ingest batch and the originals as the standing corpus; emit
+    each new doc's verified near-dups in the corpus
+    (operators/dedup.py:minhash_lsh_pairs_between)."""
+    planted = plant_near_dups(
+        _docs(spark, sf_dir), every=PLANT_EVERY_DOCS, id_offset=ID_OFFSET
+    )
+    new_batch = planted.where(F.col("doc_id") >= ID_OFFSET)
+    corpus = planted.where(F.col("doc_id") < ID_OFFSET)
+    return minhash_lsh_pairs_between(new_batch, corpus).orderBy(
+        "corpus_id", "new_id"
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END PRODUCT: corpus filtered to one representative per
+    near-dup cluster (min id) plus all unclustered docs — composition of
+    the shared pair materialization, connected components, and
+    dedup_keep_canonical (operators/dedup.py:689)."""
+    planted = plant_near_dups(
+        _docs(spark, sf_dir), every=PLANT_EVERY_DOCS, id_offset=ID_OFFSET
+    )
+    clusters = dedup_clusters(planted_minhash_pairs(spark, sf_dir))
+    return (
+        dedup_keep_canonical(planted, clusters)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
 
 
 def q_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

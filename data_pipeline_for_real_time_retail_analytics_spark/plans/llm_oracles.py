@@ -72,10 +72,22 @@ def exact_dedup_docs() -> str:
     """
 
 
-def _minhash_pair_ctes(num_perm: int = 12, bands: int = 3, threshold: float = 0.5) -> str:
+def _minhash_pair_ctes(
+    num_perm: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+    split_at: int | None = None,
+) -> str:
     """Shared CTE chain ending in ``pairs`` = the MinHash-LSH verified
-    near-dup pairs (used by the pairs oracle and the clustering oracle)."""
+    near-dup pairs (used by the pairs oracle and the clustering oracle).
+    With ``split_at``, candidates pair an existing-corpus doc
+    (id < split_at) with a new-batch doc (id >= split_at) instead of the
+    within-corpus self-join — the incremental-dedup oracle twin."""
     rows = num_perm // bands
+    if split_at is None:
+        cand_on = "a.doc_id < b.doc_id"
+    else:
+        cand_on = f"a.doc_id < {split_at} AND b.doc_id >= {split_at}"
     return rf"""{PLANTED}, {SHINGLES},
         hp AS (
             SELECT doc_id,
@@ -104,7 +116,7 @@ def _minhash_pair_ctes(num_perm: int = 12, bands: int = 3, threshold: float = 0.
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM banded a
             JOIN banded b ON a.j = b.j AND a.band_key = b.band_key
-                         AND a.doc_id < b.doc_id
+                         AND {cand_on}
         ),
         ver AS (
             SELECT doc_a, doc_b,
@@ -126,6 +138,46 @@ def minhash_lsh_dupes(num_perm: int = 12, bands: int = 3, threshold: float = 0.5
         WITH {_minhash_pair_ctes(num_perm, bands, threshold)}
         SELECT doc_a, doc_b, jaccard FROM pairs
         ORDER BY doc_a, doc_b
+    """
+
+
+def incremental_near_dups(
+    split_at: int, num_perm: int = 12, bands: int = 3, threshold: float = 0.5
+) -> str:
+    """Twin of dedup.minhash_lsh_pairs_between over the planted corpus
+    split at ``split_at`` (originals = existing corpus, planted mutants
+    = the new batch)."""
+    return rf"""
+        WITH {_minhash_pair_ctes(num_perm, bands, threshold, split_at=split_at)}
+        SELECT doc_a AS corpus_id, doc_b AS new_id, jaccard FROM pairs
+        ORDER BY corpus_id, new_id
+    """
+
+
+def dedup_survivors(num_perm: int = 12, bands: int = 3, threshold: float = 0.5) -> str:
+    """Twin of dedup.dedup_keep_canonical ∘ dedup_clusters: the corpus
+    minus every clustered doc that is not its cluster's min id."""
+    return rf"""
+        WITH RECURSIVE {_minhash_pair_ctes(num_perm, bands, threshold)},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id
+        ),
+        clusters AS (
+            SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        )
+        SELECT c.doc_id, c.source
+        FROM corpus c
+        WHERE c.doc_id NOT IN (
+            SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+        )
+        ORDER BY c.doc_id
     """
 
 

@@ -85,6 +85,49 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
     assert got[(0, 4)] == 1.0  # identical docs always collide in every band
 
 
+def test_incremental_pairs_find_new_vs_corpus_only(spark, docs):
+    """New-batch docs match their corpus near-dups; no corpus×corpus or
+    new×new pair ever appears, and the jaccard values agree with the
+    self-join formulation on the same underlying pairs."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+    )
+
+    planted = plant_near_dups(docs, every=2, id_offset=100)
+    new_batch = planted.where(planted.doc_id >= 100)
+    corpus = planted.where(planted.doc_id < 100)
+    got = {
+        (r["corpus_id"], r["new_id"]): r["jaccard"]
+        for r in minhash_lsh_pairs_between(
+            new_batch, corpus, threshold=0.1
+        ).collect()
+    }
+    assert got, "planted mutants must collide with their originals"
+    assert all(c < 100 <= n for c, n in got)
+    self_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(planted, threshold=0.1).collect()
+    }
+    for (c, n), j in got.items():
+        assert self_pairs.get((c, n)) == j
+
+
+def test_dedup_keep_canonical_drops_only_non_canonical(spark, docs):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_canonical,
+    )
+
+    planted = plant_near_dups(docs, every=2, id_offset=100)
+    pairs = minhash_lsh_pairs(planted, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    survivors = {r["doc_id"] for r in dedup_keep_canonical(planted, clusters).collect()}
+    clustered = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    all_ids = {r["doc_id"] for r in planted.select("doc_id").collect()}
+    expect = {i for i in all_ids if clustered.get(i, i) == i}
+    assert survivors == expect
+
+
 def test_simhash_identical_docs_distance_zero(spark, docs):
     sh = {r["doc_id"]: r["sh"] for r in simhash_table(docs).collect()}
     assert sh[0] == sh[4]
