@@ -32,6 +32,20 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, capsys):
     assert "raw docs:" in out and "chunks:" in out
 
 
+def test_training_export_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["training_export_example.py", sf_dir]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/training_export_example.py", run_name="__main__"
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "admitted:" in out and "packed sequences:" in out
+
+
 def test_extraction_validation_example_runs(spark, sf_dir, capsys):
     argv = sys.argv
     sys.argv = ["extraction_validation_example.py", sf_dir]
