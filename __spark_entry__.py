@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics as A
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics2 as A2
+from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics3 as A3
 from data_pipeline_for_real_time_retail_analytics_spark.plans import curation as CU
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm as L
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm_oracles as LO
@@ -23,6 +24,7 @@ from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as
 from data_pipeline_for_real_time_retail_analytics_spark.plans import streamq as SQ
 from data_pipeline_for_real_time_retail_analytics_spark.plans import temporal as TP
 from data_pipeline_for_real_time_retail_analytics_spark.plans import training as TR
+from data_pipeline_for_real_time_retail_analytics_spark.plans import training2 as TR2
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -165,6 +167,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffled_shards": TR.q_shuffled_shards,
         "incremental_dedup_new_docs": L.q_incremental_dedup_new_docs,
         "dedup_survivors": L.q_dedup_survivors,
+        # r5-new batch 3 (plans/analytics3.py + plans/training2.py — new
+        # files, no touched-file fallout): proven by the local parity
+        # replica this session; MUST front-rotate in r6 alongside the
+        # three queries above.
+        "min_cost_supplier": A3.q_min_cost_supplier,
+        "important_parts": A3.q_important_parts,
+        "supplier_diversity": A3.q_supplier_diversity,
+        "promo_excess_suppliers": A3.q_promo_excess_suppliers,
+        "customer_rfm": A3.q_customer_rfm,
+        "lang_temperature_sample": TR2.q_lang_temperature_sample,
+        "quality_quota_prune": TR2.q_quality_quota_prune,
+        "dup_rate_by_source": TR2.q_dup_rate_by_source,
     }
 
 
@@ -696,4 +710,14 @@ def oracle_sql() -> dict[str, str]:
         "volume_shipping": A2.ORACLES["volume_shipping"],
         "market_share": A2.ORACLES["market_share"],
         "idle_customer_balance": A2.ORACLES["idle_customer_balance"],
+        # procurement / RFM analytics (plans/analytics3.py)
+        "min_cost_supplier": A3.ORACLES["min_cost_supplier"],
+        "important_parts": A3.ORACLES["important_parts"],
+        "supplier_diversity": A3.ORACLES["supplier_diversity"],
+        "promo_excess_suppliers": A3.ORACLES["promo_excess_suppliers"],
+        "customer_rfm": A3.ORACLES["customer_rfm"],
+        # training-corpus composition, batch 2 (plans/training2.py)
+        "lang_temperature_sample": TR2.ORACLES["lang_temperature_sample"],
+        "quality_quota_prune": TR2.ORACLES["quality_quota_prune"],
+        "dup_rate_by_source": TR2.ORACLES["dup_rate_by_source"],
     }

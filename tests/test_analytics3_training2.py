@@ -1,0 +1,156 @@
+"""plans/analytics3.py + plans/training2.py — semantics and plan-shape
+pins for the r5 batch-3 queries (procurement/RFM analytics, temperature
+sampling, quality quota, dup-rate report). Value-level parity with the
+DuckDB twins is covered by tests/test_oracle_parity.py; these tests pin
+the invariants parity can't see (plan shapes, scale policies, and the
+operator contracts a refactor could silently break)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics3 as A3
+from data_pipeline_for_real_time_retail_analytics_spark.plans import training2 as TR2
+
+
+def _final_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- analytics3 ----------------------------------------------------------------
+
+
+def test_min_cost_supplier_rank_window_is_per_part(spark, sf_dir):
+    """The correlated-min must run as a window partitioned by part key —
+    a global (unpartitioned) sort would serialize at scale."""
+    df = A3.q_min_cost_supplier(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan
+    assert "windowspecdefinition(l_partkey" in plan
+    out = {r.p_partkey: r for r in df.collect()}
+    assert len(out) > 0
+    # exactly one supplier per part survives
+    assert len(out) == df.select("p_partkey").distinct().count()
+
+
+def test_min_cost_supplier_is_regional_minimum(spark, sf_dir):
+    """Cross-check the window rank against a groupBy-min formulation."""
+    df = A3.q_min_cost_supplier(spark, sf_dir)
+    via_min = (
+        df.sparkSession.createDataFrame(df.collect())
+        .groupBy("p_partkey")
+        .agg(F.min("supply_value").alias("mn"))
+    )
+    joined = df.join(via_min, "p_partkey")
+    assert joined.where(F.col("supply_value") > F.col("mn")).count() == 0
+
+
+def test_important_parts_threshold_is_scalar_broadcast(spark, sf_dir):
+    """The Q11 global total must be a one-row broadcast, never a per-row
+    subquery; the filter output must be non-empty at test SF (the
+    scale-invariant mean-multiple threshold)."""
+    df = A3.q_important_parts(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.value_share > 0 for r in rows)
+
+
+def test_supplier_diversity_not_in_is_anti_join(spark, sf_dir):
+    plan = _final_plan(A3.q_supplier_diversity(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_excess_suppliers_filters_before_join(spark, sf_dir):
+    """Ship-date predicate must reach the lineitem scan (partition/
+    row-group pruning at scale) and the part type filter its scan."""
+    df = A3.q_promo_excess_suppliers(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert df.where(F.col("promo_qty_1997") <= A3.EXCESS_QTY).count() == 0
+
+
+def test_customer_rfm_quartiles_are_balanced(spark, sf_dir):
+    """ntile(4) must produce near-equal quartiles (±1) on each metric,
+    and the rfm_code must agree with its components."""
+    rows = A3.q_customer_rfm(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r_q", "f_q", "m_q"):
+        counts = {}
+        for r in rows:
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert sorted(counts) == [1, 2, 3, 4]
+        assert max(counts.values()) - min(counts.values()) <= 1
+    for r in rows[:50]:
+        assert r.rfm_code == f"{r.r_q}{r.f_q}{r.m_q}"
+
+
+# -- training2 -----------------------------------------------------------------
+
+
+def test_temperature_sample_upweights_rare_langs(spark, sf_dir):
+    """α=0.5 must compress the language distribution: every language's
+    sampled share sits between its raw share and uniform. Practically:
+    rare languages keep a HIGHER fraction of their docs than the head
+    language, and no threshold exceeds the bucket count."""
+    rows = {r.lang: r for r in TR2.q_lang_temperature_sample(spark, sf_dir).collect()}
+    assert set(rows) == {"en", "de", "es", "fr", "zh"}
+    head = max(rows.values(), key=lambda r: r.n_docs)
+    for r in rows.values():
+        assert 0 <= r.thr <= 10_000
+        if r.n_docs < head.n_docs:
+            # keep-rate (thr) monotone decreasing in language size
+            assert r.thr >= head.thr
+    # weights are a probability vector over the integerized normalizer
+    assert abs(sum(r.weight for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_temperature_sample_plan_has_no_collect_sized_exchange(spark, sf_dir):
+    """Thresholds must come back as a broadcast — the doc-side join must
+    not shuffle the corpus on lang (5 groups = maximal skew)."""
+    plan = _final_plan(TR2.q_lang_temperature_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_quota_keeps_top_40_pct_per_source(spark, sf_dir):
+    df = TR2.q_quality_quota_prune(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.llm import _docs
+
+    totals = {
+        r.source: r.n
+        for r in _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, kept in per_src.items():
+        quota = (totals[src] * TR2.KEEP_NUM + TR2.KEEP_DEN - 1) // TR2.KEEP_DEN
+        assert len(kept) == quota, f"{src}: kept {len(kept)} != quota {quota}"
+        # ranks are exactly 1..quota (contiguous — the cut is rank-based)
+        assert sorted(r.q_rank for r in kept) == list(range(1, quota + 1))
+
+
+def test_quality_quota_window_is_source_partitioned(spark, sf_dir):
+    plan = TR2.q_quality_quota_prune(spark, sf_dir)._jdf.queryExecution()
+    s = plan.executedPlan().toString()
+    assert "windowspecdefinition(source" in s
+
+
+def test_dup_rate_by_source_counts_planted_mutants(spark, sf_dir):
+    """Every source receives planted mutants (doc_id % 25 == 0 spreads
+    across all 20 sources), so every source must show dup pressure > 0,
+    and n_dup_docs can never exceed n_docs."""
+    rows = TR2.q_dup_rate_by_source(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert r.dup_rate == pytest.approx(r.n_dup_docs / r.n_docs, abs=1e-4)
+    assert sum(r.n_dup_docs for r in rows) > 0
