@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics as A
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics2 as A2
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics3 as A3
+from data_pipeline_for_real_time_retail_analytics_spark.plans import behavior as BH
 from data_pipeline_for_real_time_retail_analytics_spark.plans import curation as CU
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm as L
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm_oracles as LO
@@ -179,6 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_temperature_sample": TR2.q_lang_temperature_sample,
         "quality_quota_prune": TR2.q_quality_quota_prune,
         "dup_rate_by_source": TR2.q_dup_rate_by_source,
+        "cohort_retention": BH.q_cohort_retention,
+        "basket_pairs": BH.q_basket_pairs,
     }
 
 
@@ -720,4 +723,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_temperature_sample": TR2.ORACLES["lang_temperature_sample"],
         "quality_quota_prune": TR2.ORACLES["quality_quota_prune"],
         "dup_rate_by_source": TR2.ORACLES["dup_rate_by_source"],
+        # behavioral retail analytics (plans/behavior.py)
+        "cohort_retention": BH.ORACLES["cohort_retention"],
+        "basket_pairs": BH.ORACLES["basket_pairs"],
     }

@@ -1,0 +1,197 @@
+"""Behavioral retail analytics — cohort retention and market-basket
+affinity (driver correctness gate).
+
+Beyond the reference's mart layer but standard retail-analytics surface;
+kept in their own module by the rotation rule (files backing proven
+queries stay bit-identical).
+
+Cross-engine determinism: counts and integer month arithmetic
+throughout; the two ratio outputs (retention_rate, lift) are each ONE
+IEEE double op over exact integers, then rounded — no float
+accumulation anywhere.
+
+Plan notes (the 100 TB shapes):
+* `cohort_retention`: first-seen month is a per-user MIN aggregate
+  (partial-aggregated, uniform user_id shuffle), joined back to the
+  user-month activity grid — two shuffles on user_id total, then a
+  small (months²) aggregate. No window over the raw event stream.
+* `basket_pairs`: the per-order self-join is bounded by basket size
+  (≤ ~7 lineitems/order in TPC-H-like data, bounded by assortment
+  behavior generally), so candidate pairs grow linearly with orders,
+  never quadratically with the table; pair support then aggregates on
+  the (a, b) key. Item-frequency side is part-cardinality-sized and
+  joined twice by key (AQE free to broadcast it — it is NOT hinted,
+  since the part dimension scales with SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+#: basket-pair report: minimum co-occurrence support
+MIN_SUPPORT = 3
+#: basket-pair report size
+TOP_PAIRS = 100
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention over the event stream: users grouped by
+    first-seen month; for each (cohort month, months-since) offset, how
+    many of the cohort were active — the classic retention triangle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("month")
+    )
+    user_months = ev.distinct()
+    first_seen = user_months.groupBy("user_id").agg(
+        F.min("month").alias("cohort_month")
+    )
+    cohort_sizes = first_seen.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = (
+        user_months.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("month") - F.year("cohort_month")) * 12
+                + (F.month("month") - F.month("cohort_month"))
+            ).alias("months_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        activity.join(cohort_sizes, "cohort_month")
+        .select(
+            F.col("cohort_month").cast("timestamp").alias("cohort_month"),
+            "months_since",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+                4,
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the TOP_PAIRS most frequently co-ordered
+    part pairs with support ≥ MIN_SUPPORT and their lift
+    (support·N / (freq_a·freq_b)). The self-join is per-order (bounded
+    basket), so candidates scale linearly with order count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= MIN_SUPPORT)
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("freq"))
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("freq").alias("freq_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("freq").alias("freq_b")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .join(F.broadcast(n_orders), how="cross")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "freq_a",
+            "freq_b",
+            F.round(
+                (F.col("support").cast("double") * F.col("n_orders"))
+                / (F.col("freq_a").cast("double") * F.col("freq_b").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(TOP_PAIRS)
+    )
+
+
+ORACLES: dict[str, str] = {
+    "cohort_retention": """
+        WITH user_months AS (
+            SELECT DISTINCT user_id, date_trunc('month', ts) AS month
+            FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(month) AS cohort_month
+            FROM user_months GROUP BY user_id
+        ),
+        cohort_sizes AS (
+            SELECT cohort_month, COUNT(*) AS cohort_size
+            FROM first_seen GROUP BY cohort_month
+        ),
+        activity AS (
+            SELECT f.cohort_month,
+                   (year(u.month) - year(f.cohort_month)) * 12
+                   + (month(u.month) - month(f.cohort_month)) AS months_since,
+                   COUNT(*) AS n_active
+            FROM user_months u JOIN first_seen f ON u.user_id = f.user_id
+            GROUP BY f.cohort_month,
+                     (year(u.month) - year(f.cohort_month)) * 12
+                     + (month(u.month) - month(f.cohort_month))
+        )
+        SELECT CAST(a.cohort_month AS TIMESTAMP) AS cohort_month,
+               CAST(a.months_since AS INT) AS months_since,
+               a.n_active, c.cohort_size,
+               ROUND(CAST(a.n_active AS DOUBLE)
+                     / CAST(c.cohort_size AS DOUBLE), 4) AS retention_rate
+        FROM activity a JOIN cohort_sizes c ON a.cohort_month = c.cohort_month
+        ORDER BY cohort_month, months_since
+    """,
+    "basket_pairs": f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS support
+            FROM baskets a
+            JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {MIN_SUPPORT}
+        ),
+        n AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+            FROM baskets
+        ),
+        freq AS (
+            SELECT l_partkey, COUNT(*) AS freq FROM baskets GROUP BY l_partkey
+        )
+        SELECT p.part_a, p.part_b, p.support,
+               fa.freq AS freq_a, fb.freq AS freq_b,
+               ROUND((CAST(p.support AS DOUBLE) * n.n_orders)
+                     / (CAST(fa.freq AS DOUBLE) * CAST(fb.freq AS DOUBLE)), 4)
+                   AS lift
+        FROM pairs p
+        JOIN freq fa ON p.part_a = fa.l_partkey
+        JOIN freq fb ON p.part_b = fb.l_partkey
+        CROSS JOIN n
+        ORDER BY p.support DESC, p.part_a, p.part_b
+        LIMIT {TOP_PAIRS}
+    """,
+}

@@ -154,3 +154,36 @@ def test_dup_rate_by_source_counts_planted_mutants(spark, sf_dir):
         assert 0 <= r.n_dup_docs <= r.n_docs
         assert r.dup_rate == pytest.approx(r.n_dup_docs / r.n_docs, abs=1e-4)
     assert sum(r.n_dup_docs for r in rows) > 0
+
+
+# -- behavior ------------------------------------------------------------------
+
+
+def test_cohort_retention_month_zero_is_full(spark, sf_dir):
+    """Every cohort's months_since=0 row must cover the whole cohort
+    (retention 1.0 by construction), and rates never exceed 1."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import behavior as BH
+
+    rows = BH.q_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.retention_rate <= 1.0
+        if r.months_since == 0:
+            assert r.n_active == r.cohort_size
+
+
+def test_basket_pairs_self_join_is_keyed(spark, sf_dir):
+    """The pair generator must be an equi-join on the order key (bounded
+    per-basket fan-out) — never a cartesian — and lift must be positive
+    with support ≥ the floor."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import behavior as BH
+
+    df = BH.q_basket_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.support >= BH.MIN_SUPPORT
+        assert r.part_a < r.part_b
+        assert r.lift > 0
