@@ -54,6 +54,13 @@ HEAVY = [
     # this session's bigram LM: two corpus explodes + vocabulary-keyed
     # joins — the term-skew shape the 100 TB argument must survive
     "lm_perplexity",
+    # r5 batch-3 additions with a genuine scale question: the per-order
+    # self-join (bounded-basket claim), the events-wide cohort grid, and
+    # the two corpus-composition passes
+    "basket_pairs",
+    "cohort_retention",
+    "dup_rate_by_source",
+    "quality_quota_prune",
 ]
 
 #: id offset per generated copy. Must satisfy
@@ -108,6 +115,23 @@ def build_scaled_dir(spark: SparkSession, out_dir: str, scale: int) -> None:
         scaled_events = c if scaled_events is None else scaled_events.unionByName(c)
     scaled_events.coalesce(16).write.mode("overwrite").parquet(
         f"{out_dir}/events.parquet"
+    )
+
+    # lineitem for basket_pairs: copies offset the ORDER key only, so
+    # each copy contributes its own baskets (pair supports scale
+    # linearly with order count — exactly how order volume grows) while
+    # the part assortment stays fixed, as a real catalog would.
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    scaled_li = None
+    for k in range(scale):
+        c = lineitem
+        if k:
+            c = c.withColumn(
+                "l_orderkey", F.col("l_orderkey") + k * COPY_OFFSET * 100
+            )
+        scaled_li = c if scaled_li is None else scaled_li.unionByName(c)
+    scaled_li.coalesce(16).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
     )
 
 
