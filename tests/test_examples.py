@@ -57,3 +57,17 @@ def test_extraction_validation_example_runs(spark, sf_dir, capsys):
     finally:
         sys.argv = argv
     assert "quality" in capsys.readouterr().out.lower()
+
+
+def test_retail_segmentation_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["retail_segmentation_example.py", sf_dir]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/retail_segmentation_example.py", run_name="__main__"
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "top RFM cells:" in out and "month-1 retention by cohort:" in out
