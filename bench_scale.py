@@ -75,6 +75,25 @@ def build_scaled_dir(spark: SparkSession, out_dir: str, scale: int) -> None:
     from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
 
     os.makedirs(out_dir, exist_ok=True)
+
+    # Guard EVERY per-copy id offset, not just the documented doc_id one:
+    # a base dir whose max id reaches the next copy's offset silently
+    # merges copies (baskets/users collide) and corrupts the ratios
+    # being measured, with no error.
+    limits = {
+        ("documents", "doc_id"): COPY_OFFSET,
+        ("events", "event_id"): COPY_OFFSET * 10,
+        ("events", "user_id"): COPY_OFFSET,
+        ("lineitem", "l_orderkey"): COPY_OFFSET * 100,
+    }
+    for (table, col), per_copy in limits.items():
+        mx = load_table(spark, SF_DIR, table).agg(F.max(col)).first()[0]
+        if mx >= per_copy:
+            raise SystemExit(
+                f"base {table}.{col} max {mx} >= per-copy offset {per_copy}: "
+                "copies would collide — raise COPY_OFFSET for this base dir"
+            )
+
     docs = load_table(spark, SF_DIR, "documents")
     scaled_docs = None
     for k in range(scale):

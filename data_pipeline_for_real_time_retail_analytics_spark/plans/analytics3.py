@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .analytics2 import _dec  # shared exact-decimal cast policy
 
 #: Q2 analog parameters — procurement region & part segment
 PROC_REGION = "EUROPE"
@@ -54,10 +55,6 @@ DIVERSITY_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
 EXCESS_QTY = 300
 #: RFM anchor — recency measured back from this date
 RFM_ANCHOR = "1999-01-01"
-
-
-def _dec(col: str, p: int = 12, s: int = 2) -> F.Column:
-    return F.col(col).cast(f"decimal({p},{s})")
 
 
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:

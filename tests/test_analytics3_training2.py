@@ -27,22 +27,49 @@ def test_min_cost_supplier_rank_window_is_per_part(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "row_number" in plan
     assert "windowspecdefinition(l_partkey" in plan
-    out = {r.p_partkey: r for r in df.collect()}
-    assert len(out) > 0
-    # exactly one supplier per part survives
-    assert len(out) == df.select("p_partkey").distinct().count()
+    n = df.count()
+    assert n > 0
+    # exactly one supplier per part survives (total rows, not a dict
+    # keyed by part — that would dedup and hide a broken rk==1 filter)
+    assert n == df.select("p_partkey").distinct().count()
 
 
 def test_min_cost_supplier_is_regional_minimum(spark, sf_dir):
-    """Cross-check the window rank against a groupBy-min formulation."""
+    """Cross-check the window rank against an INDEPENDENT groupBy-min
+    over the pre-window candidate set (rebuilt from the raw tables) —
+    a rank-direction regression must fail here."""
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
     df = A3.q_min_cost_supplier(spark, sf_dir)
-    via_min = (
-        df.sparkSession.createDataFrame(df.collect())
-        .groupBy("p_partkey")
-        .agg(F.min("supply_value").alias("mn"))
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == A3.PROC_TYPE) & (F.col("p_size") >= A3.PROC_MIN_SIZE)
     )
-    joined = df.join(via_min, "p_partkey")
-    assert joined.where(F.col("supply_value") > F.col("mn")).count() == 0
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == A3.PROC_REGION
+    )
+    candidates = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("cand_value")
+        )
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    expected_min = candidates.groupBy("l_partkey").agg(
+        F.min("cand_value").alias("mn")
+    )
+    joined = df.join(
+        expected_min, df.p_partkey == expected_min.l_partkey, "inner"
+    )
+    assert joined.count() == df.count()
+    assert joined.where(F.col("supply_value") != F.col("mn")).count() == 0
 
 
 def test_important_parts_threshold_is_scalar_broadcast(spark, sf_dir):
@@ -51,7 +78,10 @@ def test_important_parts_threshold_is_scalar_broadcast(spark, sf_dir):
     scale-invariant mean-multiple threshold)."""
     df = A3.q_important_parts(spark, sf_dir)
     plan = _final_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the one-row total joins via BroadcastNestedLoopJoin specifically —
+    # a generic BroadcastExchange match would be satisfied by the
+    # unrelated part-dimension join and pin nothing
+    assert "BroadcastNestedLoopJoin" in plan
     rows = df.collect()
     assert len(rows) > 0
     assert all(r.value_share > 0 for r in rows)
