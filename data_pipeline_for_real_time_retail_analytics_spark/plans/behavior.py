@@ -11,10 +11,10 @@ IEEE double op over exact integers, then rounded — no float
 accumulation anywhere.
 
 Plan notes (the 100 TB shapes):
-* `cohort_retention`: first-seen month is a per-user MIN aggregate
+* `cohort_retention`: first-seen week is a per-user MIN aggregate
   (partial-aggregated, uniform user_id shuffle), joined back to the
-  user-month activity grid — two shuffles on user_id total, then a
-  small (months²) aggregate. No window over the raw event stream.
+  user-week activity grid — two shuffles on user_id total, then a
+  small (weeks²) aggregate. No window over the raw event stream.
 * `basket_pairs`: the per-order self-join is bounded by basket size
   (≤ ~7 lineitems/order in TPC-H-like data, bounded by assortment
   behavior generally), so candidate pairs grow linearly with orders,
@@ -38,35 +38,41 @@ TOP_PAIRS = 100
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly cohort retention over the event stream: users grouped by
-    first-seen month; for each (cohort month, months-since) offset, how
-    many of the cohort were active — the classic retention triangle."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("month", F.col("ts")).alias("month")
+    """Weekly repurchase-retention triangle: customers cohorted by
+    first-PURCHASE week; for each (cohort week, weeks-since) offset, how
+    many purchased again. Purchase cohorts + weekly grain on purpose:
+    the synthetic events span one calendar month and every user has
+    some activity from day 1, so monthly or any-event cohorts collapse
+    to a single all-1.0 row and the oracle proves nothing — purchases
+    are sparse enough to spread first-purchase weeks and decay the
+    off-diagonals. A real deployment picks cohort event and grain to
+    match its horizon the same way. weeks_since is exact integer
+    arithmetic (day diff of week-aligned dates div 7)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
     )
-    user_months = ev.distinct()
-    first_seen = user_months.groupBy("user_id").agg(
-        F.min("month").alias("cohort_month")
+    user_weeks = ev.distinct()
+    first_seen = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
     )
-    cohort_sizes = first_seen.groupBy("cohort_month").agg(
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
     activity = (
-        user_months.join(first_seen, "user_id")
+        user_weeks.join(first_seen, "user_id")
         .groupBy(
-            "cohort_month",
-            (
-                (F.year("month") - F.year("cohort_month")) * 12
-                + (F.month("month") - F.month("cohort_month"))
-            ).alias("months_since"),
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").alias("weeks_since"),
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
     return (
-        activity.join(cohort_sizes, "cohort_month")
+        activity.join(cohort_sizes, "cohort_week")
         .select(
-            F.col("cohort_month").cast("timestamp").alias("cohort_month"),
-            "months_since",
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            F.col("weeks_since").cast("int").alias("weeks_since"),
             "n_active",
             "cohort_size",
             F.round(
@@ -75,7 +81,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("retention_rate"),
         )
-        .orderBy("cohort_month", "months_since")
+        .orderBy("cohort_week", "weeks_since")
     )
 
 
@@ -132,35 +138,33 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES: dict[str, str] = {
     "cohort_retention": """
-        WITH user_months AS (
-            SELECT DISTINCT user_id, date_trunc('month', ts) AS month
-            FROM events
+        WITH user_weeks AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events WHERE event_type = 'purchase'
         ),
         first_seen AS (
-            SELECT user_id, MIN(month) AS cohort_month
-            FROM user_months GROUP BY user_id
+            SELECT user_id, MIN(week) AS cohort_week
+            FROM user_weeks GROUP BY user_id
         ),
         cohort_sizes AS (
-            SELECT cohort_month, COUNT(*) AS cohort_size
-            FROM first_seen GROUP BY cohort_month
+            SELECT cohort_week, COUNT(*) AS cohort_size
+            FROM first_seen GROUP BY cohort_week
         ),
         activity AS (
-            SELECT f.cohort_month,
-                   (year(u.month) - year(f.cohort_month)) * 12
-                   + (month(u.month) - month(f.cohort_month)) AS months_since,
+            SELECT f.cohort_week,
+                   datediff('day', f.cohort_week, u.week) // 7 AS weeks_since,
                    COUNT(*) AS n_active
-            FROM user_months u JOIN first_seen f ON u.user_id = f.user_id
-            GROUP BY f.cohort_month,
-                     (year(u.month) - year(f.cohort_month)) * 12
-                     + (month(u.month) - month(f.cohort_month))
+            FROM user_weeks u JOIN first_seen f ON u.user_id = f.user_id
+            GROUP BY f.cohort_week,
+                     datediff('day', f.cohort_week, u.week) // 7
         )
-        SELECT CAST(a.cohort_month AS TIMESTAMP) AS cohort_month,
-               CAST(a.months_since AS INT) AS months_since,
+        SELECT CAST(a.cohort_week AS TIMESTAMP) AS cohort_week,
+               CAST(a.weeks_since AS INT) AS weeks_since,
                a.n_active, c.cohort_size,
                ROUND(CAST(a.n_active AS DOUBLE)
                      / CAST(c.cohort_size AS DOUBLE), 4) AS retention_rate
-        FROM activity a JOIN cohort_sizes c ON a.cohort_month = c.cohort_month
-        ORDER BY cohort_month, months_since
+        FROM activity a JOIN cohort_sizes c ON a.cohort_week = c.cohort_week
+        ORDER BY cohort_week, weeks_since
     """,
     "basket_pairs": f"""
         WITH baskets AS (

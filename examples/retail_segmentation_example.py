@@ -55,10 +55,10 @@ def main() -> None:
     # 3. cohort retention: is engagement decaying faster for newer
     #    cohorts? (read the triangle's first off-diagonal)
     retention = q_cohort_retention(spark, sf_dir)
-    m1 = retention.where(F.col("months_since") == 1).orderBy("cohort_month")
-    print("month-1 retention by cohort:")
-    for row in m1.collect():
-        print(f"  {row.cohort_month:%Y-%m}: {row.retention_rate:.3f}")
+    w1 = retention.where(F.col("weeks_since") == 1).orderBy("cohort_week")
+    print("week-1 retention by cohort:")
+    for row in w1.collect():
+        print(f"  {row.cohort_week:%Y-%m-%d}: {row.retention_rate:.3f}")
 
     # 4. market-basket: what do frequently co-ordered parts look like —
     #    the cross-sell candidates for the win-back campaign

@@ -189,17 +189,29 @@ def test_dup_rate_by_source_counts_planted_mutants(spark, sf_dir):
 # -- behavior ------------------------------------------------------------------
 
 
-def test_cohort_retention_month_zero_is_full(spark, sf_dir):
-    """Every cohort's months_since=0 row must cover the whole cohort
-    (retention 1.0 by construction), and rates never exceed 1."""
+def test_cohort_retention_week_zero_is_full(spark, sf_dir):
+    """Every cohort's weeks_since=0 row must cover the whole cohort
+    (retention 1.0 by construction), rates never exceed 1, and the
+    triangle must be non-trivial (≥2 cohorts and ≥2 offsets — a single
+    row would mean the grain is too coarse for the data's span, the
+    failure mode that forced the weekly grain)."""
     from data_pipeline_for_real_time_retail_analytics_spark.plans import behavior as BH
 
     rows = BH.q_cohort_retention(spark, sf_dir).collect()
-    assert rows
     for r in rows:
         assert 0 < r.retention_rate <= 1.0
-        if r.months_since == 0:
+        if r.weeks_since == 0:
             assert r.n_active == r.cohort_size
+    # Non-triviality needs the oracle-gate SF: sf0.001 has only 15
+    # purchasers, all first-purchasing in week 1. At sf0.01 the
+    # triangle must have ≥2 cohorts, ≥2 offsets, and real decay — an
+    # all-1.0 single-cohort result means the cohort event is too dense
+    # to measure anything (the failure mode that forced purchase
+    # cohorts + weekly grain).
+    rows01 = BH.q_cohort_retention(spark, "/root/testdata/sf0.01").collect()
+    assert len({r.cohort_week for r in rows01}) >= 2
+    assert len({r.weeks_since for r in rows01}) >= 2
+    assert any(r.retention_rate < 1.0 for r in rows01)
 
 
 def test_basket_pairs_self_join_is_keyed(spark, sf_dir):

@@ -70,4 +70,4 @@ def test_retail_segmentation_example_runs(spark, sf_dir, capsys):
     finally:
         sys.argv = argv
     out = capsys.readouterr().out
-    assert "top RFM cells:" in out and "month-1 retention by cohort:" in out
+    assert "top RFM cells:" in out and "week-1 retention by cohort:" in out
