@@ -84,11 +84,23 @@ class WarehouseSink:
         except Exception:  # pragma: no cover - cleanup is best-effort
             pass
 
-    def load(self, df: DataFrame, target_table: str, mode: str = "append") -> LoadResult:
-        """mode: append | overwrite (reference load modes, base.py:118)."""
+    def load(
+        self,
+        df: DataFrame,
+        target_table: str,
+        mode: str = "append",
+        count_rows: bool = True,
+    ) -> LoadResult:
+        """mode: append | overwrite (reference load modes, base.py:118).
+
+        ``count_rows=True`` (default — the reference's LoadResult reports
+        rows_loaded) runs a pre-write ``df.count()``, executing the input
+        plan twice. Pass ``count_rows=False`` on large loads to skip the
+        extra pass; ``rows_loaded`` is then -1 = unknown (same contract
+        as ``load_partitioned``/``load_clustered``)."""
         name = self._qualified(target_table)
         try:
-            n = df.count()
+            n = df.count() if count_rows else -1
             if mode == "overwrite":
                 self._sweep_stale_location(name)
             df.write.format(self.fmt).mode(mode).saveAsTable(name)
@@ -104,16 +116,22 @@ class WarehouseSink:
         n_buckets: int,
         sort_cols: list[str] | None = None,
         mode: str = "overwrite",
+        count_rows: bool = False,
     ) -> LoadResult:
         """Write a catalog table hash-bucketed (and optionally sorted) on
         the join/merge keys. Two tables bucketed the same way join with
         ZERO shuffle — at 100 TB this is how fact⋈fact joins and the
         incremental merge anti-join avoid re-shuffling the big table
         every batch (see tests/test_plans_physical.py for the
-        no-Exchange proof)."""
+        no-Exchange proof).
+
+        Row counting is opt-in (``count_rows=True`` runs the input plan
+        an extra time — real money on the bucketed fact-table writes
+        this API targets); otherwise ``rows_loaded`` is the documented
+        -1 = unknown sentinel."""
         name = self._qualified(target_table)
         try:
-            n = df.count()
+            n = df.count() if count_rows else -1
             writer = df.write.format(self.fmt).mode(mode).bucketBy(
                 n_buckets, *bucket_cols
             )

@@ -60,10 +60,15 @@ def main() -> None:
     )
 
     # 2. corpus-LM surprise gate: drop the most boilerplate-like tail
-    #    (lowest bits/bigram) — they add tokens, not information
+    #    (lowest bits/bigram) — they add tokens, not information.
+    #    score_bigram_lm emits no row for docs with <2 tokens, so LEFT
+    #    join the scores and keep unscored docs explicitly: only a
+    #    measured low-surprise score rejects a doc, absence never does.
     scored = score_bigram_lm(corpus.unionByName(fresh))
-    admitted = fresh.join(
-        scored.where(F.col("nll_bits") > 1.0).select("doc_id"), "doc_id"
+    admitted = (
+        fresh.join(scored.select("doc_id", "nll_bits"), "doc_id", "left")
+        .where(F.col("nll_bits").isNull() | (F.col("nll_bits") > 1.0))
+        .drop("nll_bits")
     )
 
     # 3. pack the admitted docs into fixed-capacity training sequences

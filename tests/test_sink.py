@@ -150,3 +150,48 @@ def test_load_clustered_disjoint_sorted_files(spark, sink, tmp_path):
         assert hi1 < lo2, "file key ranges overlap — no skipping possible"
     # nothing lost in the re-layout
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_load_paths_execute_input_plan_once_when_not_counting(spark, sink):
+    """count_rows=False must mean ONE execution of the input plan per
+    load (no unconditional pre-write count) on every load path. Proven
+    with an accumulator bumped once per row flowing through the plan:
+    one pass = n, a hidden pre-write count would make it 2n."""
+    import pandas as pd
+
+    n = 10
+
+    def make_counted_df():
+        acc = spark.sparkContext.accumulator(0)
+
+        def tick(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        df = (
+            spark.range(n)
+            .selectExpr("id", "CAST(id AS STRING) AS v", "id % 2 AS k")
+            .mapInPandas(tick, schema="id long, v string, k long")
+        )
+        return df, acc
+
+    df, acc = make_counted_df()
+    res = sink.load(df, "tbl_once_plain", mode="overwrite", count_rows=False)
+    assert res.success and res.rows_loaded == -1
+    assert acc.value == n, f"load ran the input plan {acc.value / n:.1f}x"
+
+    df, acc = make_counted_df()
+    res = sink.load_bucketed(df, "tbl_once_bkt", ["k"], 2, count_rows=False)
+    assert res.success and res.rows_loaded == -1
+    assert acc.value == n, f"load_bucketed ran the plan {acc.value / n:.1f}x"
+
+    df, acc = make_counted_df()
+    res = sink.load_partitioned(df, "tbl_once_part", ["k"], count_rows=False)
+    assert res.success and res.rows_loaded == -1
+    assert acc.value == n, f"load_partitioned ran the plan {acc.value / n:.1f}x"
+
+    # and the opt-in still reports exact rows (reference LoadResult)
+    df, acc = make_counted_df()
+    res = sink.load(df, "tbl_twice_plain", mode="overwrite", count_rows=True)
+    assert res.success and res.rows_loaded == n
