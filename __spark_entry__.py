@@ -16,11 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics as A
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics2 as A2
 from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics3 as A3
+from data_pipeline_for_real_time_retail_analytics_spark.plans import analytics4 as A4
 from data_pipeline_for_real_time_retail_analytics_spark.plans import behavior as BH
 from data_pipeline_for_real_time_retail_analytics_spark.plans import curation as CU
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm as L
 from data_pipeline_for_real_time_retail_analytics_spark.plans import llm_oracles as LO
 from data_pipeline_for_real_time_retail_analytics_spark.plans import profiling as PF
+from data_pipeline_for_real_time_retail_analytics_spark.plans import scaleops as SOP
 from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
 from data_pipeline_for_real_time_retail_analytics_spark.plans import streamq as SQ
 from data_pipeline_for_real_time_retail_analytics_spark.plans import temporal as TP
@@ -36,101 +38,51 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Front-loaded: the driver checks the first 50 entries in
-        # insertion order. r05 rotation rule — a query goes in the front
-        # 50 if ANY file its implementation touches changed since its
-        # last green CORRECTNESS row; the tail holds ONLY queries whose
-        # implementation files are bit-identical to their r04-green
-        # state (verify with `git diff 5f5e6dc..HEAD --name-only`).
-        # Front composition: the 13 r03-latest-green queries (r4
-        # verdict ask #1) + contaminated_docs/ann_multitable (new in the
-        # r5 advisory session), everything the advisory session edited
-        # (shared MinHash pairs, tfidf corpus-stats N, corpus_filter
-        # NULL coalesce, repetition_ratio single-projection, registry
-        # watermark escaping, streamq lifecycle), this round's nine NEW
-        # queries, every query wrapped by the touched plans/llm.py or
-        # operators/{textstats,similarity,quality,dedup}.py or
-        # streaming/ingest.py (token_entropy, benford_profile,
-        # chunked_docs, language_id, quality_score, doc_fingerprints,
-        # cosine_topk, cleaned_docs, train_split_counts,
-        # stratified_sample_docs, fk/integrity checks, streams), and
-        # six clean-file re-proof picks (flagship + validation engine +
-        # mart + sessions). Rotated to the tail: ten clean-file
-        # r04-greens (analytics/temporal/CDC-probe/transform entries on
-        # unmodified modules).
-        "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
-        "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
-        "contaminated_docs": L.q_contaminated_docs,
-        "simhash_pairs": L.q_simhash_pairs,
-        "simhash_values": L.q_simhash_values,
-        "exact_dedup_docs": L.q_exact_dedup_docs,
-        "ann_sign_lsh": L.q_ann_sign_lsh,
-        "ann_multiprobe": L.q_ann_multiprobe,
-        "ann_multitable": L.q_ann_multitable,
-        "ann_ivf": L.q_ann_ivf,
-        "embedding_near_dup": L.q_embedding_near_dup,
-        "multimodal_features": L.q_multimodal_features,
-        "token_stats": L.q_token_stats,
-        "scd2_user_history": S.q_scd2_user_history,
-        "event_dedup": S.q_event_dedup,
-        # edited this round
-        "dedup_clusters": L.q_dedup_clusters,
-        "tfidf_top_terms": L.q_tfidf_top_terms,
-        "repetition_ratio": L.q_repetition_ratio,
-        "corpus_filter": L.q_corpus_filter,
-        # NEW this round: corpus curation (plans/curation.py)
-        "boilerplate_ngrams": CU.q_boilerplate_ngrams,
-        "mixture_sample_docs": CU.q_mixture_sample_docs,
-        # streaming-executed correctness (real AvailableNow runs);
-        # stream_click_purchases (stream-stream interval join) is NEW
-        "stream_events_hourly": SQ.q_stream_events_hourly,
-        "stream_user_sessions": SQ.q_stream_user_sessions,
-        "stream_click_purchases": SQ.q_stream_click_purchases,
-        # NEW this round: profiling/funnel/window-frame/reshape
-        # (plans/profiling.py)
-        "price_quantiles": PF.q_price_quantiles,
-        "event_funnel": PF.q_event_funnel,
-        "customer_running_spend": PF.q_customer_running_spend,
-        "segment_year_pivot": PF.q_segment_year_pivot,
-        "events_cube": PF.q_events_cube,
-        "events_hourly_dense": PF.q_events_hourly_dense,
-        # wrapped by the touched plans/llm.py (shared-cache plumbing) /
-        # operators/textstats.py / operators/similarity.py — fresh rows
-        # so no tail entry sits on a modified file
-        "token_entropy": L.q_token_entropy,
-        "benford_profile": L.q_benford_profile,
-        "chunked_docs": L.q_chunked_docs,
-        "language_id": L.q_language_id,
-        "quality_score": L.q_quality_score,
-        "doc_fingerprints": L.q_doc_fingerprints,
-        "cosine_topk": L.q_cosine_topk,
-        "cleaned_docs": L.q_cleaned_docs,
-        "train_split_counts": L.q_train_split_counts,
-        "stratified_sample_docs": L.q_stratified_sample_docs,
-        # CDC incremental scan (registry.py watermark escaping changed)
-        "incremental_scan": S.q_incremental_scan,
-        # integrity checks (operators/quality.py gained the quantile /
-        # sketch operators this round)
-        "fk_orphan_orders": S.q_fk_orphan_orders,
-        "customers_without_orders": S.q_customers_without_orders,
-        "whole_row_dups_lineitem": S.q_whole_row_dups_lineitem,
-        # NEW this session: training-data export (plans/training.py —
-        # bigram-LM perplexity, sequence packing, embedding clusters)
-        "lm_perplexity": TR.q_lm_perplexity,
-        "packed_sequences": TR.q_packed_sequences,
-        "embedding_clusters": TR.q_embedding_clusters,
-        # NEW this session: cross-nation trade analytics
-        # (plans/analytics2.py — TPC-H Q7/Q8/Q22 shapes)
-        "volume_shipping": A2.q_volume_shipping,
-        "market_share": A2.q_market_share,
-        "idle_customer_balance": A2.q_idle_customer_balance,
-        # Tail (beyond the driver's 50-query cap): r04 greens whose
-        # implementation files are ALL bit-identical to their green
-        # state (plans/analytics.py, plans/temporal.py,
-        # plans/showcase.py, plans/validation.py, operators/{cdc,
-        # transform,skew,windows,asof}.py carry no r5 edits —
-        # `git diff 5f5e6dc..HEAD`). The six former clean-file re-proof
-        # picks moved here to make room for this session's six new
-        # queries; their provenance argument is unchanged.
+        # insertion order. r06 rotation rule (mechanized in
+        # tests/test_rotation_guard.py against ROTATION.json) — a query
+        # goes in the front 50 if ANY file its implementation touches
+        # changed since its last green CORRECTNESS row, or if it has
+        # never had a driver row.
+        # Front composition this round:
+        #  * slots 1-13: the 13 r5-new queries that only ever had local
+        #    DuckDB parity (the r5 verdict's standing obligation);
+        #  * slots 14-20: the 7 r6-new queries (plans/analytics4.py
+        #    TPC-H Q3/Q6/Q12/Q19/Q21 shapes + plans/scaleops.py Bloom
+        #    pruning / compaction — all new files, no touched-file
+        #    fallout);
+        #  * slots 21-50: the full r≤4-green cohort (oldest driver
+        #    rows in the registry — re-proving them keeps no query's
+        #    latest green more than two rounds stale).
+        # The tail holds ONLY the 50 fresh r5 greens, whose
+        # implementation files are bit-identical to their r5 state
+        # (verify with `git diff e9bd03e..HEAD --name-only`).
+        "shuffled_shards": TR.q_shuffled_shards,
+        "incremental_dedup_new_docs": L.q_incremental_dedup_new_docs,
+        "dedup_survivors": L.q_dedup_survivors,
+        "min_cost_supplier": A3.q_min_cost_supplier,
+        "important_parts": A3.q_important_parts,
+        "supplier_diversity": A3.q_supplier_diversity,
+        "promo_excess_suppliers": A3.q_promo_excess_suppliers,
+        "customer_rfm": A3.q_customer_rfm,
+        "lang_temperature_sample": TR2.q_lang_temperature_sample,
+        "quality_quota_prune": TR2.q_quality_quota_prune,
+        "dup_rate_by_source": TR2.q_dup_rate_by_source,
+        "cohort_retention": BH.q_cohort_retention,
+        "basket_pairs": BH.q_basket_pairs,
+        # NEW this round: order-fulfilment analytics
+        # (plans/analytics4.py — TPC-H Q3/Q6/Q12/Q19/Q21 shapes)
+        "shipping_priority": A4.q_shipping_priority,
+        "forecast_revenue_delta": A4.q_forecast_revenue_delta,
+        "late_shipment_priority": A4.q_late_shipment_priority,
+        "discounted_revenue": A4.q_discounted_revenue,
+        "waiting_suppliers": A4.q_waiting_suppliers,
+        # NEW this round: scale maintenance (plans/scaleops.py —
+        # runtime Bloom-filter join pruning + OPTIMIZE compaction)
+        "bloom_pruned_fetch": SOP.q_bloom_pruned_fetch,
+        "compacted_corpus": SOP.q_compacted_corpus,
+        # r≤4-green cohort re-proof (oldest driver rows; files
+        # untouched — plans/analytics.py, plans/temporal.py,
+        # plans/showcase.py backing modules carry no r5/r6 edits)
         "pricing_summary": A.pricing_summary,
         "revenue_by_segment": A.revenue_by_segment,
         "validation_orders": S.q_validation_orders,
@@ -161,27 +113,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_customers": S.q_dim_customers,
         "merge_upsert": S.q_merge_upsert,
         "cdc_apply_changes": S.q_cdc_apply_changes,
-        # r5-new but beyond the front-50 budget: proven by the local
-        # parity replica (tests/test_oracle_parity.py) this session;
-        # MUST rotate into the r6 front for a driver row (the 13
-        # re-proof slots free up once CORRECTNESS_r05 lands).
-        "shuffled_shards": TR.q_shuffled_shards,
-        "incremental_dedup_new_docs": L.q_incremental_dedup_new_docs,
-        "dedup_survivors": L.q_dedup_survivors,
-        # r5-new batch 3 (plans/analytics3.py + plans/training2.py — new
-        # files, no touched-file fallout): proven by the local parity
-        # replica this session; MUST front-rotate in r6 alongside the
-        # three queries above.
-        "min_cost_supplier": A3.q_min_cost_supplier,
-        "important_parts": A3.q_important_parts,
-        "supplier_diversity": A3.q_supplier_diversity,
-        "promo_excess_suppliers": A3.q_promo_excess_suppliers,
-        "customer_rfm": A3.q_customer_rfm,
-        "lang_temperature_sample": TR2.q_lang_temperature_sample,
-        "quality_quota_prune": TR2.q_quality_quota_prune,
-        "dup_rate_by_source": TR2.q_dup_rate_by_source,
-        "cohort_retention": BH.q_cohort_retention,
-        "basket_pairs": BH.q_basket_pairs,
+        # ---- tail (beyond the driver's 50-query cap): the 50 fresh r5
+        # greens; every backing module is bit-identical to its r5-green
+        # state (`git diff e9bd03e..HEAD --name-only` touches none of
+        # them) ----
+        "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
+        "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
+        "contaminated_docs": L.q_contaminated_docs,
+        "simhash_pairs": L.q_simhash_pairs,
+        "simhash_values": L.q_simhash_values,
+        "exact_dedup_docs": L.q_exact_dedup_docs,
+        "ann_sign_lsh": L.q_ann_sign_lsh,
+        "ann_multiprobe": L.q_ann_multiprobe,
+        "ann_multitable": L.q_ann_multitable,
+        "ann_ivf": L.q_ann_ivf,
+        "embedding_near_dup": L.q_embedding_near_dup,
+        "multimodal_features": L.q_multimodal_features,
+        "token_stats": L.q_token_stats,
+        "scd2_user_history": S.q_scd2_user_history,
+        "event_dedup": S.q_event_dedup,
+        "dedup_clusters": L.q_dedup_clusters,
+        "tfidf_top_terms": L.q_tfidf_top_terms,
+        "repetition_ratio": L.q_repetition_ratio,
+        "corpus_filter": L.q_corpus_filter,
+        "boilerplate_ngrams": CU.q_boilerplate_ngrams,
+        "mixture_sample_docs": CU.q_mixture_sample_docs,
+        "stream_events_hourly": SQ.q_stream_events_hourly,
+        "stream_user_sessions": SQ.q_stream_user_sessions,
+        "stream_click_purchases": SQ.q_stream_click_purchases,
+        "price_quantiles": PF.q_price_quantiles,
+        "event_funnel": PF.q_event_funnel,
+        "customer_running_spend": PF.q_customer_running_spend,
+        "segment_year_pivot": PF.q_segment_year_pivot,
+        "events_cube": PF.q_events_cube,
+        "events_hourly_dense": PF.q_events_hourly_dense,
+        "token_entropy": L.q_token_entropy,
+        "benford_profile": L.q_benford_profile,
+        "chunked_docs": L.q_chunked_docs,
+        "language_id": L.q_language_id,
+        "quality_score": L.q_quality_score,
+        "doc_fingerprints": L.q_doc_fingerprints,
+        "cosine_topk": L.q_cosine_topk,
+        "cleaned_docs": L.q_cleaned_docs,
+        "train_split_counts": L.q_train_split_counts,
+        "stratified_sample_docs": L.q_stratified_sample_docs,
+        "incremental_scan": S.q_incremental_scan,
+        "fk_orphan_orders": S.q_fk_orphan_orders,
+        "customers_without_orders": S.q_customers_without_orders,
+        "whole_row_dups_lineitem": S.q_whole_row_dups_lineitem,
+        "lm_perplexity": TR.q_lm_perplexity,
+        "packed_sequences": TR.q_packed_sequences,
+        "embedding_clusters": TR.q_embedding_clusters,
+        "volume_shipping": A2.q_volume_shipping,
+        "market_share": A2.q_market_share,
+        "idle_customer_balance": A2.q_idle_customer_balance,
     }
 
 
@@ -726,4 +711,13 @@ def oracle_sql() -> dict[str, str]:
         # behavioral retail analytics (plans/behavior.py)
         "cohort_retention": BH.ORACLES["cohort_retention"],
         "basket_pairs": BH.ORACLES["basket_pairs"],
+        # order-fulfilment analytics (plans/analytics4.py)
+        "shipping_priority": A4.ORACLES["shipping_priority"],
+        "forecast_revenue_delta": A4.ORACLES["forecast_revenue_delta"],
+        "late_shipment_priority": A4.ORACLES["late_shipment_priority"],
+        "discounted_revenue": A4.ORACLES["discounted_revenue"],
+        "waiting_suppliers": A4.ORACLES["waiting_suppliers"],
+        # scale maintenance (plans/scaleops.py)
+        "bloom_pruned_fetch": SOP.ORACLES["bloom_pruned_fetch"],
+        "compacted_corpus": SOP.ORACLES["compacted_corpus"],
     }

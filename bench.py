@@ -111,6 +111,9 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # keep stderr quiet: per-stage progress bars for ~100 queries
+        # overflow the driver's bounded output capture
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # long benchmark session: let the ContextCleaner actually release
         # finished queries' broadcasts/shuffles (default GC cadence is 30
@@ -154,17 +157,46 @@ def main() -> None:
             gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    full = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    # Full per-query detail goes to a sidecar file: the driver keeps
+    # only a 2000-byte tail of stdout and parses its LAST line, so the
+    # r5-sized registry (93+ queries, ~2.8 KB of timings) can no longer
+    # ride the summary line without truncating it (BENCH_r05.json lost
+    # its head exactly this way).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w", encoding="utf-8") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    # Final line: total + the slowest queries, shrunk until the line is
+    # guaranteed to fit the capture buffer intact.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    k = len(slowest)
+    while k > 0:
+        line = json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
-            }
+                "n_queries": len(timings),
+                "queries": dict(sorted(slowest[:k])),
+                "queries_are_slowest_k": k if k < len(timings) else None,
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
-    )
+        if len(line) <= 1800:
+            break
+        k -= 5
+    print(line)
     spark.stop()
 
 

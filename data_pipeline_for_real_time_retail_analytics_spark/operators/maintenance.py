@@ -1,0 +1,92 @@
+"""Table-maintenance operators: small-file compaction (OPTIMIZE) and
+runtime Bloom-filter join pruning (SURVEY.md §2 beyond-reference scale
+levers; the reference's storage layer is an empty stub —
+src/storage/__init__.py — so both are net-new surface).
+
+At 100 TB the two dominant maintenance costs are (a) the small-file
+problem — streaming/incremental writers leave thousands of KB-sized
+parquet files whose per-file open/footer overhead dwarfs the scan — and
+(b) shuffle-join probes that scan the full big table to match a
+selective key set. ``compact_parquet`` is the OPTIMIZE pass for (a):
+rewrite a directory into ``target_files`` range-clustered, sorted files
+so parquet footer min/max stats prune reads. ``runtime_bloom_filters``
+is the lever for (b): Spark's InjectRuntimeFilter builds a Bloom filter
+from the selective (creation) side and applies it as a semi-join
+pre-filter on the big (application) side scan, cutting shuffle input to
+near the match volume. The conf thresholds exist because on production
+table sizes the defaults (10 GB application-side scan) trigger on their
+own; the context manager lowers them so the behavior is testable at
+local SF, and restores every touched key on exit so nothing leaks into
+other queries' plans.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: conf keys the bloom context manager touches (restored on exit)
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # allow a generously-sized creation side at local SF
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # production default is 10GB — the filter only pays for itself on a
+    # big probe scan; 0 here makes the injection observable at test SF
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # the filter targets SHUFFLE joins (a broadcast probe already skips
+    # the scan-side shuffle); at test SF everything broadcasts, so pin
+    # the shuffle-join shape the 100 TB plan would have
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@contextmanager
+def runtime_bloom_filters(spark: SparkSession) -> Iterator[None]:
+    """Scope within which Catalyst injects runtime Bloom filters into
+    selective shuffle joins (``might_contain(...)`` on the probe scan).
+    Every conf is restored on exit — executions must happen INSIDE the
+    scope (a lazy DataFrame executed after exit plans normally; the
+    result is identical either way, only the plan differs)."""
+    conf = spark.conf
+    prev = {k: conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            conf.set(k, v)
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    cluster_cols: list[str],
+    target_files: int = 4,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """OPTIMIZE pass: rewrite ``src_path`` into ``target_files``
+    range-clustered files at ``dest_path`` and return the compacted
+    relation. ``repartitionByRange`` gives each output file a DISJOINT
+    range of ``cluster_cols`` (one sampling pass + one range shuffle),
+    ``sortWithinPartitions`` orders rows inside it, so parquet records
+    tight per-file/per-row-group min/max stats and post-compaction
+    scans filtered on the cluster columns skip every non-matching file.
+    Row content is invariant — compaction is pure layout (the
+    DuckDB-checked contract of q_compacted_corpus)."""
+    df = spark.read.parquet(src_path)
+    (
+        df.repartitionByRange(target_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(dest_path)
+    )
+    return spark.read.parquet(dest_path)
