@@ -61,6 +61,9 @@ HEAVY = [
     "cohort_retention",
     "dup_rate_by_source",
     "quality_quota_prune",
+    # the incremental daily-ingest dedup shape (r6 verdict ask #7 names
+    # it one of the three heaviest families to scale-prove)
+    "incremental_dedup_new_docs",
 ]
 
 #: id offset per generated copy. Must satisfy
@@ -170,7 +173,19 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the heavy list (default: all) — "
+        "keeps very large --scale runs bounded to the families under test",
+    )
     args = ap.parse_args()
+    if args.queries:
+        subset = args.queries.split(",")
+        unknown = [q for q in subset if q not in HEAVY]
+        if unknown:
+            ap.error(f"unknown queries {unknown}; choose from {HEAVY}")
+        HEAVY[:] = subset
     if not 2 <= args.scale <= MAX_SCALE:
         ap.error(
             f"--scale must be in [2, {MAX_SCALE}]: above that, copy ids "

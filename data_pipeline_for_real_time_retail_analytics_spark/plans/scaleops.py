@@ -15,6 +15,8 @@ small-file directory on disk to rewrite.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +30,19 @@ BLOOM_LABEL = 3
 #: compaction demo: scatter width (small-file problem) → target files
 SCATTER_FILES = 32
 COMPACT_FILES = 4
+
+
+def _work_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Deterministic staging path per (application, sf_dir): re-drives of
+    the same query overwrite instead of stacking a fresh mkdtemp per call
+    (the r4 streamq /tmp-leak lesson — bench + correctness runs invoke
+    each query repeatedly in one process)."""
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{key}")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def q_bloom_pruned_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +64,7 @@ def q_bloom_pruned_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "n_chars")
         .orderBy("doc_id")
     )
-    out = tempfile.mkdtemp(prefix="bloom_fetch_")
+    out = _work_dir(spark, sf_dir, "bloom_fetch")
     with runtime_bloom_filters(spark):
         fetch.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).orderBy("doc_id")
@@ -66,8 +81,8 @@ def q_compacted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "n_chars"
     )
-    scattered = tempfile.mkdtemp(prefix="compact_src_")
-    compacted = tempfile.mkdtemp(prefix="compact_dest_")
+    scattered = _work_dir(spark, sf_dir, "compact_src")
+    compacted = _work_dir(spark, sf_dir, "compact_dest")
     # hash-scatter (NOT range) — deliberately the worst layout: every
     # file holds rows from every source, nothing prunes
     docs.repartition(SCATTER_FILES, "doc_id").write.mode("overwrite").parquet(
