@@ -71,3 +71,17 @@ def test_retail_segmentation_example_runs(spark, sf_dir, capsys):
         sys.argv = argv
     out = capsys.readouterr().out
     assert "top RFM cells:" in out and "week-1 retention by cohort:" in out
+
+
+def test_snapshot_cdc_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["snapshot_cdc_example.py", sf_dir]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/snapshot_cdc_example.py", run_name="__main__"
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "roll-forward mismatches: 0" in out and "scd2 rows:" in out
