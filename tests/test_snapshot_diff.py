@@ -174,3 +174,42 @@ def test_bucketed_snapshots_diff_without_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     assert "Exchange" not in plan, "bucketed diff re-shuffled — co-location lost"
+
+
+# ---- property: diff + roll-forward reproduces the new snapshot ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_snapshot = st.dictionaries(
+    st.integers(min_value=0, max_value=30),  # key -> value; tight key
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    max_size=20,  # space so edits overlap keys
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(old_map=_snapshot, new_map=_snapshot)
+def test_diff_roll_forward_reproduces_new_snapshot(spark, old_map, new_map):
+    """For ANY two snapshots: old + snapshot_diff(old, new) == new,
+    applied as insert/update upserts and delete removals — the
+    reconciliation invariant the batch-CDC contract rests on."""
+    mk = lambda m: spark.createDataFrame(  # noqa: E731
+        [Row(uid=k, val=v) for k, v in m.items()] or [Row(uid=None, val=None)],
+        "uid long, val long",
+    ).where(F.col("uid").isNotNull())
+    old, new = mk(old_map), mk(new_map)
+    diff = {r["uid"]: (r["op"], r["val"]) for r in snapshot_diff(old, new, ["uid"]).collect()}
+
+    rolled = dict(old_map)
+    for uid, (op, val) in diff.items():
+        if op == "delete":
+            rolled.pop(uid)  # KeyError = diff deleted a non-existent row
+        else:
+            assert (uid in rolled) == (op == "update")
+            rolled[uid] = val
+    assert rolled == new_map
