@@ -26,7 +26,6 @@ from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 #: conf keys the bloom context manager touches (restored on exit)
 _BLOOM_CONFS = {
@@ -82,11 +81,17 @@ def compact_parquet(
     scans filtered on the cluster columns skip every non-matching file.
     Row content is invariant — compaction is pure layout (the
     DuckDB-checked contract of q_compacted_corpus)."""
+    from ..sources.sink import WarehouseSink
+
+    # Delegate the layout write to the ONE range-cluster implementation
+    # (sources/sink.py::load_clustered) — compaction is that same
+    # contract applied to an existing directory, and keeping a second
+    # copy of the repartitionByRange+sortWithinPartitions sequence here
+    # would let a future fix to one silently miss the other.
     df = spark.read.parquet(src_path)
-    (
-        df.repartitionByRange(target_files, *[F.col(c) for c in cluster_cols])
-        .sortWithinPartitions(*cluster_cols)
-        .write.mode(mode)
-        .parquet(dest_path)
+    result = WarehouseSink(spark).load_clustered(
+        df, dest_path, cluster_cols, n_files=target_files, mode=mode
     )
+    if not result.success:
+        raise RuntimeError(f"compaction write failed: {result.error}")
     return spark.read.parquet(dest_path)

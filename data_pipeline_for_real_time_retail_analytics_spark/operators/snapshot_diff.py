@@ -105,15 +105,17 @@ def snapshot_diff(
         cond = clause if cond is None else (cond & clause)
 
     joined = o.join(n, cond, "full_outer")
-    op = (
-        F.when(F.col("o._o_present").isNull(), F.lit(OP_INSERT))
-        .when(F.col("n._n_present").isNull(), F.lit(OP_DELETE))
-        .when(
+    op = F.when(F.col("o._o_present").isNull(), F.lit(OP_INSERT)).when(
+        F.col("n._n_present").isNull(), F.lit(OP_DELETE)
+    )
+    if compare_cols:
+        op = op.when(
             _row_hash(compare_cols, "o") != _row_hash(compare_cols, "n"),
             F.lit(OP_UPDATE),
         )
-        .otherwise(F.lit(None))
-    )
+    # no compare columns (key-only snapshots): a matched key is by
+    # definition unchanged — membership-only diff, inserts/deletes only
+    op = op.otherwise(F.lit(None))
     payload_side = F.when(F.col("n._n_present").isNull(), F.lit("o")).otherwise(
         F.lit("n")
     )

@@ -15,8 +15,10 @@ small-file directory on disk to rewrite.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,17 +33,26 @@ BLOOM_LABEL = 3
 SCATTER_FILES = 32
 COMPACT_FILES = 4
 
+#: staging dirs created by this process (each registered for atexit rm)
+_WORK_DIRS: set[str] = set()
+
 
 def _work_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     """Deterministic staging path per (application, sf_dir): re-drives of
     the same query overwrite instead of stacking a fresh mkdtemp per call
     (the r4 streamq /tmp-leak lesson — bench + correctness runs invoke
-    each query repeatedly in one process)."""
+    each query repeatedly in one process). The applicationId in the key
+    isolates concurrent driver processes from racing on one directory;
+    the atexit hook below removes this process's dirs so repeated runs
+    on a long-lived host don't accumulate per-application staging."""
     key = hashlib.md5(
         f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{key}")
     os.makedirs(path, exist_ok=True)
+    if path not in _WORK_DIRS:
+        _WORK_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 
@@ -59,11 +70,10 @@ def q_bloom_pruned_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = emb.where(F.col("label") == BLOOM_LABEL).select(
         F.col("vec_id").alias("doc_id")
     )
-    fetch = (
-        docs.join(ids, "doc_id")
-        .select("doc_id", "source", "lang", "n_chars")
-        .orderBy("doc_id")
-    )
+    # no pre-write orderBy: the read-back below establishes the output
+    # ordering, so sorting here would only add a wasted global sort
+    # (range-partition sampling + extra shuffle) to the materialization
+    fetch = docs.join(ids, "doc_id").select("doc_id", "source", "lang", "n_chars")
     out = _work_dir(spark, sf_dir, "bloom_fetch")
     with runtime_bloom_filters(spark):
         fetch.write.mode("overwrite").parquet(out)

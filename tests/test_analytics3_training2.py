@@ -97,10 +97,16 @@ def test_promo_excess_suppliers_filters_before_join(spark, sf_dir):
     """Ship-date predicate must reach the lineitem scan (partition/
     row-group pruning at scale) and the part type filter its scan."""
     df = A3.q_promo_excess_suppliers(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
     # pin the pushed-filter string itself: "PushedFilters" + "l_shipdate"
     # holds even when the predicate is NOT pushed (every parquet scan
-    # prints a PushedFilters list and the column appears in ReadSchema)
+    # prints a PushedFilters list and the column appears in ReadSchema).
+    # Read it from the FORMATTED explain — the plain toString truncates
+    # PushedFilters at ~100 chars, so the substring can silently fall
+    # off when filters are added/reordered (false red).
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "LessThan(l_shipdate" in plan
     assert df.where(F.col("promo_qty_1997") <= A3.EXCESS_QTY).count() == 0

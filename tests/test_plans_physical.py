@@ -25,11 +25,17 @@ def _final_plan(df) -> str:
 
 
 def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
-    plan = _plan(A.pricing_summary(spark, sf_dir))
-    # the pushed-filter string itself, not just "PushedFilters" (which
-    # every parquet scan node prints even with nothing pushed)
-    assert "LessThanOrEqual(l_shipdate" in plan
-    assert "partial_sum" in plan  # map-side combine before the shuffle
+    df = A.pricing_summary(spark, sf_dir)
+    # pushed-filter pin via FORMATTED explain: the plain plan toString
+    # truncates each scan's PushedFilters list at ~100 chars, so the
+    # asserted substring can silently fall off when filters are added
+    # or reordered (false red even though the predicate IS pushed)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    fplan = df._jdf.queryExecution().explainString(jmode)
+    assert "LessThanOrEqual(l_shipdate" in fplan
+    assert "partial_sum" in _plan(df)  # map-side combine before the shuffle
 
 
 def test_star_joins_broadcast(spark, sf_dir):

@@ -84,26 +84,27 @@ def _imports_of(path: str, module: str, known: set[str]) -> set[str]:
 
 
 def _closures() -> dict[str, set[str]]:
-    """module -> set of repo-relative files transitively reachable."""
+    """module -> set of repo-relative files transitively reachable.
+
+    Computed by iterating union-of-dependencies to a FIXPOINT rather
+    than a memoized recursive walk: recursion with a cycle guard caches
+    a permanently PARTIAL closure for any module inside an import cycle
+    (the cycle member resolves to its direct imports only), which would
+    let a changed dependency escape the rotation rule silently."""
     files = _package_files()
     known = set(files)
     direct = {m: _imports_of(p, m, known) for m, p in files.items()}
-    closure: dict[str, set[str]] = {}
-
-    def walk(mod: str, seen: set[str]) -> set[str]:
-        if mod in closure:
-            return closure[mod]
-        if mod in seen:  # cycle guard: partial result is fine
-            return direct.get(mod, set())
-        seen.add(mod)
-        acc = {mod}
-        for dep in direct.get(mod, ()):  # noqa: B007
-            acc |= walk(dep, seen)
-        closure[mod] = acc
-        return acc
-
-    for m in files:
-        walk(m, set())
+    closure = {m: {m} | set(direct[m]) for m in files}
+    changed = True
+    while changed:
+        changed = False
+        for m in files:
+            acc = set(closure[m])
+            for dep in direct[m]:
+                acc |= closure[dep]
+            if acc != closure[m]:
+                closure[m] = acc
+                changed = True
     return {m: {files[d] for d in deps} for m, deps in closure.items()}
 
 

@@ -68,6 +68,18 @@ def test_null_safe_keys_opt_in(spark):
     assert safe == ["update"]
 
 
+def test_key_only_snapshots_membership_diff(spark):
+    """Key-only snapshots (no payload columns) are a legitimate
+    membership diff: inserts/deletes only, matched keys unchanged —
+    must not crash on the empty compare set."""
+    old = spark.createDataFrame([Row(k=1), Row(k=2)], "k long")
+    new = spark.createDataFrame([Row(k=2), Row(k=3)], "k long")
+    got = {r["k"]: r["op"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "delete", 3: "insert"}
+    explicit = snapshot_diff(old, new, ["k"], compare_cols=[]).collect()
+    assert {r["k"]: r["op"] for r in explicit} == {1: "delete", 3: "insert"}
+
+
 def test_compare_cols_validation(spark):
     old = _snap(spark, [(1, "a", 1.0)])
     new = _snap(spark, [(1, "a", 1.0)])
