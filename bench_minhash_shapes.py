@@ -130,6 +130,14 @@ def main() -> None:
         "— fresh-process protocol: within-session ordering (JIT/codegen "
         "warmup, page cache) otherwise skews whichever variant runs later",
     )
+    ap.add_argument(
+        "--no-broadcast",
+        action="store_true",
+        help="disable broadcast joins — the corpus-scale regime where the "
+        "band join can only be a shuffle join; at local SF AQE otherwise "
+        "broadcasts the banded side and the carry shape's bands-x-shingle "
+        "exchange (the 100 TB question) never materializes",
+    )
     args = ap.parse_args()
 
     ui_port = 4049
@@ -148,6 +156,9 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if args.no_broadcast:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
     from bench_scale import build_scaled_dir
     from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
@@ -191,6 +202,7 @@ def main() -> None:
                         "scale": args.scale,
                         **cfg,
                         "shape": shape,
+                        "no_broadcast": args.no_broadcast,
                         "wall_sec": wall,
                         "shuffle_mb": round(shuffled / 1e6, 1),
                         "pairs": n_pairs,
