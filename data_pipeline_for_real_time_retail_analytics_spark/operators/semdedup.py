@@ -1,0 +1,166 @@
+"""SemDeDup-style semantic deduplication: prune near-duplicate
+embeddings *within* clusters of the embedding space.
+
+Completes the curation arc started by ``embcluster`` (the r5 verdict's
+"SemDeDup prep"): cluster assignment gave every vector a (cluster,
+centroid_sim) pair; this operator performs the prune itself — inside
+each cluster, vectors whose pairwise cosine exceeds ``threshold`` are
+semantic duplicates, and exactly one representative per duplicate
+neighborhood survives.
+
+Semantics (deterministic, declarative — the "exists a better near-dup"
+rule): a vector is PRUNED iff some other vector in the SAME cluster is
+(a) within ``threshold`` cosine of it and (b) ranked ahead of it by the
+keep priority. With ``keep="central"`` the priority is (centroid_sim
+DESC, id ASC) — the most-central member of each duplicate neighborhood
+survives; ``keep="edge"`` inverts the similarity order (the SemDeDup
+paper, Abbas et al. 2023, reports keeping LOW-centroid-similarity
+examples works marginally better for web data). Note this is the
+anti-join formulation, not sequential greedy NMS: in a chain a–b, b–c
+(a not near c) where a outranks b outranks c, both b and c are pruned
+(each has a better in-threshold neighbor), whereas greedy NMS would
+revive c after removing b. The anti-join rule needs no iteration and
+no order-dependence — one bounded self-join — which is what makes it
+both 100 TB-scalable and exactly expressible in the DuckDB oracle
+(plans/semdedupq.py).
+
+Scale shape: cluster assignment is a broadcast-codebook argmax (one
+row per vector, map-side); the prune is a self-equi-join on cluster —
+candidate pairs are bounded by the squared cluster size, never by the
+squared corpus. The assignment subtree feeds THREE consumers (both
+self-join sides + the survivor output), and Catalyst duplicates
+self-join subtrees rather than reusing them, so callers running the
+full family should materialize ``semdedup_member`` once and pass it in
+(plans/semdedupq.py does; same shared-subexpression pattern as the
+MinHash pair cache in plans/llm.py). At 100 TB the codebook comes from
+``similarity.ivf_centroids_trained`` on a sample with k sized so n/k
+stays a few thousand (k ≈ n/5k keeps every cluster's pair block in one
+task); skewed clusters are handled by raising k, not by salting (a
+semantic cluster must stay co-partitioned to be pruned correctly).
+
+Reference parity: the reference pipeline (hrik21/…retail-analytics)
+has no embedding curation at all — this is part of the mandated
+beyond-reference LLM-training-data suite, same family as
+operators/embcluster.py and operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .embcluster import assign_embedding_clusters
+from .similarity import cosine
+
+__all__ = ["semdedup_member", "semdedup_prune", "semdedup_cluster_stats"]
+
+
+def semdedup_member(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, centroid_sim, vec) — the cluster assignment joined
+    back to its vector. The shared input of the prune family: compute
+    (and ``localCheckpoint``) once, pass to ``semdedup_prune`` /
+    ``semdedup_cluster_stats`` via ``member=`` so the broadcast-argmax
+    assignment runs once instead of once per self-join branch."""
+    assigned = assign_embedding_clusters(corpus, centroids, id_col, vec_col)
+    return assigned.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "central",
+    member: DataFrame | None = None,
+) -> DataFrame:
+    """Survivor set of the within-cluster semantic prune.
+
+    ``centroids`` must expose (cid, cv) — ``similarity.ivf_centroids``
+    (deterministic, oracle-checkable) or ``ivf_centroids_trained`` (the
+    production path). Output: (id_col, cluster, centroid_sim) for every
+    surviving vector, centroid_sim rounded to 6 places.
+
+    The keep priority compares the ROUNDED centroid similarity: the
+    rounded value is what both engines (and a re-run on different
+    partitionings) agree on exactly, so the survivor set is stable
+    under plan changes; raw last-ulp drift must not flip who survives.
+    """
+    if keep not in ("central", "edge"):
+        raise ValueError(f"keep must be 'central' or 'edge', got {keep!r}")
+    if member is None:
+        member = semdedup_member(corpus, centroids, id_col, vec_col)
+
+    a = member.select(
+        F.col("cluster"),
+        F.col(id_col).alias("a_id"),
+        F.col("centroid_sim").alias("a_sim"),
+        F.col(vec_col).alias("av"),
+    )
+    b = member.select(
+        F.col("cluster"),
+        F.col(id_col).alias("b_id"),
+        F.col("centroid_sim").alias("b_sim"),
+        F.col(vec_col).alias("bv"),
+    )
+    if keep == "central":
+        outranks = (F.col("b_sim") > F.col("a_sim")) | (
+            (F.col("b_sim") == F.col("a_sim")) & (F.col("b_id") < F.col("a_id"))
+        )
+    else:
+        outranks = (F.col("b_sim") < F.col("a_sim")) | (
+            (F.col("b_sim") == F.col("a_sim")) & (F.col("b_id") < F.col("a_id"))
+        )
+    # equi-join on cluster first (hash-partitioned, cluster-size-bounded
+    # candidate blocks); the rank and cosine predicates filter inside
+    # each block — never a cartesian across clusters.
+    dominated = (
+        a.join(b, on="cluster", how="inner")
+        .where(outranks & (cosine(F.col("av"), F.col("bv")) >= F.lit(threshold)))
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        member.join(dominated, on=id_col, how="left_anti")
+        .select(id_col, "cluster", "centroid_sim")
+    )
+
+
+def semdedup_cluster_stats(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "central",
+    member: DataFrame | None = None,
+) -> DataFrame:
+    """(cluster, n_members, n_kept, n_pruned) — the per-cluster prune
+    accounting a curation run logs to decide whether ``threshold`` (or
+    the codebook size) needs retuning before committing the survivor
+    set."""
+    if member is None:
+        member = semdedup_member(corpus, centroids, id_col, vec_col)
+    kept = semdedup_prune(
+        corpus, centroids, threshold, id_col, vec_col, keep, member=member
+    )
+    members = member.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    survivors = kept.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        members.join(survivors, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_members") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_pruned"
+            ),
+        )
+    )

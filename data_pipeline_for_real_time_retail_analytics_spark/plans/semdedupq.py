@@ -1,0 +1,146 @@
+"""Semantic-dedup showcase queries (registry-ready for round 7).
+
+Wraps operators/semdedup.py over the embeddings table: the survivor
+set of the within-cluster SemDeDup prune and its per-cluster
+accounting. Both have exact DuckDB oracles (the codebook is the
+deterministic id-ordered seed set, same as ``embedding_clusters``).
+
+NOT registered in ``__spark_entry__`` this round: the r6 front window
+is exactly consumed by the 20 never-green + 30 guard-mandated queries
+(see the rotation ledger), and a new registry entry is never-green by
+definition — the rotation guard would (correctly) refuse it a tail
+slot. The local parity gate (tests/test_semdedup.py) runs the exact
+driver comparison in the meantime; flip the registry entries in r7
+when slots free. Oracle/int conventions match the driver contract:
+identical column names both sides, BIGINT counts, ROUND(x, 6) doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.semdedup import (
+    semdedup_cluster_stats,
+    semdedup_member,
+    semdedup_prune,
+)
+from ..operators.similarity import ivf_centroids
+from .llm import _embs
+from .llm_oracles import _cosine
+
+#: codebook size — same as the proven embedding_clusters query
+N_CLUSTERS = 16
+#: within-cluster cosine above this = semantic duplicate. The synthetic
+#: embeddings are near-isotropic (measured pairwise cosine: max 0.51,
+#: p99 0.29 at both sf0.001 and sf0.01), so 0.35 marks the
+#: label-cluster tail and prunes a meaningful ~12% without collapsing
+#: clusters; a production text-embedding corpus would sit at 0.9+
+#: (SemDeDup's web-data sweep) — the threshold is data-scale, not
+#: algorithm, dependent.
+THRESHOLD = 0.35
+
+#: (applicationId, sf_dir) -> localCheckpoint'd member relation. The
+#: assignment subtree feeds three consumers per query (self-join sides
+#: + survivor output) and Catalyst duplicates self-join subtrees, so
+#: one materialization shared across the family is the right shape —
+#: same pattern as the MinHash pair cache in plans/llm.py.
+_MEMBER: dict[tuple[str, str], DataFrame] = {}
+
+
+def _member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    m = _MEMBER.get(key)
+    if m is None:
+        embs = _embs(spark, sf_dir)
+        cents = ivf_centroids(embs, n_cells=N_CLUSTERS)
+        m = semdedup_member(embs, cents).localCheckpoint()
+        _MEMBER[key] = m
+    return m
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of the within-cluster semantic prune, keep='central'
+    (operators/semdedup.py:semdedup_prune)."""
+    embs = _embs(spark, sf_dir)
+    cents = ivf_centroids(embs, n_cells=N_CLUSTERS)
+    return semdedup_prune(
+        embs, cents, threshold=THRESHOLD, member=_member(spark, sf_dir)
+    ).orderBy("vec_id")
+
+
+def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster (members, kept, pruned) accounting of the same prune
+    (operators/semdedup.py:semdedup_cluster_stats)."""
+    embs = _embs(spark, sf_dir)
+    cents = ivf_centroids(embs, n_cells=N_CLUSTERS)
+    return semdedup_cluster_stats(
+        embs, cents, threshold=THRESHOLD, member=_member(spark, sf_dir)
+    ).orderBy("cluster")
+
+
+def _assigned_cte() -> str:
+    """Shared oracle CTE: deterministic seed codebook + max-cosine
+    assignment — mirrors plans/training.py's embedding_clusters oracle
+    (ties to the HIGHER cid, struct-max order)."""
+    return rf"""
+        cents AS (
+            SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings ORDER BY vec_id LIMIT {N_CLUSTERS}
+        ),
+        sims AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   {_cosine("e.embedding", "c.cv")} AS csim
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid AS cluster,
+                   ROUND(csim, 6) AS centroid_sim
+            FROM sims
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY csim DESC, cid DESC
+            ) = 1
+        ),
+        dominated AS (
+            SELECT DISTINCT a.vec_id
+            FROM assigned a
+            JOIN assigned b
+              ON a.cluster = b.cluster
+             AND (b.centroid_sim > a.centroid_sim
+                  OR (b.centroid_sim = a.centroid_sim
+                      AND b.vec_id < a.vec_id))
+             AND {_cosine("a.embedding", "b.embedding")} >= {THRESHOLD}
+        )
+    """
+
+
+ORACLES: dict[str, str] = {
+    "semantic_dedup": rf"""
+        WITH {_assigned_cte()}
+        SELECT vec_id, cluster, centroid_sim
+        FROM assigned
+        WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+        ORDER BY vec_id
+    """,
+    "semantic_dedup_stats": rf"""
+        WITH {_assigned_cte()},
+        kept AS (
+            SELECT cluster, COUNT(*) AS n_kept
+            FROM assigned
+            WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+            GROUP BY cluster
+        )
+        SELECT a.cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COALESCE(ANY_VALUE(kept.n_kept), 0) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) - COALESCE(ANY_VALUE(kept.n_kept), 0) AS BIGINT)
+                   AS n_pruned
+        FROM assigned a LEFT JOIN kept ON a.cluster = kept.cluster
+        GROUP BY a.cluster
+        ORDER BY a.cluster
+    """,
+}
+
+QUERIES = {
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_stats": q_semantic_dedup_stats,
+}

@@ -1,0 +1,156 @@
+"""SemDeDup within-cluster prune (operators/semdedup.py): driver-style
+DuckDB parity for the two registry-ready queries plus the structural
+invariants the prune rule promises.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+import test_oracle_parity as par
+from data_pipeline_for_real_time_retail_analytics_spark.operators.semdedup import (
+    semdedup_cluster_stats,
+    semdedup_prune,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.operators.similarity import (
+    ivf_centroids,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.plans import semdedupq
+from data_pipeline_for_real_time_retail_analytics_spark.plans.llm import _embs
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(semdedupq.ORACLES))
+def test_parity(spark, ddb, name):
+    """Exact driver-gate comparison: row count, columns, every value
+    (int/float distinction preserved — the representation the driver
+    hashes)."""
+    spark_pdf = semdedupq.QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = ddb.execute(semdedupq.ORACLES[name]).fetchdf()
+    assert len(spark_pdf) == len(duck_pdf)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = par._normalize(spark_pdf), par._normalize(duck_pdf)
+    for col in s.columns:
+        for a, b in zip(s[col], d[col]):
+            assert par._cell_equal(a, b), f"{name}.{col}: {a!r} != {b!r}"
+
+
+@pytest.fixture(scope="module")
+def prune_inputs(spark):
+    embs = _embs(spark, SF_DIR)
+    cents = ivf_centroids(embs, n_cells=semdedupq.N_CLUSTERS)
+    return embs, cents
+
+
+def test_prune_is_nontrivial_and_every_cluster_keeps_one(spark, prune_inputs):
+    embs, cents = prune_inputs
+    stats = semdedup_cluster_stats(
+        embs, cents, threshold=semdedupq.THRESHOLD
+    ).collect()
+    assert sum(r.n_members for r in stats) == embs.count()
+    assert all(r.n_kept + r.n_pruned == r.n_members for r in stats)
+    assert all(r.n_kept >= 1 for r in stats), "a cluster lost every member"
+    assert sum(r.n_pruned for r in stats) > 0, (
+        "threshold prunes nothing — the query is a no-op at this SF"
+    )
+
+
+def test_top_ranked_member_always_survives(spark, prune_inputs):
+    """keep='central': the (max centroid_sim, min id) member of every
+    cluster is undominatable by construction."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.embcluster import (
+        assign_embedding_clusters,
+    )
+
+    embs, cents = prune_inputs
+    assigned = assign_embedding_clusters(embs, cents).collect()
+    best = {}
+    for r in assigned:
+        cur = best.get(r.cluster)
+        rank = (-r.centroid_sim, r.vec_id)
+        if cur is None or rank < cur[0]:
+            best[r.cluster] = (rank, r.vec_id)
+    kept = {
+        r.vec_id
+        for r in semdedup_prune(embs, cents, threshold=semdedupq.THRESHOLD).collect()
+    }
+    for cluster, (_, vid) in best.items():
+        assert vid in kept, f"cluster {cluster} top member {vid} was pruned"
+
+
+def test_higher_threshold_prunes_a_subset(spark, prune_inputs):
+    """cos >= 0.45 implies cos >= THRESHOLD with identical ranks, so the
+    0.45-pruned set must be contained in the THRESHOLD-pruned set."""
+    embs, cents = prune_inputs
+    loose = {
+        r.vec_id
+        for r in semdedup_prune(embs, cents, threshold=semdedupq.THRESHOLD).collect()
+    }
+    tight = {
+        r.vec_id for r in semdedup_prune(embs, cents, threshold=0.45).collect()
+    }
+    assert loose <= tight
+
+
+def test_keep_edge_keeps_least_central_member(spark, prune_inputs):
+    """keep='edge': the (min centroid_sim, min id) member of every
+    cluster survives — the SemDeDup-paper variant."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.embcluster import (
+        assign_embedding_clusters,
+    )
+
+    embs, cents = prune_inputs
+    assigned = assign_embedding_clusters(embs, cents).collect()
+    worst = {}
+    for r in assigned:
+        cur = worst.get(r.cluster)
+        rank = (r.centroid_sim, r.vec_id)
+        if cur is None or rank < cur[0]:
+            worst[r.cluster] = (rank, r.vec_id)
+    kept = {
+        r.vec_id
+        for r in semdedup_prune(
+            embs, cents, threshold=semdedupq.THRESHOLD, keep="edge"
+        ).collect()
+    }
+    for cluster, (_, vid) in worst.items():
+        assert vid in kept, f"cluster {cluster} edge member {vid} was pruned"
+
+
+def test_bad_keep_mode_rejected(spark, prune_inputs):
+    embs, cents = prune_inputs
+    with pytest.raises(ValueError, match="keep"):
+        semdedup_prune(embs, cents, keep="random")
+
+
+def test_prune_self_join_is_cluster_equi_join(spark, prune_inputs):
+    """With the member relation precomputed, the prune must plan as an
+    equi-join on cluster — no cartesian, no broadcast-nested-loop (the
+    codebook-argmax BNLJ lives in the assignment, outside this plan)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.semdedup import (
+        semdedup_member,
+    )
+
+    embs, cents = prune_inputs
+    member = semdedup_member(embs, cents).localCheckpoint()
+    df = semdedup_prune(embs, cents, threshold=semdedupq.THRESHOLD, member=member)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
