@@ -1,0 +1,189 @@
+"""Incremental aggregate maintenance: roll a standing GROUP BY forward
+from a changelog instead of rescanning the fact table.
+
+The daily-mart shape at 100 TB: the fact table is petabytes, the daily
+change set is gigabytes, and the summary tables (revenue by segment,
+orders by priority, …) must advance to the new snapshot WITHOUT
+re-aggregating history. Given yesterday's aggregate and a changelog
+carrying both images of every changed row, the new aggregate is
+``old ⊕ delta`` where delta is computed from the changelog alone:
+
+* insert  → +1 row, +new values, into the NEW row's group;
+* delete  → −1 row, −old values, from the OLD row's group;
+* update  → both of the above — which handles group MOVES (an update
+  that changes the grouping attribute subtracts from the old group and
+  adds to the new one) with no special casing.
+
+Groups whose maintained row count reaches zero are dropped, so the
+result is exactly ``aggregate_snapshot(new)`` — an equality this
+module's tests and the DuckDB oracle (plans/snapshotq.py) assert
+literally. That equality only holds if the summed columns are EXACT
+types: cast floating-point measures to DECIMAL before aggregating
+(float addition is not associative, so ``old + delta`` and a full
+recompute would drift in the last ulp; the same reason
+plans/analytics.py casts TPC-H measures to DECIMAL(12,2)).
+
+Scale shape: the changelog explodes into ≤ 2 contribution rows per
+changed row (map-side), one partial-aggregated shuffle keyed by the
+group columns — cost bounded by the CHANGE volume, never the fact
+table; the merge with the old aggregate is a full-outer join on the
+group key, bounded by the number of groups. Contrast with
+``operators/transform.py`` merge-upsert, which maintains the ROW store;
+this maintains the AGGREGATE layer above it.
+
+Changelog contract: ``changelog_with_preimage`` emits
+(keys…, op, old_<c>…, new_<c>…) — the CDC pre/post-image convention
+(Debezium-style before/after) that ``operators/snapshot_diff.py``
+deliberately omits from its compact apply-side changelog.
+
+Reference parity: the reference's aggregation layer
+(src/transformation/data_transformer.py) recomputes marts from full
+snapshots each run; incremental maintenance is the beyond-reference
+scale path for the same outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .snapshot_diff import OP_DELETE, OP_INSERT, OP_UPDATE, _row_hash
+
+__all__ = [
+    "changelog_with_preimage",
+    "aggregate_snapshot",
+    "apply_changelog_to_agg",
+]
+
+
+def changelog_with_preimage(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """(keys…, op, old_<c>…, new_<c>…) for every inserted, updated, or
+    deleted row between the snapshots; unchanged rows are dropped.
+
+    Same detection semantics as ``snapshot_diff`` (null-safe content
+    hash over ``value_cols``), but both images are kept: the old-side
+    payload is what aggregate maintenance must SUBTRACT, and a
+    compact new-image-only changelog cannot express it. Absent sides
+    are NULL (old_* on inserts, new_* on deletes).
+    """
+    if not key_cols:
+        raise ValueError("changelog_with_preimage needs at least one key column")
+    if not value_cols:
+        raise ValueError("changelog_with_preimage needs at least one value column")
+    o = old.withColumn("_o_present", F.lit(True)).alias("o")
+    n = new.withColumn("_n_present", F.lit(True)).alias("n")
+    cond = None
+    for k in key_cols:
+        clause = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = clause if cond is None else (cond & clause)
+    joined = o.join(n, cond, "full_outer")
+    op = (
+        F.when(F.col("o._o_present").isNull(), F.lit(OP_INSERT))
+        .when(F.col("n._n_present").isNull(), F.lit(OP_DELETE))
+        .when(
+            _row_hash(value_cols, "o") != _row_hash(value_cols, "n"),
+            F.lit(OP_UPDATE),
+        )
+    )
+    out = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols
+    ]
+    out.append(F.col("_op").alias("op"))
+    for c in value_cols:
+        out.append(F.col(f"o.{c}").alias(f"old_{c}"))
+    for c in value_cols:
+        out.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return (
+        joined.withColumn("_op", op)
+        .where(F.col("_op").isNotNull())
+        .select(*out)
+    )
+
+
+def aggregate_snapshot(
+    snap: DataFrame,
+    group_keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """The maintained aggregate's canonical shape: (group_keys…,
+    <out>=SUM(src)…, count_col=COUNT(*)). Build the day-0 baseline with
+    this, and verify maintenance by comparing against it on the new
+    snapshot."""
+    aggs = [F.sum(F.col(src)).alias(out) for out, src in sum_cols.items()]
+    aggs.append(F.count(F.lit(1)).alias(count_col))
+    return snap.groupBy(*group_keys).agg(*aggs)
+
+
+def apply_changelog_to_agg(
+    old_agg: DataFrame,
+    changelog: DataFrame,
+    group_keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Roll ``old_agg`` (shape of ``aggregate_snapshot``) forward by a
+    ``changelog_with_preimage`` result. Group-key and summed columns are
+    read from the changelog's old_/new_ images, so both must have been
+    listed in the changelog's ``value_cols``. Groups whose row count
+    reaches zero are dropped.
+    """
+    def _img(prefix: str, sign: int) -> F.Column:
+        return F.struct(
+            *[F.col(f"{prefix}_{k}").alias(k) for k in group_keys],
+            *[F.col(f"{prefix}_{src}").alias(out) for out, src in sum_cols.items()],
+            F.lit(sign).alias("_sign"),
+        )
+
+    # one contribution array per changelog row, exploded — a SINGLE scan
+    # of the changelog (a where/union formulation reads it twice: the
+    # changelog is usually a materialized CDC table, but when it is
+    # derived inline the duplicated full-outer subtree doubles the cost)
+    contribs = (
+        F.when(F.col("op") == OP_INSERT, F.array(_img("new", 1)))
+        .when(F.col("op") == OP_DELETE, F.array(_img("old", -1)))
+        .otherwise(F.array(_img("old", -1), _img("new", 1)))
+    )
+    delta = (
+        changelog.select(F.explode(contribs).alias("_c"))
+        .select("_c.*")
+        .groupBy(*group_keys)
+        .agg(
+            *[
+                F.sum(F.col("_sign") * F.col(out)).alias(f"_d_{out}")
+                for out in sum_cols
+            ],
+            F.sum(F.col("_sign")).alias("_d_n"),
+        )
+    )
+    o = old_agg.alias("o")
+    d = delta.alias("d")
+    cond = None
+    for k in group_keys:
+        clause = F.col(f"o.{k}") == F.col(f"d.{k}")
+        cond = clause if cond is None else (cond & clause)
+    merged = o.join(d, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"d.{k}"), F.col(f"o.{k}")).alias(k)
+        for k in group_keys
+    ]
+    for out in sum_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"o.{out}"), F.lit(0))
+                + F.coalesce(F.col(f"_d_{out}"), F.lit(0))
+            ).alias(out)
+        )
+    new_count = (
+        F.coalesce(F.col(f"o.{count_col}"), F.lit(0))
+        + F.coalesce(F.col("_d_n"), F.lit(0))
+    )
+    return (
+        merged.select(*out_cols, new_count.alias(count_col))
+        .where(F.col(count_col) > 0)
+    )

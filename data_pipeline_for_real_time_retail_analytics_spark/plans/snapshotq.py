@@ -31,6 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.aggmaint import (
+    aggregate_snapshot,
+    apply_changelog_to_agg,
+    changelog_with_preimage,
+)
 from ..operators.snapshot_diff import diff_summary, snapshot_diff
 from ..sources import load_table
 
@@ -39,12 +44,24 @@ INSERT_MOD, INSERT_REM = 10, 3
 DELETE_MOD, DELETE_REM = 13, 5
 UPDATE_MOD = 7
 UPDATED_PRIORITY = "9-RECHECK"
+#: the agg-maintenance variant also bumps the updated rows' price by
+#: this (exact DECIMAL addition — identical in both engines)
+PRICE_BUMP = 10
 
 
-def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
+def _snapshots(
+    spark: SparkSession, sf_dir: str, with_price: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    cols = ["o_orderkey", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders")
+    if with_price:
+        # DECIMAL at ingest: aggregate maintenance requires exactly
+        # associative sums (operators/aggmaint.py docstring)
+        orders = orders.withColumn(
+            "o_totalprice", F.col("o_totalprice").cast("decimal(12,2)")
+        )
+        cols = cols + ["o_totalprice"]
+    orders = orders.select(*cols)
     old = orders.where(F.col("o_orderkey") % INSERT_MOD != INSERT_REM)
     new = orders.where(F.col("o_orderkey") % DELETE_MOD != DELETE_REM).withColumn(
         "o_orderpriority",
@@ -52,6 +69,14 @@ def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             F.col("o_orderkey") % UPDATE_MOD == 0, F.lit(UPDATED_PRIORITY)
         ).otherwise(F.col("o_orderpriority")),
     )
+    if with_price:
+        new = new.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % UPDATE_MOD == 0,
+                F.col("o_totalprice") + F.lit(PRICE_BUMP),
+            ).otherwise(F.col("o_totalprice")),
+        )
     return old, new
 
 
@@ -71,6 +96,32 @@ def q_orders_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_summary(
         snapshot_diff(old, new, ["o_orderkey"], ["o_orderpriority"])
     ).orderBy("op")
+
+
+def q_orders_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order count + total price for the NEW snapshot,
+    produced by rolling the OLD snapshot's aggregate forward from the
+    changelog — never re-aggregating the new snapshot
+    (operators/aggmaint.py). The update rule rewrites the GROUP key
+    (priority → '9-RECHECK'), so the maintenance path must move rows
+    across groups, including into a group that did not exist."""
+    old, new = _snapshots(spark, sf_dir, with_price=True)
+    old_agg = aggregate_snapshot(
+        old, ["o_orderpriority"], {"total_price": "o_totalprice"},
+        count_col="n_orders",
+    )
+    changelog = changelog_with_preimage(
+        old, new, ["o_orderkey"], ["o_orderpriority", "o_totalprice"]
+    )
+    rolled = apply_changelog_to_agg(
+        old_agg, changelog, ["o_orderpriority"],
+        {"total_price": "o_totalprice"}, count_col="n_orders",
+    )
+    return rolled.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("total_price"), 2).cast("double").alias("total_price"),
+    ).orderBy("o_orderpriority")
 
 
 _DIFF_SQL = rf"""
@@ -105,9 +156,30 @@ ORACLES: dict[str, str] = {
         SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM ({_DIFF_SQL}) GROUP BY op ORDER BY op
     """,
+    # the maintained aggregate must equal a full re-aggregation of the
+    # new snapshot — the oracle IS that recompute
+    "orders_agg_maintenance": rf"""
+        WITH new AS (
+            SELECT CASE WHEN o_orderkey % {UPDATE_MOD} = 0
+                        THEN '{UPDATED_PRIORITY}'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   CASE WHEN o_orderkey % {UPDATE_MOD} = 0
+                        THEN CAST(o_totalprice AS DECIMAL(12,2))
+                             + {PRICE_BUMP}
+                        ELSE CAST(o_totalprice AS DECIMAL(12,2))
+                   END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % {DELETE_MOD} <> {DELETE_REM}
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_price
+        FROM new GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
 }
 
 QUERIES = {
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "orders_snapshot_summary": q_orders_snapshot_summary,
+    "orders_agg_maintenance": q_orders_agg_maintenance,
 }
