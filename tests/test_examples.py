@@ -32,6 +32,21 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, capsys):
     assert "raw docs:" in out and "chunks:" in out
 
 
+def test_semantic_curation_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["semantic_curation_example.py", sf_dir]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/semantic_curation_example.py", run_name="__main__"
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "pruned:" in out
+    assert "rolled == direct recompute: True" in out
+
+
 def test_training_export_example_runs(spark, sf_dir, capsys):
     argv = sys.argv
     sys.argv = ["training_export_example.py", sf_dir]
