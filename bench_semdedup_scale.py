@@ -97,6 +97,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.hierassign import (  # noqa: E501
+        assign_two_level,
+        two_level_codebook,
+    )
     from data_pipeline_for_real_time_retail_analytics_spark.operators.semdedup import (  # noqa: E501
         semdedup_member,
         semdedup_prune,
@@ -110,11 +114,20 @@ def main() -> None:
         embs = scaled_embeddings(spark, s).localCheckpoint()
         n = embs.count()
         k = BASE_K * s
-        cents = ivf_centroids(embs, n_cells=k)
+        cents = ivf_centroids(embs, n_cells=k).localCheckpoint()
 
         t0 = time.perf_counter()
         member = semdedup_member(embs, cents).localCheckpoint()
         assign_s = round(time.perf_counter() - t0, 3)
+
+        # the n·(k1 + k/k1) routing path, k1 = √k (hierassign docstring)
+        k1 = max(2, int(round(k ** 0.5)))
+        t0 = time.perf_counter()
+        cb = two_level_codebook(cents, n_coarse=k1).localCheckpoint()
+        assign_two_level(embs, cb).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        assign2_s = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()
         kept = semdedup_prune(
@@ -128,7 +141,9 @@ def main() -> None:
                 "scale": s,
                 "n_vectors": n,
                 "k": k,
-                "assign_sec": assign_s,
+                "assign_flat_sec": assign_s,
+                "assign_2level_sec": assign2_s,
+                "k_coarse": k1,
                 "prune_sec": prune_s,
                 "kept": n_kept,
                 "pruned": n - n_kept,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.hierassign import assign_two_level, two_level_codebook
 from ..operators.semdedup import (
     semdedup_cluster_stats,
     semdedup_member,
@@ -76,6 +77,21 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_cluster_stats(
         embs, cents, threshold=THRESHOLD, member=_member(spark, sf_dir)
     ).orderBy("cluster")
+
+
+#: coarse routing seeds for the two-level assignment demo (√k rule)
+N_COARSE = 4
+
+
+def q_embedding_clusters_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse→fine codebook assignment of every embedding
+    (operators/hierassign.py) — the n·(k₁+k/k₁) scale path for flat
+    argmax assignment. Deterministic two-stage rule, exact oracle."""
+    embs = _embs(spark, sf_dir)
+    cb = two_level_codebook(
+        ivf_centroids(embs, n_cells=N_CLUSTERS), n_coarse=N_COARSE
+    )
+    return assign_two_level(embs, cb).orderBy("vec_id")
 
 
 def _assigned_cte() -> str:
@@ -138,9 +154,46 @@ ORACLES: dict[str, str] = {
         GROUP BY a.cluster
         ORDER BY a.cluster
     """,
+    # mirrors hierassign step for step: fine codebook → coarse grouping
+    # (ties to higher id at every argmax) → route → within-group argmax
+    "embedding_clusters_2level": rf"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings ORDER BY vec_id LIMIT {N_CLUSTERS}
+        ),
+        seeds AS (SELECT cid AS gcid, cv AS gcv FROM cents
+                  ORDER BY gcid LIMIT {N_COARSE}),
+        cb AS (
+            SELECT c.cid, c.cv, s.gcid AS coarse_cid
+            FROM cents c CROSS JOIN seeds s
+            QUALIFY row_number() OVER (
+                PARTITION BY c.cid
+                ORDER BY {_cosine("c.cv", "s.gcv")} DESC, s.gcid DESC
+            ) = 1
+        ),
+        routing AS (SELECT cid AS gcid, cv AS gcv FROM cb
+                    WHERE cid = coarse_cid),
+        routed AS (
+            SELECT e.vec_id, e.embedding, r.gcid
+            FROM embeddings e CROSS JOIN routing r
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_cosine("e.embedding", "r.gcv")} DESC, r.gcid DESC
+            ) = 1
+        )
+        SELECT v.vec_id, cb.cid AS cluster,
+               ROUND({_cosine("v.embedding", "cb.cv")}, 6) AS centroid_sim
+        FROM routed v JOIN cb ON v.gcid = cb.coarse_cid
+        QUALIFY row_number() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {_cosine("v.embedding", "cb.cv")} DESC, cb.cid DESC
+        ) = 1
+        ORDER BY v.vec_id
+    """,
 }
 
 QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_stats": q_semantic_dedup_stats,
+    "embedding_clusters_2level": q_embedding_clusters_2level,
 }
