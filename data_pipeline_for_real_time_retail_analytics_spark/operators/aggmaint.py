@@ -61,6 +61,7 @@ def changelog_with_preimage(
     new: DataFrame,
     key_cols: list[str],
     value_cols: list[str],
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """(keys…, op, old_<c>…, new_<c>…) for every inserted, updated, or
     deleted row between the snapshots; unchanged rows are dropped.
@@ -70,6 +71,13 @@ def changelog_with_preimage(
     payload is what aggregate maintenance must SUBTRACT, and a
     compact new-image-only changelog cannot express it. Absent sides
     are NULL (old_* on inserts, new_* on deletes).
+
+    ``null_safe_keys`` carries the same contract and trade-off as
+    ``snapshot_diff``: keys join with plain equality by default (the
+    primary-key non-null contract — and plain equality is what lets a
+    bucketed snapshot pair diff without a shuffle); a NULL-keyed row
+    under the default surfaces as a delete+insert pair on every diff.
+    Opt in for snapshots whose keys can genuinely be NULL.
     """
     if not key_cols:
         raise ValueError("changelog_with_preimage needs at least one key column")
@@ -79,7 +87,8 @@ def changelog_with_preimage(
     n = new.withColumn("_n_present", F.lit(True)).alias("n")
     cond = None
     for k in key_cols:
-        clause = F.col(f"o.{k}") == F.col(f"n.{k}")
+        lhs, rhs = F.col(f"o.{k}"), F.col(f"n.{k}")
+        clause = lhs.eqNullSafe(rhs) if null_safe_keys else (lhs == rhs)
         cond = clause if cond is None else (cond & clause)
     joined = o.join(n, cond, "full_outer")
     op = (
@@ -163,9 +172,16 @@ def apply_changelog_to_agg(
     )
     o = old_agg.alias("o")
     d = delta.alias("d")
+    # the merge MUST be null-safe: grouping columns are attributes, not
+    # keys, and a NULL-valued group is one group to groupBy (both in
+    # the old aggregate and in the delta) — plain equality would split
+    # it into two never-matching rows and break rolled == recomputed.
+    # Unlike snapshot_diff's key join there is no bucketed-layout
+    # argument against eqNullSafe here: both sides are group-grain
+    # aggregates, orders of magnitude smaller than the snapshots.
     cond = None
     for k in group_keys:
-        clause = F.col(f"o.{k}") == F.col(f"d.{k}")
+        clause = F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
         cond = clause if cond is None else (cond & clause)
     merged = o.join(d, cond, "full_outer")
     out_cols = [

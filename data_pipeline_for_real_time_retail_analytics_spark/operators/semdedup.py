@@ -70,9 +70,33 @@ def semdedup_member(
     return assigned.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
 
 
+def _resolve_member(
+    corpus: DataFrame | None,
+    centroids: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    member: DataFrame | None,
+) -> DataFrame:
+    """Either the caller's precomputed member relation, or one derived
+    (and eagerly ``localCheckpoint``'d) from corpus+centroids. The
+    default path materializes because the member subtree feeds 3-4
+    consumers per query and Catalyst duplicates self-join subtrees —
+    without this, one stats call re-runs the n·k codebook argmax four
+    times. Pass ``member=`` to control materialization yourself (e.g.
+    to share one checkpoint across prune + stats, as
+    plans/semdedupq.py does)."""
+    if member is not None:
+        return member
+    if corpus is None or centroids is None:
+        raise ValueError(
+            "pass either member= or both corpus and centroids"
+        )
+    return semdedup_member(corpus, centroids, id_col, vec_col).localCheckpoint()
+
+
 def semdedup_prune(
-    corpus: DataFrame,
-    centroids: DataFrame,
+    corpus: DataFrame | None = None,
+    centroids: DataFrame | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -83,8 +107,11 @@ def semdedup_prune(
 
     ``centroids`` must expose (cid, cv) — ``similarity.ivf_centroids``
     (deterministic, oracle-checkable) or ``ivf_centroids_trained`` (the
-    production path). Output: (id_col, cluster, centroid_sim) for every
-    surviving vector, centroid_sim rounded to 6 places.
+    production path). Alternatively pass ``member=`` (a precomputed
+    ``semdedup_member`` relation — e.g. built from the two-level
+    assigner) and omit corpus/centroids entirely. Output:
+    (id_col, cluster, centroid_sim) for every surviving vector,
+    centroid_sim rounded to 6 places.
 
     The keep priority compares the ROUNDED centroid similarity: the
     rounded value is what both engines (and a re-run on different
@@ -93,8 +120,7 @@ def semdedup_prune(
     """
     if keep not in ("central", "edge"):
         raise ValueError(f"keep must be 'central' or 'edge', got {keep!r}")
-    if member is None:
-        member = semdedup_member(corpus, centroids, id_col, vec_col)
+    member = _resolve_member(corpus, centroids, id_col, vec_col, member)
 
     a = member.select(
         F.col("cluster"),
@@ -132,8 +158,8 @@ def semdedup_prune(
 
 
 def semdedup_cluster_stats(
-    corpus: DataFrame,
-    centroids: DataFrame,
+    corpus: DataFrame | None = None,
+    centroids: DataFrame | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -143,11 +169,13 @@ def semdedup_cluster_stats(
     """(cluster, n_members, n_kept, n_pruned) — the per-cluster prune
     accounting a curation run logs to decide whether ``threshold`` (or
     the codebook size) needs retuning before committing the survivor
-    set."""
-    if member is None:
-        member = semdedup_member(corpus, centroids, id_col, vec_col)
+    set. Same corpus+centroids / ``member=`` contract as
+    ``semdedup_prune``; the resolved member is shared with the prune it
+    runs internally."""
+    member = _resolve_member(corpus, centroids, id_col, vec_col, member)
     kept = semdedup_prune(
-        corpus, centroids, threshold, id_col, vec_col, keep, member=member
+        threshold=threshold, id_col=id_col, vec_col=vec_col, keep=keep,
+        member=member,
     )
     members = member.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members")

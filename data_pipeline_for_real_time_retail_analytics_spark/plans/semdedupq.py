@@ -17,6 +17,8 @@ identical column names both sides, BIGINT counts, ROUND(x, 6) doubles.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.hierassign import assign_two_level, two_level_codebook
@@ -49,7 +51,9 @@ _MEMBER: dict[tuple[str, str], DataFrame] = {}
 
 
 def _member(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # abspath key: a relative and an absolute spelling of the same dir
+    # must share one materialization (same convention as plans/llm.py)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     m = _MEMBER.get(key)
     if m is None:
         embs = _embs(spark, sf_dir)
@@ -62,20 +66,16 @@ def _member(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivors of the within-cluster semantic prune, keep='central'
     (operators/semdedup.py:semdedup_prune)."""
-    embs = _embs(spark, sf_dir)
-    cents = ivf_centroids(embs, n_cells=N_CLUSTERS)
     return semdedup_prune(
-        embs, cents, threshold=THRESHOLD, member=_member(spark, sf_dir)
+        threshold=THRESHOLD, member=_member(spark, sf_dir)
     ).orderBy("vec_id")
 
 
 def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster (members, kept, pruned) accounting of the same prune
     (operators/semdedup.py:semdedup_cluster_stats)."""
-    embs = _embs(spark, sf_dir)
-    cents = ivf_centroids(embs, n_cells=N_CLUSTERS)
     return semdedup_cluster_stats(
-        embs, cents, threshold=THRESHOLD, member=_member(spark, sf_dir)
+        threshold=THRESHOLD, member=_member(spark, sf_dir)
     ).orderBy("cluster")
 
 

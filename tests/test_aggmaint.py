@@ -72,6 +72,51 @@ def test_group_birth_move_and_death(spark):
     assert rolled[("c",)]["total"] == Decimal("2.50")
 
 
+def test_null_group_is_one_group(spark):
+    """A NULL-valued grouping attribute is ONE group to groupBy, so the
+    merge must match it null-safely — plain equality would emit two
+    never-matching NULL-group rows (the review finding this pins)."""
+    old = spark.createDataFrame(
+        [(1, None, Decimal("1.00")), (2, None, Decimal("2.00")),
+         (3, "a", Decimal("5.00"))],
+        "id int, grp string, v decimal(10,2)",
+    )
+    new = spark.createDataFrame(
+        [(1, None, Decimal("1.00")), (3, "a", Decimal("5.00")),
+         (4, None, Decimal("9.00"))],
+        "id int, grp string, v decimal(10,2)",
+    )
+    spec = {"total": "v"}
+    rolled = _rows_by_key(
+        apply_changelog_to_agg(
+            aggregate_snapshot(old, ["grp"], spec),
+            changelog_with_preimage(old, new, ["id"], ["grp", "v"]),
+            ["grp"],
+            spec,
+        ),
+        "grp",
+    )
+    direct = _rows_by_key(aggregate_snapshot(new, ["grp"], spec), "grp")
+    assert rolled == direct
+    assert rolled[(None,)]["n_rows"] == 2
+    assert rolled[(None,)]["total"] == Decimal("10.00")
+
+
+def test_null_safe_keys_opt_in(spark):
+    """Mirrors snapshot_diff's contract: a NULL-keyed row churns as
+    delete+insert under plain equality, and is quiet under
+    null_safe_keys=True when unchanged."""
+    rows = [(None, "a", Decimal("1.00")), (7, "b", Decimal("2.00"))]
+    old = spark.createDataFrame(rows, "id int, grp string, v decimal(10,2)")
+    new = spark.createDataFrame(rows, "id int, grp string, v decimal(10,2)")
+    churn = changelog_with_preimage(old, new, ["id"], ["grp", "v"]).collect()
+    assert {r.op for r in churn} == {"insert", "delete"}
+    quiet = changelog_with_preimage(
+        old, new, ["id"], ["grp", "v"], null_safe_keys=True
+    ).collect()
+    assert quiet == []
+
+
 def test_changelog_images(spark):
     old = _df(spark, [(1, "a", "1.00"), (2, "a", "2.00"), (3, "b", "5.00")])
     new = _df(spark, [(1, "a", "1.00"), (2, "c", "2.50"), (4, "a", "4.00")])

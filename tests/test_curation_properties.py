@@ -38,7 +38,7 @@ SETTINGS = dict(
 
 row = st.tuples(
     st.integers(min_value=0, max_value=15),          # key
-    st.sampled_from(["a", "b", "c"]),                # group
+    st.sampled_from(["a", "b", "c", None]),          # group (NULL included)
     st.integers(min_value=-50, max_value=50),        # value
 )
 

@@ -14,11 +14,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="module")
 def ddb():
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS "
-        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
-    )
+    con = par.make_views(duckdb.connect(), ["documents"], SF_DIR)
     yield con
     con.close()
 
@@ -27,12 +23,7 @@ def ddb():
 def test_parity(spark, ddb, name):
     spark_pdf = exportq.QUERIES[name](spark, SF_DIR).toPandas()
     duck_pdf = ddb.execute(exportq.ORACLES[name]).fetchdf()
-    assert len(spark_pdf) == len(duck_pdf)
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = par._normalize(spark_pdf), par._normalize(duck_pdf)
-    for col in s.columns:
-        for a, b in zip(s[col], d[col]):
-            assert par._cell_equal(a, b), f"{name}.{col}: {a!r} != {b!r}"
+    par.assert_frames_match(spark_pdf, duck_pdf, name)
 
 
 def test_manifest_accounts_for_every_document(spark):

@@ -62,12 +62,21 @@ ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity(spark, ddb, name):
-    assert name in QUERIES, f"oracle {name} has no queries() entry"
-    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
-    duck_pdf = ddb.execute(ORACLES[name]).fetchdf()
+def make_views(con, tables, sf_dir=SF_DIR):
+    """Register the named parquet tables as DuckDB views — the shared
+    fixture body for every parity test module."""
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
 
+
+def assert_frames_match(spark_pdf, duck_pdf, name):
+    """The driver's exact comparison: row count, column set, then every
+    value (int/float representation preserved). One definition — the
+    registry gate below and the registry-ready plan modules' parity
+    tests all assert through it, so the contract cannot drift."""
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
     )
@@ -80,6 +89,14 @@ def test_oracle_parity(spark, ddb, name):
             assert _cell_equal(a, b), (
                 f"{name}: value mismatch col={col} row={i}: spark={a!r} duck={b!r}"
             )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, ddb, name):
+    assert name in QUERIES, f"oracle {name} has no queries() entry"
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = ddb.execute(ORACLES[name]).fetchdf()
+    assert_frames_match(spark_pdf, duck_pdf, name)
 
 
 def test_every_query_has_entry_or_rows(spark):

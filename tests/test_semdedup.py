@@ -24,28 +24,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="module")
 def ddb():
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW embeddings AS "
-        f"SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
-    )
+    con = par.make_views(duckdb.connect(), ["embeddings"], SF_DIR)
     yield con
     con.close()
 
 
 @pytest.mark.parametrize("name", sorted(semdedupq.ORACLES))
 def test_parity(spark, ddb, name):
-    """Exact driver-gate comparison: row count, columns, every value
-    (int/float distinction preserved — the representation the driver
-    hashes)."""
+    """Exact driver-gate comparison (shared assert_frames_match)."""
     spark_pdf = semdedupq.QUERIES[name](spark, SF_DIR).toPandas()
     duck_pdf = ddb.execute(semdedupq.ORACLES[name]).fetchdf()
-    assert len(spark_pdf) == len(duck_pdf)
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = par._normalize(spark_pdf), par._normalize(duck_pdf)
-    for col in s.columns:
-        for a, b in zip(s[col], d[col]):
-            assert par._cell_equal(a, b), f"{name}.{col}: {a!r} != {b!r}"
+    par.assert_frames_match(spark_pdf, duck_pdf, name)
 
 
 @pytest.fixture(scope="module")

@@ -15,11 +15,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="module")
 def ddb():
-    con = duckdb.connect()
-    for t in ("events", "customer"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    con = par.make_views(duckdb.connect(), ["events", "customer"], SF_DIR)
     yield con
     con.close()
 
@@ -28,12 +24,7 @@ def ddb():
 def test_parity(spark, ddb, name):
     spark_pdf = streamq2.QUERIES[name](spark, SF_DIR).toPandas()
     duck_pdf = ddb.execute(streamq2.ORACLES[name]).fetchdf()
-    assert len(spark_pdf) == len(duck_pdf)
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = par._normalize(spark_pdf), par._normalize(duck_pdf)
-    for col in s.columns:
-        for a, b in zip(s[col], d[col]):
-            assert par._cell_equal(a, b), f"{name}.{col}: {a!r} != {b!r}"
+    par.assert_frames_match(spark_pdf, duck_pdf, name)
 
 
 def test_dim_join_is_broadcast(spark):
