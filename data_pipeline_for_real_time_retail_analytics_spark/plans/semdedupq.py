@@ -50,15 +50,22 @@ THRESHOLD = 0.35
 _MEMBER: dict[tuple[str, str], DataFrame] = {}
 
 
-def _member(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _member(spark: SparkSession, sf_dir: str, flavor: str = "flat") -> DataFrame:
     # abspath key: a relative and an absolute spelling of the same dir
     # must share one materialization (same convention as plans/llm.py)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), flavor)
     m = _MEMBER.get(key)
     if m is None:
         embs = _embs(spark, sf_dir)
         cents = ivf_centroids(embs, n_cells=N_CLUSTERS)
-        m = semdedup_member(embs, cents).localCheckpoint()
+        if flavor == "flat":
+            m = semdedup_member(embs, cents)
+        else:
+            cb = two_level_codebook(cents, n_coarse=N_COARSE)
+            m = assign_two_level(embs, cb).join(
+                embs.select("vec_id", "embedding"), "vec_id"
+            )
+        m = m.localCheckpoint()
         _MEMBER[key] = m
     return m
 
@@ -92,6 +99,16 @@ def q_embedding_clusters_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_centroids(embs, n_cells=N_CLUSTERS), n_coarse=N_COARSE
     )
     return assign_two_level(embs, cb).orderBy("vec_id")
+
+
+def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition: SemDeDup prune over the TWO-LEVEL
+    assignment's member relation — cluster routing at n·(k₁+k/k₁) cost
+    feeding the same bounded within-cluster prune. Proves the two
+    operators' shared member contract end to end under the oracle."""
+    return semdedup_prune(
+        threshold=THRESHOLD, member=_member(spark, sf_dir, flavor="2level")
+    ).orderBy("vec_id")
 
 
 def _assigned_cte() -> str:
@@ -129,6 +146,47 @@ def _assigned_cte() -> str:
     """
 
 
+def _twolevel_cte() -> str:
+    """Shared oracle CTE chain ending in ``assigned2``
+    (vec_id, embedding, cluster, centroid_sim) — the two-level
+    assignment mirrored step for step."""
+    return rf"""
+        cents AS (
+            SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings ORDER BY vec_id LIMIT {N_CLUSTERS}
+        ),
+        seeds AS (SELECT cid AS gcid, cv AS gcv FROM cents
+                  ORDER BY gcid LIMIT {N_COARSE}),
+        cb AS (
+            SELECT c.cid, c.cv, s.gcid AS coarse_cid
+            FROM cents c CROSS JOIN seeds s
+            QUALIFY row_number() OVER (
+                PARTITION BY c.cid
+                ORDER BY {_cosine("c.cv", "s.gcv")} DESC, s.gcid DESC
+            ) = 1
+        ),
+        routing AS (SELECT cid AS gcid, cv AS gcv FROM cb
+                    WHERE cid = coarse_cid),
+        routed AS (
+            SELECT e.vec_id, e.embedding, r.gcid
+            FROM embeddings e CROSS JOIN routing r
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_cosine("e.embedding", "r.gcv")} DESC, r.gcid DESC
+            ) = 1
+        ),
+        assigned2 AS (
+            SELECT v.vec_id, v.embedding, cb.cid AS cluster,
+                   ROUND({_cosine("v.embedding", "cb.cv")}, 6) AS centroid_sim
+            FROM routed v JOIN cb ON v.gcid = cb.coarse_cid
+            QUALIFY row_number() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY {_cosine("v.embedding", "cb.cv")} DESC, cb.cid DESC
+            ) = 1
+        )
+    """
+
+
 ORACLES: dict[str, str] = {
     "semantic_dedup": rf"""
         WITH {_assigned_cte()}
@@ -157,38 +215,28 @@ ORACLES: dict[str, str] = {
     # mirrors hierassign step for step: fine codebook → coarse grouping
     # (ties to higher id at every argmax) → route → within-group argmax
     "embedding_clusters_2level": rf"""
-        WITH cents AS (
-            SELECT vec_id AS cid, embedding AS cv
-            FROM embeddings ORDER BY vec_id LIMIT {N_CLUSTERS}
-        ),
-        seeds AS (SELECT cid AS gcid, cv AS gcv FROM cents
-                  ORDER BY gcid LIMIT {N_COARSE}),
-        cb AS (
-            SELECT c.cid, c.cv, s.gcid AS coarse_cid
-            FROM cents c CROSS JOIN seeds s
-            QUALIFY row_number() OVER (
-                PARTITION BY c.cid
-                ORDER BY {_cosine("c.cv", "s.gcv")} DESC, s.gcid DESC
-            ) = 1
-        ),
-        routing AS (SELECT cid AS gcid, cv AS gcv FROM cb
-                    WHERE cid = coarse_cid),
-        routed AS (
-            SELECT e.vec_id, e.embedding, r.gcid
-            FROM embeddings e CROSS JOIN routing r
-            QUALIFY row_number() OVER (
-                PARTITION BY e.vec_id
-                ORDER BY {_cosine("e.embedding", "r.gcv")} DESC, r.gcid DESC
-            ) = 1
+        WITH {_twolevel_cte()}
+        SELECT vec_id, cluster, centroid_sim
+        FROM assigned2 ORDER BY vec_id
+    """,
+    # the composition: same dominance prune, but over the two-level
+    # assignment's clusters
+    "semantic_dedup_2level": rf"""
+        WITH {_twolevel_cte()},
+        dominated2 AS (
+            SELECT DISTINCT a.vec_id
+            FROM assigned2 a
+            JOIN assigned2 b
+              ON a.cluster = b.cluster
+             AND (b.centroid_sim > a.centroid_sim
+                  OR (b.centroid_sim = a.centroid_sim
+                      AND b.vec_id < a.vec_id))
+             AND {_cosine("a.embedding", "b.embedding")} >= {THRESHOLD}
         )
-        SELECT v.vec_id, cb.cid AS cluster,
-               ROUND({_cosine("v.embedding", "cb.cv")}, 6) AS centroid_sim
-        FROM routed v JOIN cb ON v.gcid = cb.coarse_cid
-        QUALIFY row_number() OVER (
-            PARTITION BY v.vec_id
-            ORDER BY {_cosine("v.embedding", "cb.cv")} DESC, cb.cid DESC
-        ) = 1
-        ORDER BY v.vec_id
+        SELECT vec_id, cluster, centroid_sim
+        FROM assigned2
+        WHERE vec_id NOT IN (SELECT vec_id FROM dominated2)
+        ORDER BY vec_id
     """,
 }
 
@@ -196,4 +244,5 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_stats": q_semantic_dedup_stats,
     "embedding_clusters_2level": q_embedding_clusters_2level,
+    "semantic_dedup_2level": q_semantic_dedup_2level,
 }
