@@ -82,6 +82,12 @@ def scaled_embeddings(spark: SparkSession, scale: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10,30")
+    ap.add_argument(
+        "--skip-flat",
+        action="store_true",
+        help="skip the flat n*k assignment (quadratic — prohibitive at "
+        "the largest scales once the curve is established)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -116,17 +122,26 @@ def main() -> None:
         k = BASE_K * s
         cents = ivf_centroids(embs, n_cells=k).localCheckpoint()
 
-        t0 = time.perf_counter()
-        member = semdedup_member(embs, cents).localCheckpoint()
-        assign_s = round(time.perf_counter() - t0, 3)
+        if args.skip_flat:
+            assign_s = None
+        else:
+            t0 = time.perf_counter()
+            member = semdedup_member(embs, cents).localCheckpoint()
+            assign_s = round(time.perf_counter() - t0, 3)
 
         # the n·(k1 + k/k1) routing path, k1 = √k (hierassign docstring)
         k1 = max(2, int(round(k ** 0.5)))
         t0 = time.perf_counter()
         cb = two_level_codebook(cents, n_coarse=k1).localCheckpoint()
-        assign_two_level(embs, cb).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        assigned2 = assign_two_level(embs, cb)
+        if args.skip_flat:
+            # no flat member — the prune below runs over the two-level
+            # member (the production composition)
+            member = assigned2.join(
+                embs.select("vec_id", "embedding"), "vec_id"
+            ).localCheckpoint()
+        else:
+            assigned2.write.format("noop").mode("overwrite").save()
         assign2_s = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()
