@@ -1,0 +1,52 @@
+"""rotation_update.py: ledger roll-forward semantics (pure python)."""
+
+import json
+import subprocess
+import sys
+import os
+
+import rotation_update as ru
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_green_classification():
+    full = {"rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 5, "oracle_rows": 5, "err": None}
+    rows_only = {"rows_match": True, "err": None}
+    assert ru.is_green(full)
+    assert ru.is_green(rows_only), "oracle-less rows-only green must count"
+    assert not ru.is_green({**full, "hash_match": False})
+    assert not ru.is_green({**full, "rows_match": False})
+    assert not ru.is_green({**full, "err": "boom"})
+
+
+def test_dry_run_against_real_ledger_moves_only_checked_greens(tmp_path):
+    """Drive the CLI with the real r5 CORRECTNESS file in --dry-run: it
+    must report exactly the r5-checked green set and leave the ledger
+    file untouched."""
+    before = open(os.path.join(REPO, "ROTATION.json")).read()
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "rotation_update.py"),
+         os.path.join(REPO, "CORRECTNESS_r05.json"), "deadbee", "--dry-run"],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    ).stdout
+    cells = json.load(open(os.path.join(REPO, "CORRECTNESS_r05.json")))
+    n_green = sum(ru.is_green(c) for c in cells.values())
+    assert f"greens: {n_green}" in out
+    assert "dry run" in out
+    assert open(os.path.join(REPO, "ROTATION.json")).read() == before
+
+
+def test_unknown_green_is_an_error(tmp_path):
+    cfile = tmp_path / "c.json"
+    cfile.write_text(json.dumps(
+        {"never_registered_query": {"rows_match": True, "err": None}}
+    ))
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "rotation_update.py"),
+         str(cfile), "deadbee", "--dry-run"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert res.returncode == 1
+    assert "register them first" in res.stderr
