@@ -95,3 +95,41 @@ def compact_parquet(
     if not result.success:
         raise RuntimeError(f"compaction write failed: {result.error}")
     return spark.read.parquet(dest_path)
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """(n_rows, checksum) — an order- and layout-independent content
+    fingerprint of a relation: BIT_XOR over a null-safe xxhash64 of
+    every row's ``cols`` (default: all columns, sorted by name so two
+    column orders of the same data agree).
+
+    The verification half of every maintenance rewrite: after
+    ``compact_parquet``, a bucketed re-layout, an engine migration, or
+    a replica copy, equal (n_rows, checksum) proves the MULTISET of
+    rows survived — without a global sort or a shuffle beyond one
+    single-row aggregate. XOR alone would miss duplicated-even-times
+    rows; pairing it with the exact row count closes the common
+    failure (a dropped + a doubled row changes the count). Same
+    null-tagged, name-interleaved hashing discipline as
+    ``snapshot_diff._row_hash`` so NULL and 'NULL' (and column swaps of
+    the same values) cannot collide.
+    """
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns) if cols is None else list(cols)
+    parts: list = []
+    for c in cols:
+        v = F.col(c)
+        parts.append(F.lit(c))
+        parts.append(
+            F.when(v.isNull(), F.lit("\x00null")).otherwise(
+                F.concat(F.lit("\x01"), v.cast("string"))
+            )
+        )
+    return df.select(F.xxhash64(*parts).alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("checksum"),
+    )

@@ -101,3 +101,39 @@ def test_compacted_corpus_preserves_rows_and_reduces_files(spark, sf_dir):
         .toPandas()
     )
     assert got.equals(want)
+
+
+def test_table_checksum_is_layout_invariant_and_detects_loss(
+    spark, sf_dir, tmp_path
+):
+    """(n_rows, checksum) must survive any re-layout (repartition,
+    column order, compaction) and must change when a row is dropped or
+    doubled — the maintenance-rewrite verification contract."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.maintenance import (
+        table_checksum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = table_checksum(docs).first()
+
+    # layout invariance: shuffle + column reorder + compaction rewrite
+    reordered = docs.select(*sorted(docs.columns, reverse=True)).repartition(7)
+    assert table_checksum(reordered).first() == base
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    docs.repartition(16).write.parquet(src)
+    compacted = compact_parquet(spark, src, dest, ["doc_id"], target_files=2)
+    assert table_checksum(compacted).first() == base
+
+    # loss / duplication detection
+    victim = docs.select("doc_id").first().doc_id
+    dropped = docs.where(F.col("doc_id") != victim)
+    d = table_checksum(dropped).first()
+    assert (d.n_rows, d.checksum) != (base.n_rows, base.checksum)
+    doubled = docs.unionByName(docs.where(F.col("doc_id") == victim))
+    dd = table_checksum(doubled).first()
+    assert (dd.n_rows, dd.checksum) != (base.n_rows, base.checksum)
+
+    # NULL vs the string 'NULL' must not collide (null-tagged hashing)
+    a = spark.createDataFrame([(1, None)], "k int, s string")
+    b = spark.createDataFrame([(1, "NULL")], "k int, s string")
+    assert table_checksum(a).first() != table_checksum(b).first()
