@@ -129,20 +129,30 @@ def main() -> None:
             member = semdedup_member(embs, cents).localCheckpoint()
             assign_s = round(time.perf_counter() - t0, 3)
 
-        # the n·(k1 + k/k1) routing path, k1 = √k (hierassign docstring)
+        # the n·(k1 + k/k1) routing path, k1 = √k (hierassign docstring).
+        # assign2_s times the BARE assignment identically in both modes
+        # (codebook grouping + assignment, drained to a noop sink) so
+        # the curve is comparable across --skip-flat runs; the member
+        # join/materialization is timed separately as member_sec.
         k1 = max(2, int(round(k ** 0.5)))
         t0 = time.perf_counter()
         cb = two_level_codebook(cents, n_coarse=k1).localCheckpoint()
         assigned2 = assign_two_level(embs, cb)
+        assigned2.write.format("noop").mode("overwrite").save()
+        assign2_s = round(time.perf_counter() - t0, 3)
+        member_s = None
         if args.skip_flat:
             # no flat member — the prune below runs over the two-level
             # member (the production composition)
-            member = assigned2.join(
-                embs.select("vec_id", "embedding"), "vec_id"
+            from data_pipeline_for_real_time_retail_analytics_spark.operators.semdedup import (  # noqa: E501
+                semdedup_member_from_assignment,
+            )
+
+            t0 = time.perf_counter()
+            member = semdedup_member_from_assignment(
+                assigned2, embs
             ).localCheckpoint()
-        else:
-            assigned2.write.format("noop").mode("overwrite").save()
-        assign2_s = round(time.perf_counter() - t0, 3)
+            member_s = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()
         kept = semdedup_prune(
@@ -158,6 +168,7 @@ def main() -> None:
                 "k": k,
                 "assign_flat_sec": assign_s,
                 "assign_2level_sec": assign2_s,
+                "member_sec": member_s,
                 "k_coarse": k1,
                 "prune_sec": prune_s,
                 "kept": n_kept,

@@ -112,24 +112,30 @@ def table_checksum(
     rows survived — without a global sort or a shuffle beyond one
     single-row aggregate. XOR alone would miss duplicated-even-times
     rows; pairing it with the exact row count closes the common
-    failure (a dropped + a doubled row changes the count). Same
-    null-tagged, name-interleaved hashing discipline as
-    ``snapshot_diff._row_hash`` so NULL and 'NULL' (and column swaps of
-    the same values) cannot collide.
+    failure (a dropped + a doubled row changes the count).
+
+    Hashing is DELEGATED to ``snapshot_diff._row_hash`` (one
+    definition of the null-tagged, name-interleaved discipline), with
+    one override: TIMESTAMP columns render as ``unix_micros`` instead
+    of a string cast, because the string form depends on the session
+    timezone and the whole point here is comparing checksums computed
+    by DIFFERENT sessions (writer vs replica verifier) — a UTC writer
+    and a local-time verifier must agree on a correct copy.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from .snapshot_diff import _row_hash
 
     cols = sorted(df.columns) if cols is None else list(cols)
-    parts: list = []
-    for c in cols:
-        v = F.col(c)
-        parts.append(F.lit(c))
-        parts.append(
-            F.when(v.isNull(), F.lit("\x00null")).otherwise(
-                F.concat(F.lit("\x01"), v.cast("string"))
-            )
-        )
-    return df.select(F.xxhash64(*parts).alias("_h")).agg(
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    renderers = {
+        c: F.unix_micros(F.col(c)).cast("string")
+        for c in cols
+        if isinstance(fields.get(c), T.TimestampType)
+    }
+    h = _row_hash(cols, side=None, renderers=renderers)
+    return df.select(h.alias("_h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(_h)").alias("checksum"),
     )

@@ -52,7 +52,12 @@ from pyspark.sql import functions as F
 from .embcluster import assign_embedding_clusters
 from .similarity import cosine
 
-__all__ = ["semdedup_member", "semdedup_prune", "semdedup_cluster_stats"]
+__all__ = [
+    "semdedup_member",
+    "semdedup_member_from_assignment",
+    "semdedup_prune",
+    "semdedup_cluster_stats",
+]
 
 
 def semdedup_member(
@@ -67,7 +72,21 @@ def semdedup_member(
     ``semdedup_cluster_stats`` via ``member=`` so the broadcast-argmax
     assignment runs once instead of once per self-join branch."""
     assigned = assign_embedding_clusters(corpus, centroids, id_col, vec_col)
-    return assigned.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+    return semdedup_member_from_assignment(assigned, corpus, id_col, vec_col)
+
+
+def semdedup_member_from_assignment(
+    assignment: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Member relation from a PRECOMPUTED assignment — any producer of
+    the (id, cluster, centroid_sim) contract (the flat argmax or
+    ``hierassign.assign_two_level``) joined back to its vector. The one
+    definition of the member schema, so every assignment flavor builds
+    it identically."""
+    return assignment.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
 
 
 def _resolve_member(

@@ -41,20 +41,31 @@ OP_UPDATE = "update"
 OP_DELETE = "delete"
 
 
-def _row_hash(cols: list[str], side: str) -> F.Column:
-    """Null-safe 64-bit content hash of ``cols`` on ``side``.
+def _row_hash(
+    cols: list[str],
+    side: str | None,
+    renderers: dict[str, F.Column] | None = None,
+) -> F.Column:
+    """Null-safe 64-bit content hash of ``cols`` (on ``side`` when the
+    columns live behind a join alias; ``side=None`` for bare columns).
 
     Each value is cast to string and null-tagged (NULL and 'NULL' must
     hash differently), then the column NAME is interleaved so that
     (a=1, b=NULL) and (a=NULL, b=1) cannot collide by concatenation.
+    ``renderers`` overrides the string rendering per column name —
+    ``maintenance.table_checksum`` uses it for timezone-stable
+    timestamp rendering. The ONE definition of this discipline: the
+    diff's update detection and the table checksum both call it.
     """
+    renderers = renderers or {}
     parts: list[F.Column] = []
     for c in cols:
-        v = F.col(f"{side}.{c}")
+        v = F.col(f"{side}.{c}") if side is not None else F.col(c)
+        rendered = renderers.get(c, v.cast("string"))
         parts.append(F.lit(c))
         parts.append(
             F.when(v.isNull(), F.lit("\x00null")).otherwise(
-                F.concat(F.lit("\x01"), v.cast("string"))
+                F.concat(F.lit("\x01"), rendered)
             )
         )
     return F.xxhash64(*parts)

@@ -25,6 +25,7 @@ from ..operators.hierassign import assign_two_level, two_level_codebook
 from ..operators.semdedup import (
     semdedup_cluster_stats,
     semdedup_member,
+    semdedup_member_from_assignment,
     semdedup_prune,
 )
 from ..operators.similarity import ivf_centroids
@@ -42,12 +43,14 @@ N_CLUSTERS = 16
 #: algorithm, dependent.
 THRESHOLD = 0.35
 
-#: (applicationId, sf_dir) -> localCheckpoint'd member relation. The
-#: assignment subtree feeds three consumers per query (self-join sides
-#: + survivor output) and Catalyst duplicates self-join subtrees, so
-#: one materialization shared across the family is the right shape —
-#: same pattern as the MinHash pair cache in plans/llm.py.
-_MEMBER: dict[tuple[str, str], DataFrame] = {}
+#: (applicationId, abspath(sf_dir), flavor) -> localCheckpoint'd member
+#: relation ("flat" = broadcast-argmax assignment, "2level" = the
+#: coarse→fine router). The assignment subtree feeds three consumers
+#: per query (self-join sides + survivor output) and Catalyst
+#: duplicates self-join subtrees, so one materialization per flavor
+#: shared across the family is the right shape — same pattern as the
+#: MinHash pair cache in plans/llm.py.
+_MEMBER: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _member(spark: SparkSession, sf_dir: str, flavor: str = "flat") -> DataFrame:
@@ -62,8 +65,8 @@ def _member(spark: SparkSession, sf_dir: str, flavor: str = "flat") -> DataFrame
             m = semdedup_member(embs, cents)
         else:
             cb = two_level_codebook(cents, n_coarse=N_COARSE)
-            m = assign_two_level(embs, cb).join(
-                embs.select("vec_id", "embedding"), "vec_id"
+            m = semdedup_member_from_assignment(
+                assign_two_level(embs, cb), embs
             )
         m = m.localCheckpoint()
         _MEMBER[key] = m

@@ -137,3 +137,22 @@ def test_table_checksum_is_layout_invariant_and_detects_loss(
     a = spark.createDataFrame([(1, None)], "k int, s string")
     b = spark.createDataFrame([(1, "NULL")], "k int, s string")
     assert table_checksum(a).first() != table_checksum(b).first()
+
+
+def test_table_checksum_timezone_stable(spark, sf_dir):
+    """Timestamp columns hash via unix_micros, so a writer session and
+    a verifier session in different timezones agree on a correct copy
+    (the cross-session comparison the checksum exists for)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.maintenance import (
+        table_checksum,
+    )
+
+    events = load_table(spark, sf_dir, "events")  # ts: timestamp
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    base = table_checksum(events).first()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        other = table_checksum(events).first()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert other == base
