@@ -12,7 +12,9 @@ schema-evolution merge for parquet/ORC directories whose files were written
 with drifting schemas (new columns appear as nulls in old files).
 Avro ships in Spark as an *external* module (``spark-avro``); when the
 deployment lacks it, serialization raises a clear error instead of Spark's
-generic data-source failure.
+generic data-source failure. XML rides Spark 4's native xml data source
+(rowTag-delimited records; nested structs become nested elements) — the
+interchange format partner systems still speak most often after CSV.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ class SerializationFormat(Enum):
     CSV = "csv"
     ORC = "orc"
     AVRO = "avro"
+    XML = "xml"
     PICKLE = "pickle"  # recognized so we can reject it with a clear message
 
 
@@ -59,14 +62,21 @@ class DataSerializer:
         self,
         fmt: SerializationFormat = SerializationFormat.PARQUET,
         compression: str | None = "snappy",
+        xml_row_tag: str = "row",
     ) -> None:
         if fmt is SerializationFormat.PICKLE:
             raise ValueError(
                 "pickle serialization is not supported on Spark: it is "
                 "neither portable across executors nor safe; use parquet"
             )
+        if fmt is SerializationFormat.XML and compression == "snappy":
+            # the columnar-codec default does not apply to the line-text
+            # xml source; leave uncompressed unless the caller picks a
+            # Hadoop text codec (gzip/bzip2) explicitly
+            compression = None
         self.fmt = fmt
         self.compression = compression
+        self.xml_row_tag = xml_row_tag
 
     def serialize(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
         writer = df.write.mode(mode)
@@ -74,6 +84,8 @@ class DataSerializer:
             writer = writer.option("compression", self.compression)
         if self.fmt is SerializationFormat.CSV:
             writer = writer.option("header", "true")
+        if self.fmt is SerializationFormat.XML:
+            writer = writer.option("rowTag", self.xml_row_tag)
         try:
             writer.format(self.fmt.value).save(path)
         except AnalysisException as exc:
@@ -102,6 +114,8 @@ class DataSerializer:
             reader = reader.option("header", "true")
             if schema is None:
                 reader = reader.option("inferSchema", "true")
+        if self.fmt is SerializationFormat.XML:
+            reader = reader.option("rowTag", self.xml_row_tag)
         if schema is not None:
             reader = reader.schema(schema)
         try:

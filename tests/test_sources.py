@@ -25,7 +25,7 @@ from data_pipeline_for_real_time_retail_analytics_spark.sources.serializer impor
 # -- serializer (S5/S6) ------------------------------------------------------
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc", "xml"])
 def test_serializer_roundtrip(spark, tmp_path, fmt):
     df = spark.createDataFrame(
         [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
@@ -37,6 +37,30 @@ def test_serializer_roundtrip(spark, tmp_path, fmt):
     back = ser.deserialize(spark, path, schema=df.schema)
     assert sorted(back.columns) == sorted(df.columns)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_serializer_xml_nested_struct_roundtrip(spark, tmp_path):
+    """XML is the one interchange format here whose natural shape is
+    nested elements: a struct column must round-trip through nested
+    tags with a custom row tag."""
+    df = spark.createDataFrame(
+        [(1, ("x", 10)), (2, ("y", 20))],
+        "id long, payload struct<tag:string, qty:long>",
+    )
+    ser = DataSerializer(SerializationFormat.XML, xml_row_tag="record")
+    path = str(tmp_path / "xmln")
+    ser.serialize(df, path)
+    back = ser.deserialize(spark, path, schema=df.schema)
+    def rows(d):
+        return sorted((r.id, r.payload.tag, r.payload.qty) for r in d.collect())
+
+    assert rows(back) == rows(df)
+    # the row tag really is in the files (partner-system contract)
+    import glob as _glob
+
+    files = [f for f in _glob.glob(path + "/*") if not f.endswith((".crc",))]
+    text = "".join(open(f).read() for f in files if "part-" in f)
+    assert "<record>" in text
 
 
 def test_serializer_avro_roundtrip_or_clear_error(spark, tmp_path):
