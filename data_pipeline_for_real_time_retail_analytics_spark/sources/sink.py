@@ -231,6 +231,38 @@ class WarehouseSink:
         except Exception as exc:
             return LoadResult(False, path, 0, mode, error=str(exc))
 
+    def load_jdbc(
+        self,
+        df: DataFrame,
+        url: str,
+        table: str,
+        mode: str = "append",
+        properties: dict[str, str] | None = None,
+        count_rows: bool = True,
+        column_types: str | None = None,
+    ) -> LoadResult:
+        """JDBC warehouse load — the reference's DB-engine load leg
+        (its loaders push frames into a SQL warehouse over a
+        connection; reference: src/storage is the stubbed Snowflake
+        half, base.py:118 the load-mode contract) as Spark's PARALLEL
+        JDBC writer: every input partition opens its own connection and
+        batch-inserts, so write parallelism equals input partitioning —
+        ``df.coalesce(n)`` first if the target can't take that many
+        concurrent writers. ``column_types`` feeds
+        ``createTableColumnTypes`` (e.g. ``"NM VARCHAR(32)"`` — Spark
+        otherwise maps strings to CLOB on Derby-family databases, which
+        then can't be compared/indexed). Same report-don't-raise
+        LoadResult contract as the table loads."""
+        props = dict(properties or {})
+        if column_types:
+            props["createTableColumnTypes"] = column_types
+        try:
+            n = df.count() if count_rows else -1
+            df.write.jdbc(url, table, mode=mode, properties=props)
+            return LoadResult(True, table, n, mode)
+        except Exception as exc:  # report, don't raise — reference contract
+            return LoadResult(False, table, 0, mode, error=str(exc))
+
     def execute_sql(self, sql: str, params: dict[str, Any] | None = None) -> list[Row]:
         """S8 passthrough with *parameterized* SQL — placeholders bind
         server-side (`:name`), no string interpolation (the reference
