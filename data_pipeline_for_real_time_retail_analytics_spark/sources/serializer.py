@@ -97,11 +97,19 @@ class DataSerializer:
         path: str,
         schema=None,
         merge_schema: bool = False,
+        multiline: bool = False,
     ) -> DataFrame:
         """Read the directory back; ``merge_schema=True`` unions the
         per-file schemas (parquet/ORC only — Spark's schema-evolution
         read) so a directory whose later files gained columns reads as
-        the superset schema with nulls backfilled."""
+        the superset schema with nulls backfilled. ``multiline=True``
+        (JSON only) parses pretty-printed / array-of-objects JSON files
+        as whole documents instead of the newline-delimited default —
+        the shape REST exports usually arrive in. Multiline files are
+        NOT splittable (one file = one parse task), so it is an ingest
+        convenience, never the layout to store at scale."""
+        if multiline and self.fmt is not SerializationFormat.JSON:
+            raise ValueError("multiline applies to JSON directories only")
         if merge_schema and self.fmt.value not in _MERGEABLE:
             raise ValueError(
                 f"merge_schema applies to {sorted(_MERGEABLE)} directories, "
@@ -116,6 +124,8 @@ class DataSerializer:
                 reader = reader.option("inferSchema", "true")
         if self.fmt is SerializationFormat.XML:
             reader = reader.option("rowTag", self.xml_row_tag)
+        if multiline:
+            reader = reader.option("multiLine", "true")
         if schema is not None:
             reader = reader.schema(schema)
         try:

@@ -231,6 +231,37 @@ class WarehouseSink:
         except Exception as exc:
             return LoadResult(False, path, 0, mode, error=str(exc))
 
+    def analyze_table(
+        self, table: str, columns: list[str] | None = None
+    ) -> dict[str, int | None]:
+        """ANALYZE TABLE ... COMPUTE STATISTICS (plus per-column NDV /
+        min/max when ``columns`` given) and return the recorded
+        {row_count, size_bytes}. The post-load step every warehouse
+        table needs at 100 TB: Spark's cost-based optimizer
+        (``spark.sql.cbo.enabled``) can only reorder joins and pick
+        build sides from CATALOG stats — without this, CBO sees no row
+        counts and falls back to size heuristics. Column stats feed NDV
+        estimates for join cardinality.
+        """
+        name = self._qualified(table)
+        self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        if columns:
+            self.spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(columns)}"
+            )
+        out: dict[str, int | None] = {"row_count": None, "size_bytes": None}
+        for row in self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+            if row.col_name == "Statistics":
+                # e.g. "1234 bytes, 56 rows"
+                for part in row.data_type.split(","):
+                    part = part.strip()
+                    if part.endswith("rows"):
+                        out["row_count"] = int(part.split()[0])
+                    elif part.endswith("bytes"):
+                        out["size_bytes"] = int(part.split()[0])
+        return out
+
     def load_jdbc(
         self,
         df: DataFrame,

@@ -231,3 +231,31 @@ def test_load_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     # report-don't-raise: a bad URL comes back as a failed LoadResult
     bad = sink.load_jdbc(df, "jdbc:derby:/nonexistent/\0bad", "t", properties=props)
     assert not bad.success and bad.error
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """ANALYZE must land row/size stats in the catalog, and the
+    optimizer must SEE them (plan stats rowCount) once CBO is on."""
+    from data_pipeline_for_real_time_retail_analytics_spark.sources.sink import (
+        WarehouseSink,
+    )
+
+    sink = WarehouseSink(spark)
+    df = spark.range(123).selectExpr("id", "id % 7 AS grp")
+    assert sink.load(df, "analyze_me", mode="overwrite").success
+    stats = sink.analyze_table("analyze_me", columns=["grp"])
+    assert stats["row_count"] == 123
+    assert stats["size_bytes"] and stats["size_bytes"] > 0
+
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        plan_stats = (
+            spark.table("default.analyze_me")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert plan_stats.rowCount().get() == 123
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)

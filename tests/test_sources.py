@@ -349,3 +349,19 @@ def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
     for evil_wm in ("abc\\", "2024-01-03\\'", "\\"):
         with _pytest.raises(ValueError, match="backslash"):
             src.reader_options("TS", evil_wm)
+
+
+def test_serializer_json_multiline(spark, tmp_path):
+    """Pretty-printed array-of-objects JSON (the REST-export shape)
+    reads via multiline=True; the option is JSON-only."""
+    import pytest
+
+    p = tmp_path / "doc.json"
+    p.write_text('[\n  {"id": 1, "nm": "a"},\n  {"id": 2, "nm": "b"}\n]\n')
+    ser = DataSerializer(SerializationFormat.JSON)
+    back = ser.deserialize(spark, str(p), multiline=True)
+    assert sorted((r.id, r.nm) for r in back.collect()) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="JSON"):
+        DataSerializer(SerializationFormat.PARQUET).deserialize(
+            spark, str(p), multiline=True
+        )
