@@ -148,3 +148,83 @@ def test_prune_matches_brute_force(spark, vecs, threshold):
         if not dominated:
             expected.add(i)
     assert got == expected
+
+
+# ---------- snapshot_diff ↔ changelog_with_preimage agreement ----------
+
+
+@settings(**SETTINGS)
+@given(old_rows=st.lists(row, max_size=20), new_rows=st.lists(row, max_size=20))
+def test_diff_operators_classify_ops_identically(spark, old_rows, new_rows):
+    """The compact apply-side changelog (snapshot_diff) and the
+    pre-image changelog (changelog_with_preimage) implement the same
+    detection semantics — for ANY snapshot pair they must flag the
+    same keys with the same op."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.snapshot_diff import (
+        snapshot_diff,
+    )
+
+    old_d, new_d = _snapshot(old_rows), _snapshot(new_rows)
+    schema = "id long, grp string, v long"
+    old = spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in old_d.items()] or [], schema
+    )
+    new = spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in new_d.items()] or [], schema
+    )
+    compact = {
+        r.id: r.op for r in snapshot_diff(old, new, ["id"], ["grp", "v"]).collect()
+    }
+    preimage = {
+        r.id: r.op
+        for r in changelog_with_preimage(old, new, ["id"], ["grp", "v"]).collect()
+    }
+    assert compact == preimage
+
+
+# ---------- two-level assignment vs brute force ----------
+
+
+@settings(**SETTINGS)
+@given(vecs=st.lists(vec, min_size=4, max_size=12))
+def test_two_level_assignment_matches_brute_force(spark, vecs):
+    """Coarse→fine routing on arbitrary vectors must equal the Python
+    model: argmax over seeds (ties → higher id), then argmax over the
+    winning seed's fine group (ties → higher id)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.hierassign import (
+        assign_two_level,
+        two_level_codebook,
+    )
+
+    k, k1 = min(4, len(vecs)), 2
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs[:k])],
+        "cid long, cv array<double>",
+    )
+    cb = two_level_codebook(cents, n_coarse=k1)
+    got = {
+        r.vec_id: (r.cluster, r.centroid_sim)
+        for r in assign_two_level(corpus, cb).collect()
+    }
+
+    # python model
+    grouping = {}
+    for c in range(k):
+        best = max(((_cos(vecs[c], vecs[g]), g) for g in range(k1)),
+                   key=lambda t: (t[0], t[1]))
+        grouping[c] = best[1]
+    # routing seeds = self-assigned coarse members
+    seeds = [c for c in range(k1) if grouping[c] == c]
+    expected = {}
+    for i, v in enumerate(vecs):
+        g = max(((_cos(v, vecs[s]), s) for s in seeds),
+                key=lambda t: (t[0], t[1]))[1]
+        fine = [c for c in range(k) if grouping[c] == g]
+        sim, cid = max(((_cos(v, vecs[c]), c) for c in fine),
+                       key=lambda t: (t[0], t[1]))
+        expected[i] = (cid, _round6(sim))
+    assert got == expected
