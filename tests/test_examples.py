@@ -88,6 +88,23 @@ def test_retail_segmentation_example_runs(spark, sf_dir, capsys):
     assert "top RFM cells:" in out and "week-1 retention by cohort:" in out
 
 
+def test_streaming_corpus_ingest_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["streaming_corpus_ingest_example.py", sf_dir]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/streaming_corpus_ingest_example.py",
+                run_name="__main__",
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "planted copies dropped: True" in out
+    assert "corpus accounting exact: True" in out
+    assert out.count("batch ") >= 2, "expected one micro-batch per arrival file"
+
+
 def test_snapshot_cdc_example_runs(spark, sf_dir, capsys):
     argv = sys.argv
     sys.argv = ["snapshot_cdc_example.py", sf_dir]
