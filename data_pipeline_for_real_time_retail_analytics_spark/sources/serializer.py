@@ -69,11 +69,6 @@ class DataSerializer:
                 "pickle serialization is not supported on Spark: it is "
                 "neither portable across executors nor safe; use parquet"
             )
-        if fmt is SerializationFormat.XML and compression == "snappy":
-            # the columnar-codec default does not apply to the line-text
-            # xml source; leave uncompressed unless the caller picks a
-            # Hadoop text codec (gzip/bzip2) explicitly
-            compression = None
         self.fmt = fmt
         self.compression = compression
         self.xml_row_tag = xml_row_tag

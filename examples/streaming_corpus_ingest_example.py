@@ -12,20 +12,23 @@ as an index, bench_incremental_index.py). Each micro-batch:
 
 1. flag arrivals whose shingle Jaccard against the standing corpus
    clears the threshold;
-2. drop them, append the survivors to the corpus (idempotent parquet
-   append inside foreachBatch — the checkpoint replays a failed epoch);
+2. drop them, append the survivors to the corpus — IDEMPOTENTLY: each
+   epoch overwrites its OWN subdirectory (``epoch_<id>/``), so a crash
+   after the write but before the checkpoint commit replays the epoch
+   into the same subdir instead of double-appending (the same
+   epoch-keyed discipline as streaming/upsert.py's merge sink);
 3. log (arrived, dropped, appended).
 
 The arrival slices carry planted exact copies of corpus documents, so
 the expected outcome is checkable: every planted copy must be dropped,
-every genuinely-new document must land.
+and the final corpus must equal seed + per-batch survivors exactly.
 
 Run:  python examples/streaming_corpus_ingest_example.py [sf_dir]
 """
 
 from __future__ import annotations
 
-import glob
+import os
 import shutil
 import sys
 import tempfile
@@ -44,16 +47,6 @@ from data_pipeline_for_real_time_retail_analytics_spark.sources import load_tabl
 COPY_OFFSET = 50_000_000
 
 
-def _stage_one_file(df, directory: str, name: str) -> None:
-    """Write ``df`` as a single parquet file named ``name`` inside
-    ``directory`` (a file-arrival stream watches one flat dir)."""
-    tmp = tempfile.mkdtemp(prefix="ingest_slice_")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = glob.glob(f"{tmp}/part-*.parquet")[0]
-    shutil.move(part, f"{directory}/{name}.parquet")
-    shutil.rmtree(tmp, ignore_errors=True)
-
-
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("streaming-corpus-ingest-example")
@@ -63,48 +56,51 @@ def main() -> None:
     corpus_dir, arrivals_dir, ckpt = (
         f"{work}/corpus", f"{work}/arrivals", f"{work}/ckpt"
     )
-    import os
-
     os.makedirs(arrivals_dir)
 
-    # standing corpus = first 60% of docs; two arrival slices carry the
-    # rest plus planted exact copies of corpus docs (must be dropped)
+    # standing corpus = first 60% of docs (seed/ subdir); two arrival
+    # slices carry the rest plus planted exact copies of corpus docs
+    # (those must be dropped). Each slice lands as one file — the repo's
+    # standard one-file-per-arrival staging (tests/test_streaming.py).
     n = docs.count()
     cut = int(n * 0.6)
     corpus0 = docs.where(F.col("doc_id") < cut)
-    corpus0.write.parquet(corpus_dir)
+    corpus0.write.parquet(f"{corpus_dir}/seed")
+    n_seed = corpus0.count()
     fresh = docs.where(F.col("doc_id") >= cut)
     half = (cut + n) // 2
     planted = corpus0.where(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + COPY_OFFSET
     )
-    _stage_one_file(
+    for slice_df in (
         fresh.where(F.col("doc_id") < half).unionByName(
             planted.where(F.col("doc_id") % 20 == COPY_OFFSET % 20)
         ),
-        arrivals_dir, "slice1",
-    )
-    _stage_one_file(
         fresh.where(F.col("doc_id") >= half).unionByName(
             planted.where(F.col("doc_id") % 20 != COPY_OFFSET % 20)
         ),
-        arrivals_dir, "slice2",
-    )
+    ):
+        slice_df.coalesce(1).write.mode("append").parquet(arrivals_dir)
 
     log: list[tuple[int, int, int, int]] = []
 
     def ingest_batch(batch_df, epoch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()  # one computation per use below
-        corpus = spark.read.parquet(corpus_dir)
+        corpus = spark.read.parquet(f"{corpus_dir}/*")
         dupes = (
             minhash_lsh_pairs_between(batch_df, corpus)
             .select(F.col("new_id").alias("doc_id"))
             .distinct()
         )
-        survivors = batch_df.join(dupes, "doc_id", "left_anti")
-        survivors.write.mode("append").parquet(corpus_dir)
+        # one evaluation of the LSH anti-join: materialize survivors,
+        # count from the checkpoint, THEN write — counting after the
+        # append would re-run the join against a corpus listing that
+        # now contains the survivors themselves
+        survivors = batch_df.join(dupes, "doc_id", "left_anti").localCheckpoint()
         arrived = batch_df.count()
         kept = survivors.count()
+        survivors.write.mode("overwrite").parquet(
+            f"{corpus_dir}/epoch_{epoch_id}"
+        )
         log.append((epoch_id, arrived, arrived - kept, kept))
 
     stream = (
@@ -121,9 +117,12 @@ def main() -> None:
     q.awaitTermination()
 
     for epoch, arrived, dropped, kept in log:
-        print(f"batch {epoch}: arrived={arrived} near-dups dropped={dropped} appended={kept}")
+        print(
+            f"batch {epoch}: arrived={arrived} "
+            f"near-dups dropped={dropped} appended={kept}"
+        )
 
-    final = spark.read.parquet(corpus_dir)
+    final = spark.read.parquet(f"{corpus_dir}/*")
     survived_copies = final.where(F.col("doc_id") >= COPY_OFFSET).count()
     total = final.count()
     print(f"final corpus: {total} docs")
@@ -131,7 +130,7 @@ def main() -> None:
     # dropped when they are organic near-dups of corpus boilerplate —
     # that's the operator working, so the accounting check is that the
     # final corpus equals seed + per-batch survivors exactly
-    expected = cut + sum(kept for _e, _a, _d, kept in log)
+    expected = n_seed + sum(kept for _e, _a, _d, kept in log)
     print(f"planted copies dropped: {survived_copies == 0}")
     print(f"corpus accounting exact: {total == expected}")
 

@@ -49,17 +49,28 @@ def test_serializer_xml_nested_struct_roundtrip(spark, tmp_path):
     )
     ser = DataSerializer(SerializationFormat.XML, xml_row_tag="record")
     path = str(tmp_path / "xmln")
-    ser.serialize(df, path)
+    ser.serialize(df, path)  # default snappy codec — valid for xml too
     back = ser.deserialize(spark, path, schema=df.schema)
+
     def rows(d):
         return sorted((r.id, r.payload.tag, r.payload.qty) for r in d.collect())
 
     assert rows(back) == rows(df)
-    # the row tag really is in the files (partner-system contract)
+
+    # the row tag really is in the files (partner-system contract) —
+    # checked on an uncompressed write so the bytes are readable text
+    plain = DataSerializer(
+        SerializationFormat.XML, compression=None, xml_row_tag="record"
+    )
+    plain_path = str(tmp_path / "xmlplain")
+    plain.serialize(df, plain_path)
     import glob as _glob
 
-    files = [f for f in _glob.glob(path + "/*") if not f.endswith((".crc",))]
-    text = "".join(open(f).read() for f in files if "part-" in f)
+    text = "".join(
+        open(f).read()
+        for f in _glob.glob(plain_path + "/part-*")
+        if not f.endswith(".crc")
+    )
     assert "<record>" in text
 
 
