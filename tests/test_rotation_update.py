@@ -50,3 +50,24 @@ def test_unknown_green_is_an_error(tmp_path):
     )
     assert res.returncode == 1
     assert "register them first" in res.stderr
+
+
+def test_pending_registry_aggregates_all_ten():
+    """The r7 flip imports one aggregator; it must carry exactly the
+    proven names with matching query/oracle keys and no collisions
+    against the live registry."""
+    import __spark_entry__ as entry
+
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_registry import (
+        PENDING_ORACLES,
+        PENDING_QUERIES,
+    )
+
+    assert len(PENDING_QUERIES) == 10
+    assert set(PENDING_QUERIES) == set(PENDING_ORACLES)
+    assert not (set(PENDING_QUERIES) & set(entry.queries())), (
+        "pending names must not collide with registered queries"
+    )
+    for name, fn in PENDING_QUERIES.items():
+        assert callable(fn), name
+        assert "SELECT" in PENDING_ORACLES[name].upper(), name
