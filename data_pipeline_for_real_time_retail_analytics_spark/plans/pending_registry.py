@@ -1,23 +1,19 @@
-"""Aggregated registry-ready queries awaiting driver slots (r7 flip).
+"""Aggregated curation/maintenance queries — REGISTERED in round 6.
 
-``__spark_entry__.queries()``/``oracle_sql()`` could not take new
-entries in round 6 (the front-50 window was exactly consumed and a new
-entry is never-green by definition), so the ten proven query/oracle
-pairs live in their five plan modules with local driver-identical
-parity. This module aggregates them so the r7 registration is a
-two-line change in ``__spark_entry__``::
+The ten query/oracle pairs built across the five plan modules below
+(snapshot diff/summary, aggregate maintenance, shard-manifest export,
+semantic contamination, stream-static enrichment, SemDeDup family)
+are spliced from here into the FRONT of ``__spark_entry__.queries()``
+/ ``oracle_sql()`` (never-green → front window, per the rotation rule
+mechanized in tests/test_rotation_guard.py). This module stays the
+single aggregation point so the registration is one ``**`` splice on
+each side; ROTATION.json carries each name (null until its first
+driver CORRECTNESS green lands).
 
-    from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_registry import (
-        PENDING_QUERIES, PENDING_ORACLES,
-    )
-    # splice PENDING_QUERIES into the FRONT of queries() (never-green →
-    # front window, rotation rule) and PENDING_ORACLES anywhere in
-    # oracle_sql(); then add each name to ROTATION.json with null.
-
-Keys here are exactly the names the parity tests prove; insertion
-order is the recommended registration order (cheapest first, the
-member-materializing semantic family last so its one-time cost lands
-in predictable bench cells — NOTES.md records expected sf0.1 walls).
+Keys are exactly the names the parity tests prove; insertion order is
+registration order (cheapest first, the member-materializing semantic
+family last so its one-time cost lands in predictable bench cells —
+NOTES.md records expected sf0.1 walls).
 """
 
 from __future__ import annotations

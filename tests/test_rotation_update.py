@@ -52,10 +52,11 @@ def test_unknown_green_is_an_error(tmp_path):
     assert "register them first" in res.stderr
 
 
-def test_pending_registry_aggregates_all_ten():
-    """The r7 flip imports one aggregator; it must carry exactly the
-    proven names with matching query/oracle keys and no collisions
-    against the live registry."""
+def test_pending_registry_flipped_into_front_window():
+    """The ten aggregated curation/maintenance queries were registered
+    in round 6; the aggregator is now the registry's source of truth
+    for them, so every name must sit in the driver-checked front 50
+    with a matching oracle."""
     import __spark_entry__ as entry
 
     from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_registry import (
@@ -65,9 +66,11 @@ def test_pending_registry_aggregates_all_ten():
 
     assert len(PENDING_QUERIES) == 10
     assert set(PENDING_QUERIES) == set(PENDING_ORACLES)
-    assert not (set(PENDING_QUERIES) & set(entry.queries())), (
-        "pending names must not collide with registered queries"
-    )
+    qs = entry.queries()
+    front = list(qs)[:50]
+    oracles = entry.oracle_sql()
     for name, fn in PENDING_QUERIES.items():
-        assert callable(fn), name
+        assert name in front, f"{name} registered but not in the front 50"
+        assert qs[name] is fn, name
+        assert oracles[name] == PENDING_ORACLES[name], name
         assert "SELECT" in PENDING_ORACLES[name].upper(), name
