@@ -1,0 +1,128 @@
+"""Z-order (Morton-curve) multi-dimensional clustering.
+
+The third scale-maintenance lever next to small-file compaction and
+runtime Bloom pruning (operators/maintenance.py): range-clustering on
+ONE key gives perfect file skipping on that key and none on any other,
+while interleaving the bits of several keys gives good-not-perfect
+skipping on EVERY key — the layout Delta Lake's ``OPTIMIZE ZORDER BY``
+and Iceberg's z-ordered rewrites use for multi-predicate fact tables.
+At 100 TB the choice is concrete: a (customer, day) z-ordered orders
+table prunes both "one customer's history" and "one day across
+customers" scans to a handful of files, where customer-range
+clustering serves only the first and full-scans the second
+(quantified in tests/test_zorder.py's footer-rectangle pin).
+
+Everything here is exact BIGINT arithmetic — min/max rescale then bit
+interleave — so the computed key is engine-portable (the DuckDB oracle
+in plans/zorderq.py reproduces it bit-for-bit; no IEEE rounding in the
+path). Scaling uses one single-row aggregate broadcast back onto the
+relation: two narrow passes, no shuffle beyond the write's own range
+partitioning. Production tables with non-integral cluster keys first
+map them to ints (dictionary codes, epoch days, decimal unscaled
+values) — the reference keeps no comparable layout layer at all (its
+storage module is an empty stub, src/storage/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["with_z_value", "zorder_compact"]
+
+
+def _interleave(scaled: list[Column], bits: int) -> Column:
+    """Morton-interleave ``bits``-wide non-negative longs: bit ``i`` of
+    column ``j`` lands at position ``i*ncols + (ncols-1-j)``, so the
+    FIRST column takes the most significant slot of each bit group.
+    Disjoint target bits make ``+`` equivalent to ``|`` — the oracle SQL
+    uses the same sum-of-terms form."""
+    ncols = len(scaled)
+    terms = [
+        F.shiftleft(
+            F.shiftright(col, i).bitwiseAND(F.lit(1)),
+            i * ncols + (ncols - 1 - j),
+        )
+        for i in range(bits)
+        for j, col in enumerate(scaled)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def with_z_value(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    out_col: str = "z_value",
+) -> DataFrame:
+    """Append the Morton code of ``cols`` as ``out_col``.
+
+    Each column must be integral-valued (cast to BIGINT); it is
+    rescaled to ``[0, 2**bits)`` with exact integer math —
+    ``((x - min) * (2**bits - 1)) div greatest(max - min, 1)`` — then
+    the rescaled words are bit-interleaved. One single-row min/max
+    aggregate is broadcast-joined back (no per-row window, no second
+    wide shuffle); with more than ~3 columns or very skewed key
+    distributions, prefer fewer dimensions — each added column halves
+    the per-column resolution at fixed ``bits``.
+    """
+    if not cols:
+        raise ValueError("z-order needs at least one column")
+    if bits < 1 or bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*ncols must stay within a signed 64-bit word, got "
+            f"{bits}*{len(cols)}"
+        )
+    aggs = []
+    for c in cols:
+        as_long = F.col(c).cast("long")
+        aggs.append(F.min(as_long).alias(f"__zmin_{c}"))
+        aggs.append(F.max(as_long).alias(f"__zmax_{c}"))
+    stats = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(stats))
+    scaled = [
+        F.expr(
+            f"((CAST({c} AS BIGINT) - __zmin_{c}) * {(1 << bits) - 1})"
+            f" div greatest(__zmax_{c} - __zmin_{c}, 1)"
+        )
+        for c in cols
+    ]
+    return joined.withColumn(out_col, _interleave(scaled, bits)).drop(
+        *[f"__zmin_{c}" for c in cols], *[f"__zmax_{c}" for c in cols]
+    )
+
+
+def zorder_compact(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    zorder_cols: list[str],
+    bits: int = 8,
+    target_files: int = 4,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """OPTIMIZE ZORDER pass: rewrite ``src_path`` into ``target_files``
+    files clustered along the Morton curve of ``zorder_cols``.
+
+    Unlike ``maintenance.compact_parquet`` (which delegates to the
+    range-cluster writer on existing columns) the cluster key here is
+    TRANSIENT: computed, range-partitioned and sorted on, then dropped
+    before the write — the output schema is exactly the input schema.
+    Because the z-value is a single long, the write is the same
+    one-sample-pass + one-range-shuffle plan as single-key clustering;
+    multi-dimensional locality costs nothing extra at write time. Row
+    content is invariant (pure layout), which is the DuckDB-checked
+    contract of plans/zorderq.py's layout query."""
+    df = spark.read.parquet(src_path)
+    z = with_z_value(df, zorder_cols, bits=bits, out_col="__zorder_key")
+    (
+        z.repartitionByRange(target_files, "__zorder_key")
+        .sortWithinPartitions("__zorder_key")
+        .drop("__zorder_key")
+        .write.mode(mode)
+        .parquet(dest_path)
+    )
+    return spark.read.parquet(dest_path)

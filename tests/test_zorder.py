@@ -1,0 +1,142 @@
+"""Z-order clustering (operators/zorder.py, plans/zorderq.py):
+driver-style DuckDB parity for the registry-ready pair, the Morton
+round-trip invariant, and the footer-rectangle pruning pin that is the
+point of the layout — a z-ordered table skips files on EITHER cluster
+dimension, where single-key range clustering serves one dimension and
+full-scans the other.
+"""
+
+import glob
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import test_oracle_parity as par
+from data_pipeline_for_real_time_retail_analytics_spark.operators.zorder import (
+    with_z_value,
+    zorder_compact,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.plans import zorderq
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = par.make_views(duckdb.connect(), ["orders"], SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(zorderq.ORACLES))
+def test_parity(spark, ddb, name):
+    spark_pdf = zorderq.QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = ddb.execute(zorderq.ORACLES[name]).fetchdf()
+    par.assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def _deinterleave(z: int, ncols: int, bits: int) -> tuple[int, ...]:
+    """Pure-python inverse of the Morton code under the module's bit
+    placement (bit i of col j at i*ncols + (ncols-1-j))."""
+    words = [0] * ncols
+    for i in range(bits):
+        for j in range(ncols):
+            bit = (z >> (i * ncols + (ncols - 1 - j))) & 1
+            words[j] |= bit << i
+    return tuple(words)
+
+
+def test_morton_round_trip(spark):
+    """z_value must be exactly the interleave of the rescaled words:
+    deinterleaving recovers them, and on a [0, 2^bits) grid the rescale
+    is the identity, so the words ARE the coordinates."""
+    n, bits = 4096, 6
+    grid = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    rows = with_z_value(grid, ["x", "y"], bits=bits).collect()
+    assert len(rows) == n
+    seen = set()
+    for r in rows:
+        assert _deinterleave(r.z_value, 2, bits) == (r.x, r.y)
+        seen.add(r.z_value)
+    assert len(seen) == n, "Morton code must be injective on the grid"
+
+
+def test_with_z_value_rejects_bad_configs(spark):
+    df = spark.range(4).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError):
+        with_z_value(df, [])
+    with pytest.raises(ValueError):
+        with_z_value(df, ["x"], bits=64)
+
+
+def _file_rects(spark, path, xcol, ycol):
+    """Per-file (min, max) rectangle of the two dimensions — what a
+    parquet footer gives a scan planner."""
+    rects = []
+    for f in sorted(glob.glob(path + "/part-*.parquet")):
+        pdf = spark.read.parquet(f).toPandas()
+        rects.append(
+            (
+                pdf[xcol].min(),
+                pdf[xcol].max(),
+                pdf[ycol].min(),
+                pdf[ycol].max(),
+            )
+        )
+    return rects
+
+
+def _hits(rects, xlo, xhi, ylo, yhi):
+    return sum(
+        1
+        for (x0, x1, y0, y1) in rects
+        if not (x1 < xlo or x0 > xhi or y1 < ylo or y0 > yhi)
+    )
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """The quantified z-order claim on a uniform 64x64 grid split into
+    16 files: an x-only range layout answers an x-slab from ~2 files
+    but needs ALL 16 for a y-slab; the z-order layout answers BOTH
+    slabs from a small fraction of files."""
+    n = 4096
+    grid = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    src = str(tmp_path / "src")
+    by_x = str(tmp_path / "by_x")
+    by_z = str(tmp_path / "by_z")
+    grid.repartition(8, "id").drop("id").write.parquet(src)
+
+    base = spark.read.parquet(src)
+    base.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        by_x
+    )
+    zorder_compact(spark, src, by_z, ["x", "y"], bits=6, target_files=16)
+
+    rx = _file_rects(spark, by_x, "x", "y")
+    rz = _file_rects(spark, by_z, "x", "y")
+    assert len(rx) == len(rz) == 16
+
+    # y-slab (y in [16, 23]): x-clustered layout cannot prune at all
+    assert _hits(rx, 0, 63, 16, 23) == 16
+    assert _hits(rz, 0, 63, 16, 23) <= 6
+
+    # x-slab (x in [16, 23]): x-clustering is optimal, z-order must
+    # still prune most files (good-not-perfect on every dimension)
+    assert _hits(rx, 16, 23, 0, 63) <= 3
+    assert _hits(rz, 16, 23, 0, 63) <= 6
+
+    # point-ish box: both layouts prune, z-order at least as well
+    assert _hits(rz, 16, 23, 16, 23) <= _hits(rx, 16, 23, 16, 23)
+
+
+def test_zordered_orders_hits_target_files(spark):
+    zorderq.q_zordered_orders(spark, SF_DIR)  # materializes the layout
+    dest = zorderq._work_dir(spark, SF_DIR, "zorder_dest")
+    files = glob.glob(dest + "/part-*.parquet")
+    assert len(files) == zorderq.ZORDER_FILES
