@@ -112,10 +112,14 @@ def zorder_compact(
     TRANSIENT: computed, range-partitioned and sorted on, then dropped
     before the write — the output schema is exactly the input schema.
     Because the z-value is a single long, the write is the same
-    one-sample-pass + one-range-shuffle plan as single-key clustering;
-    multi-dimensional locality costs nothing extra at write time. Row
-    content is invariant (pure layout), which is the DuckDB-checked
-    contract of plans/zorderq.py's layout query."""
+    one-sample-pass + one-range-shuffle plan as single-key clustering
+    plus one narrow min/max scan for the rescale stats — a fixed cost
+    that amortizes away (bench_zorder_scale.py: z/single wall ratio
+    1.57x at 1.5M rows, 1.27x at 15M, 0.85x at 45M; past ~10M rows the
+    high-cardinality Morton key actually range-samples into BETTER
+    balanced partitions than a low-cardinality natural key with heavy
+    ties). Row content is invariant (pure layout), which is the
+    DuckDB-checked contract of plans/zorderq.py's layout query."""
     df = spark.read.parquet(src_path)
     z = with_z_value(df, zorder_cols, bits=bits, out_col="__zorder_key")
     (
