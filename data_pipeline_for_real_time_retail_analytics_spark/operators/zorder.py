@@ -12,10 +12,12 @@ customers" scans to a handful of files, where customer-range
 clustering serves only the first and full-scans the second
 (quantified in tests/test_zorder.py's footer-rectangle pin).
 
-Everything here is exact BIGINT arithmetic — min/max rescale then bit
-interleave — so the computed key is engine-portable (the DuckDB oracle
-in plans/zorderq.py reproduces it bit-for-bit; no IEEE rounding in the
-path). Scaling uses one single-row aggregate broadcast back onto the
+Everything here is exact BIGINT arithmetic — min/max bucket-width
+rescale then bit interleave — so the computed key is engine-portable
+(the DuckDB oracle in plans/zorderq.py reproduces it bit-for-bit; no
+IEEE rounding in the path) and overflow-free for any value span below
+2**63 (the rescale divides by a bucket width, never multiplies a
+delta). Scaling uses one single-row aggregate broadcast back onto the
 relation: two narrow passes, no shuffle beyond the write's own range
 partitioning. Production tables with non-integral cluster keys first
 map them to ints (dictionary codes, epoch days, decimal unscaled
@@ -61,11 +63,18 @@ def with_z_value(
     """Append the Morton code of ``cols`` as ``out_col``.
 
     Each column must be integral-valued (cast to BIGINT); it is
-    rescaled to ``[0, 2**bits)`` with exact integer math —
-    ``((x - min) * (2**bits - 1)) div greatest(max - min, 1)`` — then
-    the rescaled words are bit-interleaved. One single-row min/max
-    aggregate is broadcast-joined back (no per-row window, no second
-    wide shuffle); with more than ~3 columns or very skewed key
+    rescaled to ``[0, 2**bits)`` with exact, overflow-free integer
+    math — ``(x - min) div ((max - min) div 2**bits + 1)`` — then the
+    rescaled words are bit-interleaved. The bucket width ``(max - min)
+    div 2**bits + 1`` guarantees the quotient stays under ``2**bits``
+    and no intermediate exceeds the input magnitude (multiplying the
+    delta by ``2**bits - 1`` instead, the textbook form, overflows
+    BIGINT once the column spans more than ``2**63 / 2**bits`` —
+    exactly the dictionary-code/decimal-unscaled inputs the module
+    docstring recommends). When the span itself is below ``2**bits``
+    the width is 1 and the rescale is the identity. One single-row
+    min/max aggregate is broadcast-joined back (no per-row window, no
+    second wide shuffle); with more than ~3 columns or very skewed key
     distributions, prefer fewer dimensions — each added column halves
     the per-column resolution at fixed ``bits``.
     """
@@ -76,22 +85,27 @@ def with_z_value(
             f"bits*ncols must stay within a signed 64-bit word, got "
             f"{bits}*{len(cols)}"
         )
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
     aggs = []
-    for c in cols:
+    for j, c in enumerate(cols):
         as_long = F.col(c).cast("long")
-        aggs.append(F.min(as_long).alias(f"__zmin_{c}"))
-        aggs.append(F.max(as_long).alias(f"__zmax_{c}"))
+        aggs.append(F.min(as_long).alias(f"__zmin_{j}"))
+        aggs.append(F.max(as_long).alias(f"__zmax_{j}"))
     stats = df.agg(*aggs)
     joined = df.crossJoin(F.broadcast(stats))
+    # quoted source column, index-derived stat aliases: arbitrary
+    # column names (spaces, dashes) survive the expr round-trip
     scaled = [
         F.expr(
-            f"((CAST({c} AS BIGINT) - __zmin_{c}) * {(1 << bits) - 1})"
-            f" div greatest(__zmax_{c} - __zmin_{c}, 1)"
+            f"(CAST(`{c}` AS BIGINT) - __zmin_{j})"
+            f" div ((__zmax_{j} - __zmin_{j}) div {1 << bits} + 1)"
         )
-        for c in cols
+        for j, c in enumerate(cols)
     ]
     return joined.withColumn(out_col, _interleave(scaled, bits)).drop(
-        *[f"__zmin_{c}" for c in cols], *[f"__zmax_{c}" for c in cols]
+        *[f"__zmin_{j}" for j in range(len(cols))],
+        *[f"__zmax_{j}" for j in range(len(cols))],
     )
 
 
@@ -107,26 +121,37 @@ def zorder_compact(
     """OPTIMIZE ZORDER pass: rewrite ``src_path`` into ``target_files``
     files clustered along the Morton curve of ``zorder_cols``.
 
-    Unlike ``maintenance.compact_parquet`` (which delegates to the
-    range-cluster writer on existing columns) the cluster key here is
+    Unlike ``maintenance.compact_parquet`` the cluster key here is
     TRANSIENT: computed, range-partitioned and sorted on, then dropped
-    before the write — the output schema is exactly the input schema.
-    Because the z-value is a single long, the write is the same
-    one-sample-pass + one-range-shuffle plan as single-key clustering
-    plus one narrow min/max scan for the rescale stats — a fixed cost
-    that amortizes away (bench_zorder_scale.py: z/single wall ratio
-    1.57x at 1.5M rows, 1.27x at 15M, 0.85x at 45M; past ~10M rows the
-    high-cardinality Morton key actually range-samples into BETTER
-    balanced partitions than a low-cardinality natural key with heavy
-    ties). Row content is invariant (pure layout), which is the
-    DuckDB-checked contract of plans/zorderq.py's layout query."""
+    before the write — the output schema is exactly the input schema
+    (a pre-existing column named like the transient key is rejected
+    rather than silently destroyed). The layout write itself delegates
+    to the ONE range-cluster implementation
+    (sources/sink.py::load_clustered, ``drop_cols`` contract), same as
+    compact_parquet. Because the z-value is a single long, the write
+    is the same one-sample-pass + one-range-shuffle plan as single-key
+    clustering plus a bounded constant-factor overhead: one narrow
+    min/max stats scan, the Morton projection evaluated in both the
+    sampling pass and the shuffle, and ~8 extra shuffle bytes/row for
+    the carried key (bench_zorder_scale.py, independent uniform
+    dimensions, fresh-process median protocol: z/single wall ratio
+    1.53x at 1.5M rows, 1.46x at 15M, 1.19x at 45M — the ratio FALLS
+    as the shuffle+write volume dominates both paths). Row content is
+    invariant (pure layout), which is the DuckDB-checked contract of
+    plans/zorderq.py's layout query."""
+    from ..sources.sink import WarehouseSink
+
+    key = "__zorder_key"
     df = spark.read.parquet(src_path)
-    z = with_z_value(df, zorder_cols, bits=bits, out_col="__zorder_key")
-    (
-        z.repartitionByRange(target_files, "__zorder_key")
-        .sortWithinPartitions("__zorder_key")
-        .drop("__zorder_key")
-        .write.mode(mode)
-        .parquet(dest_path)
+    if key in df.columns:
+        raise ValueError(
+            f"input already carries a {key!r} column — rename it before "
+            "z-ordering (the transient cluster key would destroy it)"
+        )
+    z = with_z_value(df, zorder_cols, bits=bits, out_col=key)
+    result = WarehouseSink(spark).load_clustered(
+        z, dest_path, [key], n_files=target_files, mode=mode, drop_cols=[key]
     )
+    if not result.success:
+        raise RuntimeError(f"z-order write failed: {result.error}")
     return spark.read.parquet(dest_path)

@@ -3,10 +3,11 @@
 Two driver-gate queries over operators/zorder.py:
 
 * ``zorder_values`` — the Morton code itself, computed for every order
-  over (o_custkey, epoch-day of o_orderdate). Exact BIGINT rescale +
-  bit interleave, so DuckDB reproduces it bit-for-bit: the oracle
-  below is generated from the SAME bit-position formula the Spark
-  expression tree uses (one constant, two renderings).
+  over (o_custkey, epoch-day of o_orderdate). Exact BIGINT bucket-width
+  rescale + bit interleave, so DuckDB reproduces it bit-for-bit: the
+  oracle below is generated from the SAME width and bit-position
+  formulas the Spark expression tree uses (one constant, two
+  renderings).
 * ``zordered_orders`` — the OPTIMIZE ZORDER walk: scatter a projection
   of orders into many hash-partitioned files (the worst layout), then
   ``zorder_compact`` to a few Morton-clustered files. Row content is
@@ -110,8 +111,8 @@ _SCALED_SQL = f"""
     ),
     scaled AS (
         SELECT o_orderkey,
-               ((c - cmin) * {(1 << Z_BITS) - 1}) // GREATEST(cmax - cmin, 1) AS sc,
-               ((d - dmin) * {(1 << Z_BITS) - 1}) // GREATEST(dmax - dmin, 1) AS sd
+               (c - cmin) // ((cmax - cmin) // {1 << Z_BITS} + 1) AS sc,
+               (d - dmin) // ((dmax - dmin) // {1 << Z_BITS} + 1) AS sd
         FROM base, s
     )
 """

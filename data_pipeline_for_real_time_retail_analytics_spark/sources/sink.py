@@ -204,6 +204,7 @@ class WarehouseSink:
         n_files: int = 8,
         mode: str = "overwrite",
         count_rows: bool = False,
+        drop_cols: list[str] | None = None,
     ) -> LoadResult:
         """Range-clustered parquet layout: ``repartitionByRange`` on the
         cluster columns then ``sortWithinPartitions`` before the write,
@@ -215,18 +216,22 @@ class WarehouseSink:
         touching all of them. One range shuffle (sampling pass + write),
         no driver-side data.
 
-        Row counting follows the ``load_partitioned`` contract: opt-in
-        (``count_rows=True`` runs the input plan an extra time);
-        otherwise ``rows_loaded`` is the documented -1 = unknown
-        sentinel."""
+        ``drop_cols`` drops TRANSIENT cluster keys after the
+        partition/sort and before the write (a Project preserves its
+        child's ordering, so the layout survives): the Z-order path
+        clusters on a computed Morton code the output schema must not
+        carry (operators/zorder.py). Row counting follows the
+        ``load_partitioned`` contract: opt-in (``count_rows=True`` runs
+        the input plan an extra time); otherwise ``rows_loaded`` is the
+        documented -1 = unknown sentinel."""
         try:
             n = df.count() if count_rows else -1
-            (
-                df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
-                .sortWithinPartitions(*cluster_cols)
-                .write.mode(mode)
-                .parquet(path)
-            )
+            clustered = df.repartitionByRange(
+                n_files, *[F.col(c) for c in cluster_cols]
+            ).sortWithinPartitions(*cluster_cols)
+            if drop_cols:
+                clustered = clustered.drop(*drop_cols)
+            clustered.write.mode(mode).parquet(path)
             return LoadResult(True, path, n, mode)
         except Exception as exc:
             return LoadResult(False, path, 0, mode, error=str(exc))

@@ -71,6 +71,34 @@ def test_with_z_value_rejects_bad_configs(spark):
         with_z_value(df, [])
     with pytest.raises(ValueError):
         with_z_value(df, ["x"], bits=64)
+    with pytest.raises(ValueError, match="already exists"):
+        with_z_value(df.withColumn("z_value", F.lit(0)), ["x"])
+
+
+def test_wide_value_span_does_not_overflow(spark):
+    """The bucket-width rescale must survive spans near 2^63 — the
+    dictionary-code / decimal-unscaled inputs the docstring recommends.
+    (The textbook (x-min)*(2^bits-1) form overflows BIGINT here.)"""
+    wide = spark.createDataFrame(
+        [(0, 0), (1, 1 << 62), (2, (1 << 61))], ["k", "x"]
+    )
+    rows = {
+        r.k: r.z_value
+        for r in with_z_value(wide, ["x"], bits=8).collect()
+    }
+    assert len(set(rows.values())) == 3, "distinct magnitudes must separate"
+    assert rows[0] == 0
+    assert all(0 <= z < 256 for z in rows.values())
+    assert rows[0] < rows[2] < rows[1], "rescale must preserve order"
+
+
+def test_zorder_compact_rejects_transient_key_collision(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.range(10).select(
+        F.col("id").alias("x"), F.lit(1).alias("__zorder_key")
+    ).write.parquet(src)
+    with pytest.raises(ValueError, match="__zorder_key"):
+        zorder_compact(spark, src, str(tmp_path / "dst"), ["x"])
 
 
 def _file_rects(spark, path, xcol, ycol):
