@@ -17,9 +17,11 @@ bounded by hit volume, not corpus token volume (contrast tfidf, whose
 document-frequency pass must aggregate the full vocabulary). Corpus
 statistics (N, average document length) ride one single-row aggregate
 broadcast back; per-term document frequencies are a |query|-row
-broadcast. Float determinism follows the tfidf discipline: identical
+broadcast. Float determinism extends the tfidf discipline: identical
 expression order in the Spark and DuckDB renderings (plans/searchq.py)
-and a final ROUND to 6 decimals.
+makes each per-term score bit-identical, and the per-document SUM is
+taken over micro-unit BIGINTs (term scores quantized to 1e-6) so no
+fold-order-dependent double accumulation ever reaches the value hash.
 """
 
 from __future__ import annotations
@@ -52,10 +54,17 @@ def bm25_scores(
     makes over raw TF-IDF retrieval. Tokenization is the corpus-wide
     lowercase whitespace discipline shared with tfidf.
     """
-    if not query_terms:
+    # normalize the query bag to the token discipline (lowercase) and
+    # dedupe order-preservingly — a mixed-case term would otherwise
+    # never match the lowercased tokens and be silently ignored
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not terms:
         raise ValueError("BM25 needs at least one query term")
     toks = ws_tokens(F.lower(F.col(text_col)))
-    with_len = docs.select(
+    # NULL-text documents carry no tokens: they can never match, and
+    # keeping them in the corpus statistics would disagree with any
+    # token-derived accounting (the oracle's unnest drops them)
+    with_len = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         toks.alias("toks"),
         F.size(toks).alias("dl"),
@@ -67,7 +76,7 @@ def bm25_scores(
     # map-side, so only query-term hits ever reach a shuffle
     tf = (
         with_len.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .where(F.col("term").isin(list(query_terms)))
+        .where(F.col("term").isin(terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -83,8 +92,17 @@ def bm25_scores(
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl
     )
     term_score = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    # quantize per-term scores to an exact micro-unit BIGINT BEFORE the
+    # document sum: a multi-addend double sum is fold-order-dependent
+    # (IEEE addition is commutative but NOT associative), so Spark's
+    # partial aggregation and an oracle's scan-order sum could round
+    # differently at a 0.5e-6 boundary. Both engines compute the SAME
+    # term_score double (expression-order parity), so the quantized
+    # integers agree exactly, integer addition is associative, and the
+    # final /1e6 is one deterministic double division.
+    micro = F.round(term_score * F.lit(1_000_000.0), 0).cast("long")
     return scored.groupBy("doc_id").agg(
-        F.round(F.sum(term_score), 6).alias("bm25"),
+        (F.sum(micro).cast("double") / F.lit(1_000_000.0)).alias("bm25"),
         F.count("*").alias("matched_terms"),
     )
 
@@ -117,19 +135,26 @@ def rrf_fuse(
             F.col(score_col).desc(), F.col(id_col).asc()
         ).limit(top_n)
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        # micro-unit quantization, as in bm25_scores: with 3+ lists the
+        # per-document double sum would be fold-order-dependent; the
+        # integer sum is associative, so a value-hash gate stays exact
         contribs.append(
             top.select(
                 F.col(id_col),
-                (
+                F.round(
                     F.lit(1.0)
                     / (F.lit(float(k)) + F.row_number().over(w))
-                ).alias("c"),
+                    * F.lit(1_000_000.0),
+                    0,
+                )
+                .cast("long")
+                .alias("c_micro"),
             )
         )
     unioned = contribs[0]
     for c in contribs[1:]:
         unioned = unioned.unionByName(c)
     return unioned.groupBy(id_col).agg(
-        F.round(F.sum("c"), 6).alias("rrf"),
+        (F.sum("c_micro").cast("double") / F.lit(1_000_000.0)).alias("rrf"),
         F.count("*").alias("n_lists"),
     )

@@ -18,7 +18,9 @@ Two driver-gate queries over operators/bm25.py:
 
 The oracles mirror the Spark expression ORDER operation-for-operation
 (the tfidf float-parity discipline — ln/div/mul associate identically
-in both engines, final ROUND to 6 decimals), so the driver's value
+in both engines), and every multi-addend double sum is quantized to
+micro-unit BIGINTs first (integer addition is associative, so the
+totals cannot depend on accumulation order), so the driver's value
 hash matches bit-for-bit; the BM25 scoring pipeline is one shared CTE
 block used by both oracles (one definition, two finals).
 
@@ -116,10 +118,18 @@ _BM25_CTES = f"""
             WHERE tf.term = dfreq.term
         ),
         bm AS (
+            -- micro-unit quantization before the sum: integer addition
+            -- is associative, so the document total cannot depend on
+            -- accumulation order (operators/bm25.py discipline)
             SELECT doc_id,
-                   ROUND(SUM(term_score), 6) AS bm25,
+                   CAST(SUM(micro) AS DOUBLE) / 1000000.0 AS bm25,
                    COUNT(*) AS matched_terms
-            FROM scored
+            FROM (
+                SELECT doc_id,
+                       CAST(ROUND(term_score * 1000000.0, 0) AS BIGINT)
+                           AS micro
+                FROM scored
+            )
             GROUP BY doc_id
         )"""
 
@@ -160,11 +170,19 @@ ORACLES: dict[str, str] = {
             QUALIFY rank <= {TOP_N}
         ),
         contrib AS (
-            SELECT doc_id, 1.0 / ({RRF_K}.0 + rank) AS c FROM lexr
+            SELECT doc_id,
+                   CAST(ROUND(1.0 / ({RRF_K}.0 + rank) * 1000000.0, 0)
+                        AS BIGINT) AS c_micro
+            FROM lexr
             UNION ALL
-            SELECT doc_id, 1.0 / ({RRF_K}.0 + rank) AS c FROM semr
+            SELECT doc_id,
+                   CAST(ROUND(1.0 / ({RRF_K}.0 + rank) * 1000000.0, 0)
+                        AS BIGINT) AS c_micro
+            FROM semr
         )
-        SELECT doc_id, ROUND(SUM(c), 6) AS rrf, COUNT(*) AS n_lists
+        SELECT doc_id,
+               CAST(SUM(c_micro) AS DOUBLE) / 1000000.0 AS rrf,
+               COUNT(*) AS n_lists
         FROM contrib
         GROUP BY doc_id
         ORDER BY rrf DESC, doc_id

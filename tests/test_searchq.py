@@ -39,10 +39,16 @@ def test_rare_term_dominates(spark):
     query term outscores EVERY document matching only the common terms
     (a rare term's single hit carries more information than any
     saturation-capped pile-up of common ones)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import (
+        ws_tokens,
+    )
+
     docs = load_table(spark, SF_DIR, "documents")
     scored = searchq.q_bm25_search(spark, SF_DIR)
+    # the SAME tokenizer bm25_scores uses — an inline re-implementation
+    # could silently diverge from what was actually scored
     rare = docs.where(
-        F.array_contains(F.split(F.trim(F.lower("text")), r"\s+"), "dup")
+        F.array_contains(ws_tokens(F.lower(F.col("text"))), "dup")
     ).select("doc_id")
     rows = scored.join(rare.withColumn("has_rare", F.lit(True)),
                        "doc_id", "left").collect()
@@ -60,6 +66,34 @@ def test_zero_match_docs_absent(spark):
     assert out.count() == 0
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+def test_null_text_docs_are_excluded_from_stats(spark):
+    """A NULL-text document can never match, and it must not count in
+    n_docs/avgdl either — otherwise Spark and any token-derived oracle
+    accounting (unnest drops NULL docs) disagree on every idf."""
+    clean = spark.createDataFrame(
+        [(1, "spark spark window"), (2, "window batch")], ["doc_id", "text"]
+    )
+    with_null = clean.unionByName(
+        spark.createDataFrame([(3, None)], "doc_id INT, text STRING")
+    )
+    a = bm25_scores(clean, ["spark", "window"]).orderBy("doc_id").collect()
+    b = bm25_scores(with_null, ["spark", "window"]).orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert all(r.doc_id != 3 for r in b)
+
+
+def test_query_terms_are_normalized(spark):
+    """Mixed-case and duplicated query terms must match the lowercased
+    token discipline instead of being silently ignored."""
+    docs = spark.createDataFrame(
+        [(1, "spark window"), (2, "batch scan")], ["doc_id", "text"]
+    )
+    plain = bm25_scores(docs, ["spark"]).collect()
+    mixed = bm25_scores(docs, ["SPARK", "Spark", "spark"]).collect()
+    assert [r.asDict() for r in plain] == [r.asDict() for r in mixed]
+    assert len(plain) == 1 and plain[0].doc_id == 1
 
 
 def test_tf_saturation(spark):
