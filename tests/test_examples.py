@@ -117,3 +117,18 @@ def test_snapshot_cdc_example_runs(spark, sf_dir, capsys):
         sys.argv = argv
     out = capsys.readouterr().out
     assert "roll-forward mismatches: 0" in out and "scd2 rows:" in out
+
+
+def test_hybrid_search_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["hybrid_search_example.py", sf_dir]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/hybrid_search_example.py", run_name="__main__"
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "best lexical hit doc" in out
+    assert "fused candidates:" in out

@@ -52,6 +52,30 @@ def test_unknown_green_is_an_error(tmp_path):
     assert "register them first" in res.stderr
 
 
+def test_pending_r7_aggregates_the_staged_pairs():
+    """The r7 flip imports one aggregator; it must carry exactly the
+    locally-proven names with matching query/oracle keys and no
+    collisions against the live registry (pre-flip invariant — the
+    mirror of the post-flip pin below)."""
+    import __spark_entry__ as entry
+
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r7 import (
+        PENDING_ORACLES,
+        PENDING_QUERIES,
+    )
+
+    assert set(PENDING_QUERIES) == {
+        "zorder_values", "zordered_orders", "bm25_search", "hybrid_search",
+    }
+    assert set(PENDING_QUERIES) == set(PENDING_ORACLES)
+    assert not (set(PENDING_QUERIES) & set(entry.queries())), (
+        "pending names must not collide with registered queries"
+    )
+    for name, fn in PENDING_QUERIES.items():
+        assert callable(fn), name
+        assert "SELECT" in PENDING_ORACLES[name].upper(), name
+
+
 def test_pending_registry_flipped_into_front_window():
     """The ten aggregated curation/maintenance queries were registered
     in round 6; the aggregator is now the registry's source of truth
