@@ -163,6 +163,56 @@ def test_rrf_rejects_empty_input(spark):
         rrf_fuse([])
 
 
+def test_rrf_three_lists_matches_python(spark):
+    """The 3+-list path is where the micro-unit quantization earns its
+    keep (a 3-addend double sum is fold-order-dependent); cross-check
+    the fused totals against a python recomputation."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.bm25 import (
+        rrf_fuse,
+    )
+
+    lists = []
+    ranked_py: list[list[int]] = []
+    for j, order in enumerate(([1, 2, 3, 4], [3, 1, 5, 2], [5, 4, 1, 6])):
+        rows = [(doc, float(len(order) - i)) for i, doc in enumerate(order)]
+        lists.append(
+            (spark.createDataFrame(rows, ["doc_id", "s"]), "s")
+        )
+        ranked_py.append(order)
+    got = {r.doc_id: r for r in rrf_fuse(lists, k=60, top_n=10).collect()}
+    expected: dict[int, float] = {}
+    counts: dict[int, int] = {}
+    for order in ranked_py:
+        for rank, doc in enumerate(order, start=1):
+            expected[doc] = expected.get(doc, 0.0) + round(
+                1.0 / (60 + rank) * 1e6
+            ) / 1e6
+            counts[doc] = counts.get(doc, 0) + 1
+    assert set(got) == set(expected)
+    for doc, want in expected.items():
+        assert abs(got[doc].rrf - want) < 1e-9, doc
+        assert got[doc].n_lists == counts[doc], doc
+
+
+def test_bm25_scan_is_column_pruned(spark):
+    """The corpus scan must read only (doc_id, text) — a scan carrying
+    every document column into the explode is corpus-bytes wasted at
+    100 TB."""
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        bm25_scores(docs, searchq.QUERY_TERMS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no parquet scan found in the plan"
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, f"unpruned scan: {cols}"
+
+
 def test_stats_joins_are_broadcast(spark):
     """The df table and the single-row corpus stats must broadcast —
     a shuffle join against either would serialize the hit table on a

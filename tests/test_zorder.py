@@ -65,6 +65,23 @@ def test_morton_round_trip(spark):
     assert len(seen) == n, "Morton code must be injective on the grid"
 
 
+def test_morton_round_trip_three_dims(spark):
+    """Three interleaved columns: the bit-placement formula must stay
+    invertible (the 2-D tests never exercise ncols > 2)."""
+    n, bits = 512, 3
+    grid = spark.range(n).select(
+        (F.col("id") % 8).alias("x"),
+        ((F.col("id") / 8).cast("long") % 8).alias("y"),
+        ((F.col("id") / 64).cast("long") % 8).alias("z"),
+    )
+    rows = with_z_value(grid, ["x", "y", "z"], bits=bits).collect()
+    seen = set()
+    for r in rows:
+        assert _deinterleave(r.z_value, 3, bits) == (r.x, r.y, r.z)
+        seen.add(r.z_value)
+    assert len(seen) == n
+
+
 def test_with_z_value_rejects_bad_configs(spark):
     df = spark.range(4).select(F.col("id").alias("x"))
     with pytest.raises(ValueError):
