@@ -85,46 +85,51 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="bm25_scale_")
     out: dict[str, dict[str, float]] = {}
     try:
-        scale = scales[0]
         docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-        parts = [docs]
-        for k in range(1, scale):
-            parts.append(
-                docs.select(
-                    (F.col("doc_id") + k * COPY_OFFSET).alias("doc_id"),
-                    F.concat_ws(
-                        " ",
-                        F.transform(
-                            F.split(F.trim(F.col("text")), r"\s+"),
-                            lambda w: F.concat(F.lit(f"c{k}"), w),
-                        ),
-                    ).alias("text"),
+        for scale in scales:  # usually one (subprocess dispatch), but
+            # honor every requested scale — silently measuring only
+            # scales[0] would hand back a partial JSON that looks done
+            parts = [docs]
+            for k in range(1, scale):
+                parts.append(
+                    docs.select(
+                        (F.col("doc_id") + k * COPY_OFFSET).alias("doc_id"),
+                        F.concat_ws(
+                            " ",
+                            F.transform(
+                                F.split(F.trim(F.col("text")), r"\s+"),
+                                lambda w: F.concat(F.lit(f"c{k}"), w),
+                            ),
+                        ).alias("text"),
+                    )
                 )
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.unionByName(p)
+            src = os.path.join(work, f"docs_{scale}")
+            scaled.repartition(max(8, scale)).write.mode("overwrite").parquet(
+                src
             )
-        scaled = parts[0]
-        for p in parts[1:]:
-            scaled = scaled.unionByName(p)
-        src = os.path.join(work, "docs")
-        scaled.repartition(max(8, scale)).write.mode("overwrite").parquet(src)
-        corpus = spark.read.parquet(src)
-        n = corpus.count()
+            corpus = spark.read.parquet(src)
+            n = corpus.count()
 
-        walls: list[float] = []
-        hits = None
-        for _ in range(args.reps):
-            settle()
-            t0 = time.monotonic()
-            result = bm25_scores(corpus, QUERY_TERMS)
-            result.write.mode("overwrite").format("noop").save()
-            walls.append(time.monotonic() - t0)
-            if hits is None:
-                hits = result.count()
-        out[str(scale)] = {
-            "docs": n,
-            "hit_docs": hits,
-            "wall_sec": round(statistics.median(walls), 2),
-            "samples": [round(v, 2) for v in walls],
-        }
+            walls: list[float] = []
+            hits = None
+            for _ in range(args.reps):
+                settle()
+                t0 = time.monotonic()
+                result = bm25_scores(corpus, QUERY_TERMS)
+                result.write.mode("overwrite").format("noop").save()
+                walls.append(time.monotonic() - t0)
+                if hits is None:
+                    hits = result.count()
+            out[str(scale)] = {
+                "docs": n,
+                "hit_docs": hits,
+                "wall_sec": round(statistics.median(walls), 2),
+                "samples": [round(v, 2) for v in walls],
+            }
+            shutil.rmtree(src, ignore_errors=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

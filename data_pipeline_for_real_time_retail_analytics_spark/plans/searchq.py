@@ -84,7 +84,12 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_terms() -> str:
-    return ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    # mirror bm25_scores' normalization (lowercase + order-preserving
+    # dedupe) so a mixed-case term added to QUERY_TERMS cannot make the
+    # two sides match different token sets
+    return ", ".join(
+        f"'{t}'" for t in dict.fromkeys(t.lower() for t in QUERY_TERMS)
+    )
 
 
 #: the BM25 scoring pipeline as shared WITH-clauses — mirrors
@@ -108,11 +113,21 @@ _BM25_CTES = f"""
         ),
         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
         scored AS (
+            -- every float literal is CAST to DOUBLE: DuckDB parses a
+            -- bare 2.2 as DECIMAL(2,1) and evaluates BIGINT*DECIMAL in
+            -- exact decimal, yielding a DIFFERENT double than Spark's
+            -- tf * lit(2.2) (verified: 6.5999999999999996 vs
+            -- 6.6000000000000005) — which would void the bit-identical
+            -- term_score premise the micro-quantization rests on
             SELECT tf.doc_id,
-                   ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-                     * (tf.tf * {K1 + 1.0})
-                     / (tf.tf + {K1} * (1.0 - {B}
-                        + {B} * tf.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                   ln((s.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                        / (dfreq.df + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE))
+                     * (tf.tf * CAST({K1 + 1.0} AS DOUBLE))
+                     / (tf.tf + CAST({K1} AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                        - CAST({B} AS DOUBLE)
+                        + CAST({B} AS DOUBLE) * tf.dl
+                          / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
                        AS term_score
             FROM tf, dfreq, s
             WHERE tf.term = dfreq.term
@@ -122,12 +137,13 @@ _BM25_CTES = f"""
             -- is associative, so the document total cannot depend on
             -- accumulation order (operators/bm25.py discipline)
             SELECT doc_id,
-                   CAST(SUM(micro) AS DOUBLE) / 1000000.0 AS bm25,
+                   CAST(SUM(micro) AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                       AS bm25,
                    COUNT(*) AS matched_terms
             FROM (
                 SELECT doc_id,
-                       CAST(ROUND(term_score * 1000000.0, 0) AS BIGINT)
-                           AS micro
+                       CAST(ROUND(term_score * CAST(1000000.0 AS DOUBLE), 0)
+                            AS BIGINT) AS micro
                 FROM scored
             )
             GROUP BY doc_id
@@ -170,18 +186,25 @@ ORACLES: dict[str, str] = {
             QUALIFY rank <= {TOP_N}
         ),
         contrib AS (
+            -- DOUBLE-cast literals for the same decimal-vs-double
+            -- reason as the scored CTE
             SELECT doc_id,
-                   CAST(ROUND(1.0 / ({RRF_K}.0 + rank) * 1000000.0, 0)
+                   CAST(ROUND(CAST(1.0 AS DOUBLE)
+                              / (CAST({RRF_K}.0 AS DOUBLE) + rank)
+                              * CAST(1000000.0 AS DOUBLE), 0)
                         AS BIGINT) AS c_micro
             FROM lexr
             UNION ALL
             SELECT doc_id,
-                   CAST(ROUND(1.0 / ({RRF_K}.0 + rank) * 1000000.0, 0)
+                   CAST(ROUND(CAST(1.0 AS DOUBLE)
+                              / (CAST({RRF_K}.0 AS DOUBLE) + rank)
+                              * CAST(1000000.0 AS DOUBLE), 0)
                         AS BIGINT) AS c_micro
             FROM semr
         )
         SELECT doc_id,
-               CAST(SUM(c_micro) AS DOUBLE) / 1000000.0 AS rrf,
+               CAST(SUM(c_micro) AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+                   AS rrf,
                COUNT(*) AS n_lists
         FROM contrib
         GROUP BY doc_id
