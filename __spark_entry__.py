@@ -26,6 +26,10 @@ from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_registry i
     PENDING_ORACLES,
     PENDING_QUERIES,
 )
+from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r7 import (
+    PENDING_ORACLES as PENDING_ORACLES_R7,
+    PENDING_QUERIES as PENDING_QUERIES_R7,
+)
 from data_pipeline_for_real_time_retail_analytics_spark.plans import scaleops as SOP
 from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
 from data_pipeline_for_real_time_retail_analytics_spark.plans import streamq as SQ
@@ -42,30 +46,107 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Front-loaded: the driver checks the first 50 entries in
-        # insertion order. r06 rotation rule (mechanized in
-        # tests/test_rotation_guard.py against ROTATION.json) — a query
-        # goes in the front 50 if ANY file its implementation touches
-        # changed since its last green CORRECTNESS row, or if it has
-        # never had a driver row.
+        # insertion order. Rotation rule (mechanized in
+        # tests/test_rotation_guard.py against ROTATION.json, amended
+        # r7): never-green queries MUST be front; stale queries (any
+        # closure file changed since their last green) fill the rest
+        # OLDEST-FIRST, and the overflow is recorded explicitly in
+        # ROTATION.json["deferred"] (every deferred query stays
+        # value-proven on the current tree by tests/test_oracle_parity).
         # Front composition this round:
-        #  * slots 1-13: the 13 r5-new queries that only ever had local
-        #    DuckDB parity (the r5 verdict's standing obligation);
-        #  * slots 14-23: the 10 r6-new curation/maintenance queries
-        #    (snapshot diff/summary, aggregate maintenance, shard
-        #    manifest, semantic contamination, stream-static dim
-        #    enrichment, SemDeDup family) — aggregated by
-        #    plans/pending_registry.py, never-green → front by rule;
-        #  * slots 24-30: the 7 r6-new order-fulfilment/scale queries
-        #    (plans/analytics4.py TPC-H Q3/Q6/Q12/Q19/Q21 shapes +
-        #    plans/scaleops.py Bloom pruning / compaction);
-        #  * slots 31-50: 20 of the r≤4-green cohort (the oldest driver
-        #    rows), keeping the join/window/CDC/merge shapes in the
-        #    re-proved set. The 10 pure-aggregation analytics.py
-        #    entries spill to the tail — their module is bit-identical
-        #    since their green and each is also value-checked in pytest.
-        # The rest of the tail holds the 50 fresh r5 greens, whose
-        # implementation files are bit-identical to their r5 state
-        # (verify with `git diff e9bd03e..HEAD --name-only`).
+        #  * slots 1-4: the four staged r6 queries with only local
+        #    parity so far — z-order pair (plans/zorderq.py) + search
+        #    pair (plans/searchq.py) — never-green → front by rule;
+        #  * slots 5-14: the 10 pure-aggregation analytics.py entries
+        #    (the registry's OLDEST driver greens, r≤4) — flagged by
+        #    the FIXED closure guard because sources/registry.py
+        #    changed in r5;
+        #  * slots 15-50: 36 of the 50 r5-green cohort, prioritizing
+        #    every query whose operator files carry r7 edits (the
+        #    dedup band-join hint, the textstats entropy quantization)
+        #    plus the join/window/CDC/streaming shapes. The 14 spilled
+        #    r5 greens (similarity/multimodal/sampling/textclean
+        #    families — modules untouched this round, each also
+        #    value-checked in pytest) are listed in
+        #    ROTATION.json["deferred"] for the r8 front window.
+        # Tail: deferred entries first, then the 50 fresh r6 greens.
+        **PENDING_QUERIES_R7,
+        # oldest cohort: pure-aggregation analytics.py re-proofs
+        "top_customers": A.top_customers,
+        "order_priority_counts": A.order_priority_counts,
+        "promo_revenue": A.promo_revenue,
+        "top_suppliers": A.top_suppliers,
+        "brand_stats": A.brand_stats,
+        "returned_revenue_by_customer": A.returned_revenue_by_customer,
+        "small_quantity_revenue": A.small_quantity_revenue,
+        "large_orders": A.large_orders,
+        "events_hourly": A.events_hourly,
+        "customer_order_distribution": A.customer_order_distribution,
+        # r5 cohort, dedup family (operators/dedup.py carries the r7
+        # band-join merge hint — re-prove the edited operator first)
+        "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
+        "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
+        "contaminated_docs": L.q_contaminated_docs,
+        "simhash_pairs": L.q_simhash_pairs,
+        "simhash_values": L.q_simhash_values,
+        "exact_dedup_docs": L.q_exact_dedup_docs,
+        "dedup_clusters": L.q_dedup_clusters,
+        "boilerplate_ngrams": CU.q_boilerplate_ngrams,
+        # r5 cohort, textstats family (operators/textstats.py carries
+        # the r7 micro-unit entropy quantization)
+        "token_entropy": L.q_token_entropy,
+        "token_stats": L.q_token_stats,
+        "language_id": L.q_language_id,
+        "quality_score": L.q_quality_score,
+        "tfidf_top_terms": L.q_tfidf_top_terms,
+        "repetition_ratio": L.q_repetition_ratio,
+        "corpus_filter": L.q_corpus_filter,
+        # r5 cohort, streaming executions
+        "stream_events_hourly": SQ.q_stream_events_hourly,
+        "stream_user_sessions": SQ.q_stream_user_sessions,
+        "stream_click_purchases": SQ.q_stream_click_purchases,
+        # r5 cohort, CDC / join shapes
+        "scd2_user_history": S.q_scd2_user_history,
+        "event_dedup": S.q_event_dedup,
+        "incremental_scan": S.q_incremental_scan,
+        "fk_orphan_orders": S.q_fk_orphan_orders,
+        "customers_without_orders": S.q_customers_without_orders,
+        "whole_row_dups_lineitem": S.q_whole_row_dups_lineitem,
+        # r5 cohort, profiling / window / reshape
+        "price_quantiles": PF.q_price_quantiles,
+        "event_funnel": PF.q_event_funnel,
+        "customer_running_spend": PF.q_customer_running_spend,
+        "segment_year_pivot": PF.q_segment_year_pivot,
+        "events_cube": PF.q_events_cube,
+        "events_hourly_dense": PF.q_events_hourly_dense,
+        # r5 cohort, training export
+        "lm_perplexity": TR.q_lm_perplexity,
+        "packed_sequences": TR.q_packed_sequences,
+        "embedding_clusters": TR.q_embedding_clusters,
+        # r5 cohort, cross-nation trade analytics
+        "volume_shipping": A2.q_volume_shipping,
+        "market_share": A2.q_market_share,
+        "idle_customer_balance": A2.q_idle_customer_balance,
+        # ---- tail (beyond the driver's 50-query cap) ----
+        # deferred r5 greens (ROTATION.json["deferred"]; r8's first
+        # re-proof cohort — modules untouched this round, all
+        # value-checked by tests/test_oracle_parity on the current tree)
+        "ann_sign_lsh": L.q_ann_sign_lsh,
+        "ann_multiprobe": L.q_ann_multiprobe,
+        "ann_multitable": L.q_ann_multitable,
+        "ann_ivf": L.q_ann_ivf,
+        "embedding_near_dup": L.q_embedding_near_dup,
+        "cosine_topk": L.q_cosine_topk,
+        "multimodal_features": L.q_multimodal_features,
+        "mixture_sample_docs": CU.q_mixture_sample_docs,
+        "chunked_docs": L.q_chunked_docs,
+        "cleaned_docs": L.q_cleaned_docs,
+        "doc_fingerprints": L.q_doc_fingerprints,
+        "benford_profile": L.q_benford_profile,
+        "train_split_counts": L.q_train_split_counts,
+        "stratified_sample_docs": L.q_stratified_sample_docs,
+        # fresh r6 greens (checked at 978398a; any that pick up r7
+        # operator edits are recorded in ROTATION.json["deferred"])
         "shuffled_shards": TR.q_shuffled_shards,
         "incremental_dedup_new_docs": L.q_incremental_dedup_new_docs,
         "dedup_survivors": L.q_dedup_survivors,
@@ -79,23 +160,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": TR2.q_dup_rate_by_source,
         "cohort_retention": BH.q_cohort_retention,
         "basket_pairs": BH.q_basket_pairs,
-        # NEW this round: curation/maintenance registrations (module
-        # order: snapshotq, exportq, contamq, streamq2, semdedupq)
+        # r6 curation/maintenance registrations (plans/pending_registry)
         **PENDING_QUERIES,
-        # NEW this round: order-fulfilment analytics
-        # (plans/analytics4.py — TPC-H Q3/Q6/Q12/Q19/Q21 shapes)
+        # r6 order-fulfilment analytics (plans/analytics4.py)
         "shipping_priority": A4.q_shipping_priority,
         "forecast_revenue_delta": A4.q_forecast_revenue_delta,
         "late_shipment_priority": A4.q_late_shipment_priority,
         "discounted_revenue": A4.q_discounted_revenue,
         "waiting_suppliers": A4.q_waiting_suppliers,
-        # NEW this round: scale maintenance (plans/scaleops.py —
-        # runtime Bloom-filter join pruning + OPTIMIZE compaction)
+        # r6 scale maintenance (plans/scaleops.py)
         "bloom_pruned_fetch": SOP.q_bloom_pruned_fetch,
         "compacted_corpus": SOP.q_compacted_corpus,
-        # r≤4-green cohort re-proof (oldest driver rows; files
-        # untouched — plans/analytics.py, plans/temporal.py,
-        # plans/showcase.py backing modules carry no r5/r6 edits)
+        # r≤4 cohort re-proved in r6
         "pricing_summary": A.pricing_summary,
         "revenue_by_segment": A.revenue_by_segment,
         "validation_orders": S.q_validation_orders,
@@ -116,78 +192,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_customers": S.q_dim_customers,
         "merge_upsert": S.q_merge_upsert,
         "cdc_apply_changes": S.q_cdc_apply_changes,
-        # ---- tail: the 10 pure-aggregation analytics.py spills
-        # (r≤4 driver greens, module bit-identical since; each also
-        # value-checked in pytest) ----
-        "top_customers": A.top_customers,
-        "order_priority_counts": A.order_priority_counts,
-        "promo_revenue": A.promo_revenue,
-        "top_suppliers": A.top_suppliers,
-        "brand_stats": A.brand_stats,
-        "returned_revenue_by_customer": A.returned_revenue_by_customer,
-        "small_quantity_revenue": A.small_quantity_revenue,
-        "large_orders": A.large_orders,
-        "events_hourly": A.events_hourly,
-        "customer_order_distribution": A.customer_order_distribution,
-        # ---- tail (beyond the driver's 50-query cap): the 50 fresh r5
-        # greens; every backing module is bit-identical to its r5-green
-        # state (`git diff e9bd03e..HEAD --name-only` touches none of
-        # them) ----
-        "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
-        "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
-        "contaminated_docs": L.q_contaminated_docs,
-        "simhash_pairs": L.q_simhash_pairs,
-        "simhash_values": L.q_simhash_values,
-        "exact_dedup_docs": L.q_exact_dedup_docs,
-        "ann_sign_lsh": L.q_ann_sign_lsh,
-        "ann_multiprobe": L.q_ann_multiprobe,
-        "ann_multitable": L.q_ann_multitable,
-        "ann_ivf": L.q_ann_ivf,
-        "embedding_near_dup": L.q_embedding_near_dup,
-        "multimodal_features": L.q_multimodal_features,
-        "token_stats": L.q_token_stats,
-        "scd2_user_history": S.q_scd2_user_history,
-        "event_dedup": S.q_event_dedup,
-        "dedup_clusters": L.q_dedup_clusters,
-        "tfidf_top_terms": L.q_tfidf_top_terms,
-        "repetition_ratio": L.q_repetition_ratio,
-        "corpus_filter": L.q_corpus_filter,
-        "boilerplate_ngrams": CU.q_boilerplate_ngrams,
-        "mixture_sample_docs": CU.q_mixture_sample_docs,
-        "stream_events_hourly": SQ.q_stream_events_hourly,
-        "stream_user_sessions": SQ.q_stream_user_sessions,
-        "stream_click_purchases": SQ.q_stream_click_purchases,
-        "price_quantiles": PF.q_price_quantiles,
-        "event_funnel": PF.q_event_funnel,
-        "customer_running_spend": PF.q_customer_running_spend,
-        "segment_year_pivot": PF.q_segment_year_pivot,
-        "events_cube": PF.q_events_cube,
-        "events_hourly_dense": PF.q_events_hourly_dense,
-        "token_entropy": L.q_token_entropy,
-        "benford_profile": L.q_benford_profile,
-        "chunked_docs": L.q_chunked_docs,
-        "language_id": L.q_language_id,
-        "quality_score": L.q_quality_score,
-        "doc_fingerprints": L.q_doc_fingerprints,
-        "cosine_topk": L.q_cosine_topk,
-        "cleaned_docs": L.q_cleaned_docs,
-        "train_split_counts": L.q_train_split_counts,
-        "stratified_sample_docs": L.q_stratified_sample_docs,
-        "incremental_scan": S.q_incremental_scan,
-        "fk_orphan_orders": S.q_fk_orphan_orders,
-        "customers_without_orders": S.q_customers_without_orders,
-        "whole_row_dups_lineitem": S.q_whole_row_dups_lineitem,
-        "lm_perplexity": TR.q_lm_perplexity,
-        "packed_sequences": TR.q_packed_sequences,
-        "embedding_clusters": TR.q_embedding_clusters,
-        "volume_shipping": A2.q_volume_shipping,
-        "market_share": A2.q_market_share,
-        "idle_customer_balance": A2.q_idle_customer_balance,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r7 registrations: z-order pair + search pair (plans/pending_r7)
+        **PENDING_ORACLES_R7,
         # r6 curation/maintenance registrations (plans/pending_registry)
         **PENDING_ORACLES,
         "pricing_summary": """

@@ -1,18 +1,15 @@
-"""Registry-ready queries awaiting round-7 driver slots.
+"""Round-7 registrations: the z-order pair + the search pair.
 
 Same mechanism that registered the round-6 ten (plans/
-pending_registry.py, now live in ``__spark_entry__``): the four
-query/oracle pairs proven this round with driver-identical local
-parity — the z-order pair (plans/zorderq.py) and the search pair
-(plans/searchq.py) — aggregate here so the r7 registration is one
-``**`` splice on each side of ``__spark_entry__`` plus four null rows
-in ROTATION.json. Never-green entries must land in the FRONT 50 (the
-rotation rule mechanized in tests/test_rotation_guard.py); the r6
-front window is exactly consumed, so these wait.
+pending_registry.py): the four query/oracle pairs proven in r6 with
+driver-identical local parity -- plans/zorderq.py and plans/searchq.py --
+aggregate here and are spliced live into ``__spark_entry__`` as the r7
+front window's never-green slots 1-4 (four null rows in ROTATION.json;
+rotation rule mechanized in tests/test_rotation_guard.py).
 
 Keys are exactly the names tests/test_zorder.py and
-tests/test_searchq.py prove; insertion order is the recommended
-registration order (cheapest first).
+tests/test_searchq.py prove; insertion order matches registration
+order (cheapest first).
 """
 
 from __future__ import annotations

@@ -52,11 +52,11 @@ def test_unknown_green_is_an_error(tmp_path):
     assert "register them first" in res.stderr
 
 
-def test_pending_r7_aggregates_the_staged_pairs():
-    """The r7 flip imports one aggregator; it must carry exactly the
-    locally-proven names with matching query/oracle keys and no
-    collisions against the live registry (pre-flip invariant — the
-    mirror of the post-flip pin below)."""
+def test_pending_r7_flipped_into_front_window():
+    """The four staged z-order/search pairs were registered in round 7;
+    the aggregator is the registry's source of truth for them, so every
+    name must sit in the driver-checked front 50 with a matching oracle
+    (post-flip containment pin, mirroring the r6 sibling below)."""
     import __spark_entry__ as entry
 
     from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r7 import (
@@ -68,19 +68,22 @@ def test_pending_r7_aggregates_the_staged_pairs():
         "zorder_values", "zordered_orders", "bm25_search", "hybrid_search",
     }
     assert set(PENDING_QUERIES) == set(PENDING_ORACLES)
-    assert not (set(PENDING_QUERIES) & set(entry.queries())), (
-        "pending names must not collide with registered queries"
-    )
+    qs = entry.queries()
+    front = list(qs)[:50]
+    oracles = entry.oracle_sql()
     for name, fn in PENDING_QUERIES.items():
-        assert callable(fn), name
+        assert name in front, f"{name} registered but not in the front 50"
+        assert qs[name] is fn, name
+        assert oracles[name] == PENDING_ORACLES[name], name
         assert "SELECT" in PENDING_ORACLES[name].upper(), name
 
 
-def test_pending_registry_flipped_into_front_window():
+def test_pending_registry_stays_registered():
     """The ten aggregated curation/maintenance queries were registered
-    in round 6; the aggregator is now the registry's source of truth
-    for them, so every name must sit in the driver-checked front 50
-    with a matching oracle."""
+    (and driver-proven green) in round 6; the aggregator remains the
+    registry's source of truth for them. They rotated out of the front
+    window in r7 to make room for the catch-up cohorts, so the pin is
+    registration + oracle identity, not front placement."""
     import __spark_entry__ as entry
 
     from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_registry import (
@@ -91,10 +94,9 @@ def test_pending_registry_flipped_into_front_window():
     assert len(PENDING_QUERIES) == 10
     assert set(PENDING_QUERIES) == set(PENDING_ORACLES)
     qs = entry.queries()
-    front = list(qs)[:50]
     oracles = entry.oracle_sql()
     for name, fn in PENDING_QUERIES.items():
-        assert name in front, f"{name} registered but not in the front 50"
+        assert name in qs, f"{name} dropped from the registry"
         assert qs[name] is fn, name
         assert oracles[name] == PENDING_ORACLES[name], name
         assert "SELECT" in PENDING_ORACLES[name].upper(), name
