@@ -36,10 +36,21 @@ Changelog contract: ``changelog_with_preimage`` emits
 (Debezium-style before/after) that ``operators/snapshot_diff.py``
 deliberately omits from its compact apply-side changelog.
 
-Reference parity: the reference's aggregation layer
-(src/transformation/data_transformer.py) recomputes marts from full
-snapshots each run; incremental maintenance is the beyond-reference
-scale path for the same outputs.
+Reference parity: the reference declares its aggregation/mart layer as
+dbt models rebuilt per run (config/pipelines/sample_pipeline.yaml:55-99
+— staging/mart declarations, fact_orders materialized incremental with
+a merge strategy; the dbt model SQL itself is empty scaffolding);
+incremental maintenance is the beyond-reference scale path for the
+same outputs.
+
+NULL contract: group-KEY columns may be NULL (a NULL-valued group is
+one group, handled by the null-safe merge); summed MEASURE columns must
+be non-NULL in every row. SUM-over-NULLs semantics cannot be rolled
+forward from (old_sum, delta) alone — a delete removing the last
+non-null row would need a per-group non-null count to know the sum
+reverts to NULL — so instead of silently coalescing such groups to 0,
+``apply_changelog_to_agg`` validates the contract at runtime and fails
+the job on a NULL measure image.
 """
 
 from __future__ import annotations
@@ -141,11 +152,33 @@ def apply_changelog_to_agg(
     read from the changelog's old_/new_ images, so both must have been
     listed in the changelog's ``value_cols``. Groups whose row count
     reaches zero are dropped.
+
+    Measure columns must be non-NULL (module-docstring contract): a
+    NULL measure image fails the job via ``raise_error`` instead of
+    silently rolling the group to 0 where a recompute would say NULL.
     """
+    def _measure(prefix: str, src: str, out: str) -> F.Column:
+        col = F.col(f"{prefix}_{src}")
+        return (
+            F.when(
+                col.isNull(),
+                # raise_error is NullType; when/otherwise unifies it
+                # with the measure's own type
+                F.raise_error(
+                    f"apply_changelog_to_agg: NULL measure {prefix}_{src} "
+                    "violates the non-NULL measure contract (SUM-over-NULL "
+                    "groups cannot be rolled forward; see operators/"
+                    "aggmaint.py module docstring)"
+                ),
+            )
+            .otherwise(col)
+            .alias(out)
+        )
+
     def _img(prefix: str, sign: int) -> F.Column:
         return F.struct(
             *[F.col(f"{prefix}_{k}").alias(k) for k in group_keys],
-            *[F.col(f"{prefix}_{src}").alias(out) for out, src in sum_cols.items()],
+            *[_measure(prefix, src, out) for out, src in sum_cols.items()],
             F.lit(sign).alias("_sign"),
         )
 

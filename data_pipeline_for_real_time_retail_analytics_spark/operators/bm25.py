@@ -7,8 +7,8 @@ normalization — the scoring function behind classical search and the
 standard lexical retriever for RAG / training-data curation stacks
 (pair it with the ANN tier in operators/similarity.py for hybrid
 retrieval). Pure column expressions; the reference has no search
-scoring at all (its transform layer is row-level cleaning only,
-src/processing/data_transformer.py).
+scoring at all (its transform layer is dbt model declarations with
+empty scaffolding SQL, config/pipelines/sample_pipeline.yaml:55-99).
 
 Scale shape: the per-document token explode is map-side and the query
 bag predicate filters generator output immediately, so the only
@@ -60,6 +60,14 @@ def bm25_scores(
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
     if not terms:
         raise ValueError("BM25 needs at least one query term")
+    # a term containing whitespace can never equal a whitespace-split
+    # token — it would be silently ignored, so reject it loudly
+    bad = [t for t in terms if not t or any(ch.isspace() for ch in t)]
+    if bad:
+        raise ValueError(
+            f"query terms must be single non-empty tokens "
+            f"(whitespace can never match the tokenizer): {bad!r}"
+        )
     toks = ws_tokens(F.lower(F.col(text_col)))
     # NULL-text documents carry no tokens: they can never match, and
     # keeping them in the corpus statistics would disagree with any

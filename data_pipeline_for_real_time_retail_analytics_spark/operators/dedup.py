@@ -416,6 +416,17 @@ def _banded_signatures(
     )
 
 
+def _exact_jaccard_verify(cand: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard) from candidate rows carrying both shingle
+    arrays — the shared verify half of every MinHash-LSH shape."""
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.round(jac, 4) >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_perm: int = 12,
@@ -424,13 +435,81 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fetch_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH candidates + exact-Jaccard
     verification. ``bands`` must divide ``num_perm``; candidate recall is
-    1-(1-t^rows)^bands for true Jaccard t."""
+    1-(1-t^rows)^bands for true Jaccard t.
+
+    The band candidate join is pinned to sort-merge (``hint("merge")``,
+    the same pin ``simhash_pairs`` carries since round 2): left to AQE,
+    a broadcast choice serializes the banded build side through the
+    driver AND defeats ReuseExchange on the identical self-join subtree,
+    re-computing shingling+signatures twice — measured 2.7x wall at 10x
+    input (bench_minhash_shapes.py --no-broadcast). SMJ is also the only
+    shape that survives a corpus-scale build side.
+
+    Two shuffle shapes, identical output (asserted in tests):
+
+    * ``fetch_shingles=False`` (default) — every banded row carries its
+      shingle array through the join, so verification needs no second
+      join and the self-join sides stay the identical subtree
+      (ReuseExchange computes signatures once). Shuffle volume is
+      ~bands x corpus shingle bytes: right at registry parameterization
+      (12/3, measured 56 MB vs fetch's two extra joins).
+    * ``fetch_shingles=True`` — band-join on (id, band_id, band_key)
+      only, dedup candidate pairs, then LEFT-SEMI the raw docs down to
+      surviving candidates and re-shingle ONLY those for the verify.
+      Shuffles are id-sized; the price is a second (candidate-bounded)
+      shingling pass plus two fetch joins. The production shape for
+      high-band parameterizations: at num_perm=64/bands=16 the carry
+      shape shuffles 620 MB vs 56 MB here (bench_minhash_shapes.py).
+    """
     banded = _banded_signatures(df, num_perm, bands, n, text_col, id_col)
+    if fetch_shingles:
+        slim = banded.select(id_col, "band_id", "band_key")
+        a = slim.alias("a")
+        b = slim.hint("merge").alias("b")
+        cand_ids = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        # Survivor fetch: semi-join the RAW docs down to candidate
+        # members on the cheap id column, then shingle only those rows.
+        surv_ids = (
+            cand_ids.select(F.col("doc_a").alias(id_col))
+            .union(cand_ids.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        sh = with_shingles(
+            df.join(surv_ids, id_col, "leftsemi"), n, text_col, id_col
+        ).select(id_col, "shingles", "n_shingles")
+        sa = sh.alias("sa")
+        sb = sh.alias("sb")
+        cand = (
+            cand_ids.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+            .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("sa.shingles").alias("sh_a"),
+                F.col("sa.n_shingles").alias("n_a"),
+                F.col("sb.shingles").alias("sh_b"),
+                F.col("sb.n_shingles").alias("n_b"),
+            )
+        )
+        return _exact_jaccard_verify(cand, threshold)
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -448,12 +527,7 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
-    return (
-        cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .where(F.round(jac, 4) >= threshold)
-    )
+    return _exact_jaccard_verify(cand, threshold)
 
 
 def minhash_lsh_pairs_between(

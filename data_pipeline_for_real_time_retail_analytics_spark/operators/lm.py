@@ -113,10 +113,22 @@ def score_bigram_lm(
         / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
            + F.lit(float(k)) * F.col("v").cast("double"))
     )
+    # quantize each bigram's logp to an exact micro-unit BIGINT BEFORE
+    # the per-doc average (the bm25/textstats fold-order discipline):
+    # AVG over doubles is a multi-addend double SUM, whose fold order
+    # differs between Spark partial aggregation and an oracle's scan
+    # order — a latent flake at a 0.5e-6 rounding boundary. Both
+    # engines compute the same logp double per bigram, the quantized
+    # integers agree exactly, and integer addition is associative.
+    logp_micro = F.round(logp * F.lit(1_000_000.0), 0).cast("long")
     return (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(-F.avg(logp), 6).alias("nll_bits"),
+            F.round(
+                -(F.sum(logp_micro).cast("double") / F.lit(1_000_000.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll_bits"),
         )
     )

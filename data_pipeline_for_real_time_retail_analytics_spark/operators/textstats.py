@@ -168,12 +168,27 @@ def token_entropy(
     """
     tok = df.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("t"))
     per_tok = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    # quantize each c·log2(c) addend to an exact micro-unit BIGINT
+    # BEFORE the per-doc sum (the bm25.py discipline): a multi-addend
+    # double SUM is fold-order-dependent (IEEE addition is commutative
+    # but NOT associative), so Spark's partial aggregation and an
+    # oracle's scan-order sum could round apart at a 0.5e-6 boundary.
+    # Each addend is the same deterministic double on both engines, the
+    # quantized integers agree exactly, and integer addition is
+    # associative — fold-order-independent by construction.
+    clog_micro = F.round(
+        F.col("c") * F.log2(F.col("c")) * F.lit(1_000_000.0), 0
+    ).cast("long")
     per_doc = per_tok.groupBy(id_col).agg(
         F.sum("c").alias("n"),
-        F.sum(F.col("c") * F.log2(F.col("c"))).alias("sum_clog"),
+        F.sum(clog_micro).alias("sum_clog_micro"),
     )
     # H = log2(n) - (Σ c·log2 c)/n  (algebraic form avoids a third pass)
-    h = F.log2(F.col("n")) - F.col("sum_clog") / F.col("n")
+    h = (
+        F.log2(F.col("n"))
+        - (F.col("sum_clog_micro").cast("double") / F.lit(1_000_000.0))
+        / F.col("n")
+    )
     return per_doc.select(
         id_col,
         F.col("n").alias("n_tokens"),

@@ -72,7 +72,11 @@ def with_z_value(
     BIGINT once the column spans more than ``2**63 / 2**bits`` —
     exactly the dictionary-code/decimal-unscaled inputs the module
     docstring recommends). When the span itself is below ``2**bits``
-    the width is 1 and the rescale is the identity. One single-row
+    the width is 1 and the rescale is the identity. A column whose span
+    itself exceeds ``2**63`` cannot be rescaled in BIGINT at all; the
+    width expression detects that overflow at runtime (``try_subtract``)
+    and fails the job with an explicit error instead of silently
+    mis-clustering. One single-row
     min/max aggregate is broadcast-joined back (no per-row window, no
     second wide shuffle); with more than ~3 columns or very skewed key
     distributions, prefer fewer dimensions — each added column halves
@@ -95,11 +99,24 @@ def with_z_value(
     stats = df.agg(*aggs)
     joined = df.crossJoin(F.broadcast(stats))
     # quoted source column, index-derived stat aliases: arbitrary
-    # column names (spaces, dashes) survive the expr round-trip
+    # column names (spaces, dashes) survive the expr round-trip.
+    # The bucket width is guarded at runtime: a span wider than 2**63
+    # (huge negative min against huge positive max) would make
+    # ``max - min`` wrap silently and mis-cluster every row, so
+    # try_subtract detects the overflow and raise_error fails the job
+    # instead. An all-NULL column keeps its pre-guard behavior (NULL
+    # z-contribution), distinguished from overflow by the max-IS-NULL
+    # arm.
     scaled = [
         F.expr(
-            f"(CAST(`{c}` AS BIGINT) - __zmin_{j})"
-            f" div ((__zmax_{j} - __zmin_{j}) div {1 << bits} + 1)"
+            f"(CAST(`{c}` AS BIGINT) - __zmin_{j}) div ("
+            f"CASE WHEN __zmax_{j} IS NULL THEN CAST(NULL AS BIGINT) "
+            f"WHEN try_subtract(__zmax_{j}, __zmin_{j}) IS NULL "
+            f"THEN CAST(raise_error('z-order: span of column {c} "
+            f"exceeds 2**63 and overflows BIGINT rescale; reduce the "
+            f"value range (e.g. dictionary-code the column) first') "
+            f"AS BIGINT) "
+            f"ELSE (__zmax_{j} - __zmin_{j}) div {1 << bits} + 1 END)"
         )
         for j, c in enumerate(cols)
     ]

@@ -3,8 +3,10 @@ the star schema (driver correctness gate).
 
 Kept separate from plans/analytics.py by the rotation rule (that file
 backs r04-proven tail queries and must stay bit-identical). Reference
-parity: these extend the reference's report layer
-(`src/transformations/sql_models.py`-style marts) with the classic
+parity: these extend the reference's declared report layer
+(the dbt staging/mart models in
+config/pipelines/sample_pipeline.yaml:55-99; the model SQL itself is
+empty scaffolding) with the classic
 multi-join volume/share/anti-join reports; semantics are standard
 TPC-H, re-expressed on the columns this schema has.
 

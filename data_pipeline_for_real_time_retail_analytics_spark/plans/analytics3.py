@@ -3,8 +3,10 @@ shapes plus the classic retail RFM report (driver correctness gate).
 
 Kept separate from plans/analytics.py and plans/analytics2.py by the
 rotation rule (those files back already-proven queries and must stay
-bit-identical). Reference parity: extends the reference's report layer
-(`src/transformations/sql_models.py`-style marts) with the remaining
+bit-identical). Reference parity: extends the reference's declared report layer
+(the dbt staging/mart models in
+config/pipelines/sample_pipeline.yaml:55-99; the model SQL itself is
+empty scaffolding) with the remaining
 classic procurement shapes, re-expressed on the columns this schema has
 (no partsupp table → lineitem is the part↔supplier bridge; supply value
 = shipped extended price).

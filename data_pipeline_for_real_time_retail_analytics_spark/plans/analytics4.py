@@ -4,8 +4,10 @@
 
 Kept separate from plans/analytics{,2,3}.py by the rotation rule (those
 files back already-proven queries and must stay bit-identical).
-Reference parity: extends the reference's report layer
-(`src/transformations/sql_models.py`-style marts) with the shipping-
+Reference parity: extends the reference's declared report layer
+(the dbt staging/mart models in
+config/pipelines/sample_pipeline.yaml:55-99; the model SQL itself is
+empty scaffolding) with the shipping-
 priority / forecast / late-shipment / disjunctive-predicate / waiting-
 supplier reports. This schema carries no o_shippriority, l_shipmode,
 l_commitdate/l_receiptdate or p_container, so: Q3 ranks by

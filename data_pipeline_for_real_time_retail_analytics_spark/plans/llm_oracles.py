@@ -369,7 +369,13 @@ def doc_fingerprints() -> str:
 def token_entropy() -> str:
     # mirrors textstats.token_entropy: H = log2(n) - (Σ c·log2 c)/n over
     # the whitespace-token distribution; CAST(... AS BIGINT) because
-    # DuckDB SUM(BIGINT) yields HUGEINT (the events_props_stats lesson)
+    # DuckDB SUM(BIGINT) yields HUGEINT (the events_props_stats lesson).
+    # Each c·log2(c) addend is quantized to micro-unit BIGINTs before
+    # the sum, exactly as the operator does (the bm25 fold-order
+    # discipline: integer addition is associative, double addition is
+    # not); the 1000000.0 literals are CAST AS DOUBLE because their
+    # first arithmetic partner is otherwise non-DOUBLE (the
+    # decimal-literal hazard recorded in round 6).
     return r"""
         WITH tok AS (
             SELECT doc_id,
@@ -377,12 +383,20 @@ def token_entropy() -> str:
             FROM documents
         ), per_tok AS (
             SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ), per_doc AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE)
+                                       * log2(CAST(c AS DOUBLE))
+                                       * CAST(1000000.0 AS DOUBLE), 0)
+                                 AS BIGINT)) AS BIGINT) AS sum_clog_micro
+            FROM per_tok GROUP BY doc_id
         )
-        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-               ROUND(log2(CAST(SUM(c) AS DOUBLE))
-                     - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
-                       / CAST(SUM(c) AS DOUBLE), 6) AS token_entropy_bits
-        FROM per_tok GROUP BY doc_id ORDER BY doc_id
+        SELECT doc_id, n AS n_tokens,
+               ROUND(log2(CAST(n AS DOUBLE))
+                     - (CAST(sum_clog_micro AS DOUBLE)
+                        / CAST(1000000.0 AS DOUBLE))
+                       / CAST(n AS DOUBLE), 6) AS token_entropy_bits
+        FROM per_doc ORDER BY doc_id
     """
 
 

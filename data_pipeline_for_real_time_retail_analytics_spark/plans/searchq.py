@@ -42,6 +42,13 @@ from .llm_oracles import _cosine, toks_expr
 
 #: one rare + two common terms from the synthetic documents vocabulary
 QUERY_TERMS = ["dup", "spark", "window"]
+# validate at module load: a term with whitespace can never match the
+# whitespace tokenizer (silently ignored on both sides), and these
+# terms are rendered into the oracle SQL, so keep the contract loud
+for _t in QUERY_TERMS:
+    assert _t and not any(ch.isspace() for ch in _t), (
+        f"QUERY_TERMS must be single non-empty tokens: {_t!r}"
+    )
 K1 = 1.2
 B = 0.75
 #: hybrid: fixed semantic query vector + fusion parameters
@@ -86,9 +93,11 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_terms() -> str:
     # mirror bm25_scores' normalization (lowercase + order-preserving
     # dedupe) so a mixed-case term added to QUERY_TERMS cannot make the
-    # two sides match different token sets
+    # two sides match different token sets; single quotes are escaped
+    # by SQL doubling so a future quoted term cannot break the oracle
     return ", ".join(
-        f"'{t}'" for t in dict.fromkeys(t.lower() for t in QUERY_TERMS)
+        "'" + t.replace("'", "''") + "'"
+        for t in dict.fromkeys(t.lower() for t in QUERY_TERMS)
     )
 
 

@@ -109,7 +109,14 @@ ORACLES: dict[str, str] = {
             CROSS JOIN v
         )
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               ROUND(-AVG(lp), 6) AS nll_bits
+               -- micro-unit quantization of each lp addend before the
+               -- sum, mirroring operators/lm.py (fold-order-independent
+               -- by construction; 1000000.0 CAST AS DOUBLE per the
+               -- decimal-literal rule)
+               ROUND(-(CAST(CAST(SUM(CAST(ROUND(lp * CAST(1000000.0 AS DOUBLE), 0)
+                                        AS BIGINT)) AS BIGINT) AS DOUBLE)
+                       / CAST(1000000.0 AS DOUBLE))
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS nll_bits
         FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
     "packed_sequences": rf"""

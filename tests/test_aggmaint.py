@@ -150,6 +150,32 @@ def test_single_changelog_scan(spark):
     assert "BroadcastNestedLoopJoin" not in tree
 
 
+def test_null_measure_violates_contract_loudly(spark):
+    """A NULL measure image must FAIL the roll-forward (non-NULL measure
+    contract, module docstring): SUM-over-NULL groups cannot be rolled
+    forward from (old_sum, delta) alone, and silently coalescing them
+    to 0 would break rolled == recomputed where a recompute says NULL."""
+    from pyspark.errors import PySparkException
+
+    old = _df(spark, [(1, "a", "1.00")])
+    new_rows = [(1, "a", Decimal("2.00")), (2, "a", None)]
+    new = spark.createDataFrame(
+        new_rows, "id int, grp string, v decimal(10,2)"
+    )
+    spec = {"total_v": "v"}
+    old_agg = aggregate_snapshot(old, ["grp"], spec)
+    changelog = changelog_with_preimage(old, new, ["id"], ["grp", "v"])
+    with pytest.raises(PySparkException, match="non-NULL measure contract"):
+        apply_changelog_to_agg(old_agg, changelog, ["grp"], spec).collect()
+    # non-null measures through the same path still roll forward fine
+    ok_new = _df(spark, [(1, "a", "2.00"), (2, "a", "3.00")])
+    ok_cl = changelog_with_preimage(old, ok_new, ["id"], ["grp", "v"])
+    rolled = _rows_by_key(
+        apply_changelog_to_agg(old_agg, ok_cl, ["grp"], spec), "grp"
+    )
+    assert rolled[("a",)]["total_v"] == Decimal("5.00")
+
+
 def test_empty_specs_rejected(spark):
     df = _df(spark, [(1, "a", "1.00")])
     with pytest.raises(ValueError):

@@ -85,6 +85,22 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
     assert got[(0, 4)] == 1.0  # identical docs always collide in every band
 
 
+def test_minhash_fetch_shingles_shape_identical_output(spark, docs):
+    """The candidates-then-fetch shuffle shape (fetch_shingles=True,
+    the production shape for high-band parameterizations — 620 MB vs
+    56 MB shuffle at num_perm=64/bands=16 per bench_minhash_shapes.py)
+    must produce exactly the carry shape's pair set and jaccards."""
+    carry = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.1).collect()))
+    fetch = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(docs, threshold=0.1, fetch_shingles=True).collect(),
+        )
+    )
+    assert carry == fetch
+    assert carry  # non-vacuous: the fixture plants dup pairs
+
+
 def test_incremental_pairs_find_new_vs_corpus_only(spark, docs):
     """New-batch docs match their corpus near-dups; no corpus×corpus or
     new×new pair ever appears, and the jaccard values agree with the
@@ -380,6 +396,12 @@ def test_token_entropy_matches_duckdb(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     got = {r["doc_id"]: r for r in token_entropy(docs).collect()}
 
+    # mirror the operator's micro-unit quantization (each c*log2(c)
+    # addend rounded to an exact BIGINT before the sum): the whole point
+    # of the discipline is that both engines then agree EXACTLY — a
+    # raw double-sum cross-check can differ by one micro-unit at a
+    # rounding boundary depending on fold order, which is the flake
+    # class the quantization removes
     con = duckdb.connect()
     want = con.execute(f"""
         WITH tok AS (
@@ -389,13 +411,19 @@ def test_token_entropy_matches_duckdb(spark, sf_dir):
             SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
         )
         SELECT doc_id, SUM(c) AS n,
-               ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS h
+               ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                     - (CAST(CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE)
+                              * log2(CAST(c AS DOUBLE))
+                              * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT))
+                          AS BIGINT) AS DOUBLE)
+                        / CAST(1000000.0 AS DOUBLE))
+                       / CAST(SUM(c) AS DOUBLE), 6) AS h
         FROM per_tok GROUP BY doc_id
     """).fetchall()
     assert len(want) == len(got)
     for doc_id, n, h in want:
         assert got[doc_id]["n_tokens"] == n
-        assert abs(got[doc_id]["token_entropy_bits"] - h) < 1e-9
+        assert got[doc_id]["token_entropy_bits"] == h
 
     # entropy sanity: repeated-token doc scores 0, distinct-token doc log2(n)
     tiny = spark.createDataFrame(

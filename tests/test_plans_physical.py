@@ -160,6 +160,27 @@ def test_unblocked_near_dup_candidates_are_equi_joins(spark, sf_dir):
         assert "band" in plan
 
 
+def test_minhash_band_join_pinned_to_sort_merge(spark, sf_dir):
+    """The MinHash band candidate join carries hint("merge") (the r2
+    simhash precedent): left to AQE, a broadcast choice serializes the
+    banded build side through the driver AND defeats ReuseExchange on
+    the identical self-join subtree (signatures computed twice) —
+    measured 2.7x wall at 10x input (bench_minhash_shapes.py
+    --no-broadcast). Both shuffle shapes must keep the pin."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for kwargs in ({}, {"fetch_shingles": True}):
+        df = minhash_lsh_pairs(docs, **kwargs)
+        plan = _final_plan(df)
+        assert "SortMergeJoin" in plan, f"band join lost its SMJ pin {kwargs}"
+        assert "CartesianProduct" not in plan
+        logical = df._jdf.queryExecution().analyzed().toString()
+        assert "merge" in logical.lower(), f"merge hint dropped {kwargs}"
+
+
 def test_text_filters_are_shuffle_free(spark, sf_dir):
     """repetition_ratio / corpus_filter are pure per-row projections: any
     Exchange in their plans means someone broke the zero-shuffle design.

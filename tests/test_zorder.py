@@ -109,6 +109,27 @@ def test_wide_value_span_does_not_overflow(spark):
     assert rows[0] < rows[2] < rows[1], "rescale must preserve order"
 
 
+def test_out_of_contract_span_raises_not_misclusters(spark):
+    """A column spanning MORE than 2**63 (huge negative min against huge
+    positive max) cannot be rescaled in BIGINT at all: the width
+    expression must fail the job with an explicit error instead of
+    letting ``max - min`` wrap and silently mis-cluster every row."""
+    from pyspark.errors import PySparkException
+
+    over = spark.createDataFrame(
+        [(0, -(1 << 62)), (1, (1 << 62))], ["k", "x"]
+    )
+    with pytest.raises(PySparkException, match="overflows BIGINT rescale"):
+        with_z_value(over, ["x"], bits=8).collect()
+    # an all-NULL column is NOT overflow: it keeps the NULL-contribution
+    # behavior rather than tripping the guard
+    nulls = spark.createDataFrame([(0,), (1,)], ["k"]).withColumn(
+        "x", F.lit(None).cast("long")
+    )
+    got = with_z_value(nulls, ["x"], bits=8).collect()
+    assert all(r.z_value is None for r in got)
+
+
 def test_zorder_compact_rejects_transient_key_collision(spark, tmp_path):
     src = str(tmp_path / "src")
     spark.range(10).select(
