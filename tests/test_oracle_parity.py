@@ -48,8 +48,16 @@ def _pyval(v):
 
 
 def _cell_equal(a, b):
+    import pandas as pd
+
     a, b = _pyval(a), _pyval(b)
     if a is None and b is None:
+        return True
+    # NULL timestamps surface as pd.NaT in BOTH engines' pandas frames
+    # (identical representation at the driver); only the exact NaT/NaT
+    # pair is equated — a None-vs-NaT cross keeps failing, as it would
+    # serialize differently
+    if a is pd.NaT and b is pd.NaT:
         return True
     if isinstance(a, float) and isinstance(b, float):
         return (math.isnan(a) and math.isnan(b)) or a == b

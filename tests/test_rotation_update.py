@@ -78,6 +78,28 @@ def test_pending_r7_flipped_into_front_window():
         assert "SELECT" in PENDING_ORACLES[name].upper(), name
 
 
+def test_pending_r8_aggregates_the_staged_pairs():
+    """The r8 flip imports one aggregator; it must carry exactly the
+    locally-proven names with matching query/oracle keys and no
+    collisions against the live registry (pre-flip invariant — the
+    mirror of the post-flip pins below)."""
+    import __spark_entry__ as entry
+
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r8 import (
+        PENDING_ORACLES,
+        PENDING_QUERIES,
+    )
+
+    assert "stream_click_purchases_outer" in PENDING_QUERIES
+    assert set(PENDING_QUERIES) == set(PENDING_ORACLES)
+    assert not (set(PENDING_QUERIES) & set(entry.queries())), (
+        "pending names must not collide with registered queries"
+    )
+    for name, fn in PENDING_QUERIES.items():
+        assert callable(fn), name
+        assert "SELECT" in PENDING_ORACLES[name].upper(), name
+
+
 def test_pending_registry_stays_registered():
     """The ten aggregated curation/maintenance queries were registered
     (and driver-proven green) in round 6; the aggregator remains the
