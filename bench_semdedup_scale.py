@@ -83,6 +83,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10,30")
     ap.add_argument(
+        "--k-factor",
+        type=float,
+        default=1.0,
+        help="multiply the occupancy-proportional codebook size k by "
+        "this factor — the operator docstring's lever against "
+        "correlated co-clustering concentrating near-dup pair volume "
+        "(r6 probe: the 30x->90x prune segment went super-linear at "
+        "k-factor 1)",
+    )
+    ap.add_argument(
         "--skip-flat",
         action="store_true",
         help="skip the flat n*k assignment (quadratic — prohibitive at "
@@ -95,6 +105,8 @@ def main() -> None:
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("bench_semdedup_scale")
         .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
@@ -119,7 +131,7 @@ def main() -> None:
     for s in scales:
         embs = scaled_embeddings(spark, s).localCheckpoint()
         n = embs.count()
-        k = BASE_K * s
+        k = int(BASE_K * s * args.k_factor)
         cents = ivf_centroids(embs, n_cells=k).localCheckpoint()
 
         if args.skip_flat:
@@ -166,6 +178,7 @@ def main() -> None:
                 "scale": s,
                 "n_vectors": n,
                 "k": k,
+                "k_factor": args.k_factor,
                 "assign_flat_sec": assign_s,
                 "assign_2level_sec": assign2_s,
                 "member_sec": member_s,

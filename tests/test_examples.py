@@ -132,3 +132,18 @@ def test_hybrid_search_example_runs(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert "best lexical hit doc" in out
     assert "fused candidates:" in out
+
+
+def test_layout_search_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["layout_search_example.py", sf_dir]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/layout_search_example.py", run_name="__main__"
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "z-ordered layout: predicate touches" in out
+    assert "fused candidates over the pruned slice:" in out
