@@ -64,6 +64,11 @@ HEAVY = [
     # the incremental daily-ingest dedup shape (r6 verdict ask #7 names
     # it one of the three heaviest families to scale-prove)
     "incremental_dedup_new_docs",
+    # r7-staged pairs (plans/pending_r8.py): the two-phase outer-join
+    # streaming drive's state/flush behavior and the applyInPandas
+    # per-key interpolation (group count grows, group size constant)
+    "stream_click_purchases_outer",
+    "user_value_interpolation",
 ]
 
 #: id offset per generated copy. Must satisfy
@@ -161,7 +166,13 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     out: dict[str, float] = {}
-    queries = entrymod.queries()
+    queries = dict(entrymod.queries())
+    # staged-but-unregistered pairs are timeable too
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r8 import (
+        PENDING_QUERIES as _PENDING,
+    )
+    for _n, _fn in _PENDING.items():
+        queries.setdefault(_n, _fn)
     for name in HEAVY:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

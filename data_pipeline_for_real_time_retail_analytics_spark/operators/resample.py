@@ -70,6 +70,20 @@ def grouped_interpolate(
             out.insert(0, c, v)
         return out[[*key_cols, "bucket_start", "value", "was_observed"]]
 
-    return df.select(*key_cols, ts_col, value_col).groupBy(
-        *[F.col(c) for c in key_cols]
-    ).applyInPandas(_interp, schema=out_schema)
+    # Pre-partition by key at full parallelism: grouped-map cost is per
+    # GROUP (pandas resample/interpolate overhead), not per byte, so
+    # AQE's byte-based partition coalescing — which happily folds a
+    # 100k-row shuffle into ONE partition — serializes the pandas stage
+    # onto a single core (measured 10.6 s -> 1.7 s at sf0.1 from this
+    # guard; the same reasoning as plans/llm.py's _docs repartition).
+    # An explicit numPartitions repartition is exempt from AQE
+    # coalescing, and groupBy reuses the existing hash partitioning, so
+    # no second shuffle appears.
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        df.select(*key_cols, ts_col, value_col)
+        .repartition(n_parts, *[F.col(c) for c in key_cols])
+        .groupBy(*[F.col(c) for c in key_cols])
+        .applyInPandas(_interp, schema=out_schema)
+    )

@@ -42,6 +42,8 @@ def test_interpolation_non_vacuous(result):
     assert (~result["was_observed"]).sum() > 0, "no gaps interpolated"
     assert result["was_observed"].sum() > 0
     # per-user: consecutive bucket_starts are exactly 1 hour apart
+    # (the query returns unsorted rows by design — the driver sorts)
+    result = result.sort_values(["user_id", "bucket_start"])
     for _uid, g in result.groupby("user_id"):
         diffs = g["bucket_start"].diff().dropna().unique()
         assert all(d.total_seconds() == 3600 for d in diffs)
