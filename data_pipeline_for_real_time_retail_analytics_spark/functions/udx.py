@@ -72,6 +72,45 @@ def make_chunk_udtf():
     )
 
 
+def make_median_udaf():
+    """Grouped-aggregate pandas UDF: exact interpolated median of a
+    BIGINT series (numpy's definition — mean of the two middle order
+    statistics for even counts). Over integer inputs every possible
+    result is an exactly-representable x.0/x.5 double, so it agrees
+    bit-for-bit with any engine's exact interpolated percentile (Spark
+    ``percentile(col, 0.5)``, DuckDB ``MEDIAN``) — the property that
+    lets this drive the grouped-agg Arrow path through a value-checked
+    oracle. Empty/all-NULL group → NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def int_median(v: pd.Series) -> float:
+        v = v.dropna()
+        if v.empty:
+            return None
+        import numpy as np
+
+        return float(np.median(v.to_numpy(dtype="int64")))
+
+    return int_median
+
+
+def make_count_udaf():
+    """Grouped-aggregate pandas UDF counting group rows (incl. NULLs).
+    Exists because Spark forbids mixing grouped-agg pandas UDFs with
+    native aggregates in one ``agg`` (INVALID_PANDAS_UDF_PLACEMENT) —
+    queries that already pay the Arrow agg path ride their counts
+    through it. The float annotation only selects the grouped-agg eval
+    type; the declared return type is long."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def arrow_count(v: pd.Series) -> float:
+        return len(v)
+
+    return arrow_count
+
+
 def make_weighted_mean_udaf():
     """Grouped-aggregate pandas UDF: Σ(v·w)/Σ(w) over the group, NULL
     weights treated as 0, empty/zero-weight group → NULL. Exact-
