@@ -148,13 +148,16 @@ def q_stream_click_purchases_outer(
         drive()  # phase 1: inner matches
         # sentinels advance BOTH event-time watermarks past every real
         # click's join window (global watermark = min across streams)
+        # spark.range(1) as the row factory (NOT clicks.limit(1) — an
+        # empty corpus would then write zero sentinel rows and the
+        # watermark would never advance)
         sent_ts = F.to_timestamp(F.lit(_SENTINEL_TS))
-        clicks.limit(1).select(
+        spark.range(1).select(
             F.lit(-1).cast("long").alias("click_id"),
             F.lit(_SENTINEL_CLICK_USER).cast("long").alias("user_id"),
             sent_ts.alias("click_ts"),
         ).write.mode("append").parquet(ldir)
-        purchases.limit(1).select(
+        spark.range(1).select(
             F.lit(-1).cast("long").alias("purchase_id"),
             F.lit(_SENTINEL_PURCHASE_USER).cast("long").alias("user_id"),
             sent_ts.alias("purchase_ts"),
