@@ -69,6 +69,9 @@ HEAVY = [
     # per-key interpolation (group count grows, group size constant)
     "stream_click_purchases_outer",
     "user_value_interpolation",
+    # r7-staged boilerplate-span removal: two exploded-corpus passes +
+    # a position-keyed anti-join — the gram-skew shape at corpus scale
+    "boilerplate_removed_docs",
 ]
 
 #: id offset per generated copy. Must satisfy
