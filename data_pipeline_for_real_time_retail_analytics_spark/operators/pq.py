@@ -46,7 +46,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pq_codebooks", "pq_assignments", "pq_codes", "pq_adc_topk"]
+__all__ = [
+    "pq_codebooks",
+    "pq_codebooks_trained",
+    "pq_assignments",
+    "pq_codes",
+    "pq_adc_topk",
+]
 
 #: squared-diff terms are floor(term·1e12 + 0.5) BIGINTs — ~12 decimal
 #: digits of the unit-scale synthetic embeddings survive quantization
@@ -119,6 +125,73 @@ def pq_codebooks(
             sub_dim.cast("int"),
         ).alias("scv"),
     )
+
+
+def _subvectors(
+    corpus: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, sv): every vector cut into its m dimension blocks."""
+    sub_dim = F.size(vec_col) / m
+    return corpus.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col),
+    ).select(
+        id_col,
+        "sub",
+        F.slice(
+            vec_col,
+            (F.col("sub") * sub_dim + 1).cast("int"),
+            sub_dim.cast("int"),
+        ).alias("sv"),
+    )
+
+
+def pq_codebooks_trained(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined PQ codebook — the production path, mirroring the
+    ``similarity.ivf_centroids_trained`` precedent: the deterministic
+    seed codebook (``pq_codebooks``) is k-means-refined per block, ALL
+    blocks in one job per iteration (assign every (vector, block) to its
+    nearest sub-centroid, then recompute each (block, code) centroid as
+    the element-wise mean of its members). Codes that lose every member
+    disappear (standard dead-centroid behavior) — callers get ≤ k codes
+    per block, and the 4-bit packing contract is unaffected since codes
+    keep their original ids.
+
+    Like the IVF twin, this path is for retrieval QUALITY (measured
+    recall, tests/test_ann_recall.py); the registered driver queries
+    stay on the deterministic codebook, whose assignment is
+    DuckDB-oracle-checkable bit for bit. Train on a sample at scale —
+    representative sub-centroids need a sample, not the corpus.
+    """
+    cb = pq_codebooks(corpus, m, k, id_col, vec_col).localCheckpoint()
+    subvecs = _subvectors(corpus, m, id_col, vec_col)
+    for _ in range(n_iters):
+        assigned = pq_assignments(corpus, cb, id_col, vec_col)
+        dim_means = (
+            subvecs.join(assigned, [id_col, "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mval"))
+        )
+        cb = (
+            dim_means.groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s["mval"].cast("float"),
+                ).alias("scv")
+            )
+            .localCheckpoint()
+        )
+    return cb
 
 
 def pq_assignments(

@@ -142,3 +142,100 @@ def test_multitable_rejects_out_of_range_tables(spark, clustered):
     corpus, _ = clustered
     with pytest.raises(ValueError, match="exceeds the embedding dimension"):
         ann_topk_sign_lsh_multitable(corpus, corpus, n_bits=8, n_tables=16, dim=64)
+
+
+def test_pq_adc_recall_on_planted_clusters(spark, clustered):
+    """PQ asymmetric-distance top-k must recall planted twins: a 0.08-σ
+    perturbation is tiny against sub-centroid spacing, so twins collapse
+    to (near-)identical code words and ADC separates cluster from
+    non-cluster distances cleanly. Both the deterministic seed codebook
+    (the oracle-checked path) and the Lloyd-trained one must clear the
+    floor (measured: 1.0 for both)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codebooks_trained,
+    )
+
+    corpus, query_ids = clustered
+    queries = corpus.where(F.col("vec_id").isin(query_ids))
+    truth = _topk_sets(cosine_topk(queries, corpus, k=COPIES))
+
+    seed_cb = pq_codebooks(corpus, m=8, k=16)
+    seed = _recall(
+        _topk_sets(pq_adc_topk(queries, corpus, seed_cb, k=COPIES)), truth
+    )
+    trained_cb = pq_codebooks_trained(corpus, m=8, k=16, n_iters=4)
+    trained = _recall(
+        _topk_sets(pq_adc_topk(queries, corpus, trained_cb, k=COPIES)), truth
+    )
+    assert seed >= 0.9, f"seed-codebook ADC recall {seed}"
+    assert trained >= 0.9, f"trained-codebook ADC recall {trained}"
+
+
+def test_pq_rerank_dominates_adc_head(spark, sf_dir):
+    """Structural invariant of shortlist re-ranking: within the same
+    ADC shortlist, every true-top-k member present beats every
+    non-member on EXACT distance, so exact re-ranking's recall can
+    never fall below the raw ADC head's — even on the structureless
+    synthetic corpus where absolute recall is low."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.pq import (
+        _qdist,
+        pq_adc_topk,
+        pq_codebooks_trained,
+    )
+    from pyspark.sql import Window
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    k, shortlist_n = 5, 20
+    # truth in the SAME metric the rerank uses (exact squared L2):
+    # within one shortlist every true-top-k member beats every
+    # non-member on that metric, which is what makes the dominance
+    # structural rather than statistical
+    truth = _topk_sets(
+        qv.join(embs, how="cross")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            _qdist(F.col("qv"), F.col("embedding")).alias("d"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d", "match_id")
+            ),
+        )
+        .where(F.col("r") <= k)
+    )
+
+    cb = pq_codebooks_trained(embs, m=16, k=16, n_iters=4)
+    shortlist = pq_adc_topk(queries, embs, cb, k=shortlist_n)
+    head = _recall(
+        _topk_sets(shortlist.where(F.col("rank") <= k)), truth
+    )
+    rerank_df = (
+        shortlist.withColumnRenamed("match_id", "vec_id")
+        .join(embs, "vec_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            _qdist(F.col("qv"), F.col("embedding")).alias("d"),
+        )
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d", "match_id")
+            ),
+        )
+        .where(F.col("rr") <= k)
+    )
+    reranked = _recall(_topk_sets(rerank_df), truth)
+    assert reranked >= head, f"rerank {reranked} < adc head {head}"

@@ -147,3 +147,18 @@ def test_layout_search_example_runs(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert "z-ordered layout: predicate touches" in out
     assert "fused candidates over the pruned slice:" in out
+
+
+def test_pq_retrieval_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["pq_retrieval_example.py", sf_dir]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/pq_retrieval_example.py", run_name="__main__"
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "ivf-pq candidates scored from codes only" in out
+    assert "recall@5:" in out
