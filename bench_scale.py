@@ -72,6 +72,9 @@ HEAVY = [
     # r7-staged boilerplate-span removal: two exploded-corpus passes +
     # a position-keyed anti-join — the gram-skew shape at corpus scale
     "boilerplate_removed_docs",
+    # r7-staged CCNet bucketing: the lm_perplexity shape plus one rank
+    # window per language partition
+    "ccnet_buckets",
 ]
 
 #: id offset per generated copy. Must satisfy
