@@ -68,6 +68,11 @@ def main() -> None:
         pq_codebooks,
         pq_codes,
     )
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.sq import (
+        sq8_codes,
+        sq8_scales,
+        sq8_topk,
+    )
 
     points = []
     for s in scales:
@@ -92,6 +97,19 @@ def main() -> None:
         ).save()
         topk_s = round(time.perf_counter() - t0, 3)
 
+        # the 4x near-exact tier on the same corpus-growth model
+        scales_df = sq8_scales(embs).localCheckpoint()
+        t0 = time.perf_counter()
+        sq8_codes(embs, scales_df).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sq_encode_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        sq8_topk(queries, embs, scales_df, k=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sq_topk_s = round(time.perf_counter() - t0, 3)
+
         points.append(
             {
                 "scale": s,
@@ -99,6 +117,8 @@ def main() -> None:
                 "n_queries": n_q,
                 "encode_sec": encode_s,
                 "adc_topk_sec": topk_s,
+                "sq8_encode_sec": sq_encode_s,
+                "sq8_topk_sec": sq_topk_s,
             }
         )
         print(json.dumps(points[-1]), file=sys.stderr)
