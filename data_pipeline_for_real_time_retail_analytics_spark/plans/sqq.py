@@ -41,10 +41,19 @@ def q_sq8_code_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate dot-product top-5 per standard query vector."""
+    """Approximate dot-product top-5 per standard query vector.
+
+    The scales frame is localCheckpointed: sq8_topk references it three
+    times (corpus codes, query codes, per-dim weights) and Spark cannot
+    reuse an un-materialized subtree across broadcasts — without the
+    checkpoint the plan re-scans and re-explodes the corpus for EACH
+    reference (three full aggregate scans, plan-verified). The frame is
+    dim-sized (64 rows), so materializing it is free.
+    """
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
-    return sq8_topk(queries, embs, sq8_scales(embs), k=_TOPK)
+    scales = sq8_scales(embs).localCheckpoint()
+    return sq8_topk(queries, embs, scales, k=_TOPK)
 
 
 _D = "CAST({} AS DOUBLE)"
