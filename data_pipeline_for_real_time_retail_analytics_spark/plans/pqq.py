@@ -46,9 +46,15 @@ def q_pq_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC top-5 per standard query vector, exact-integer distances."""
+    """ADC top-5 per standard query vector, exact-integer distances.
+
+    The codebook is localCheckpointed: pq_adc_topk references it twice
+    (corpus assignment + query lookup table), and each un-materialized
+    reference would re-run the codebook's full-corpus TakeOrdered scan
+    (the sq8_topk scales lesson; the frame is m·k = 128 rows, free to
+    materialize)."""
     embs = _embs(spark, sf_dir)
-    cb = pq_codebooks(embs, m=PQ_M, k=PQ_K)
+    cb = pq_codebooks(embs, m=PQ_M, k=PQ_K).localCheckpoint()
     queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
     return pq_adc_topk(queries, embs, cb, k=_TOPK)
 
