@@ -75,6 +75,9 @@ HEAVY = [
     # r7-staged CCNet bucketing: the lm_perplexity shape plus one rank
     # window per language partition
     "ccnet_buckets",
+    # r7-staged DSIR selection: one featurize explode + broadcast
+    # weight-table scoring + a doc-grain top-K rank
+    "dsir_selected",
 ]
 
 #: id offset per generated copy. Must satisfy

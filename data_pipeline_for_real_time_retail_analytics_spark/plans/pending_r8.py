@@ -14,9 +14,9 @@ the recommended registration order.
 
 from __future__ import annotations
 
-from . import ccnetq, cleanq, pqq, resampleq, sqq, streamq3, udxq
+from . import ccnetq, cleanq, dsirq, pqq, resampleq, sqq, streamq3, udxq
 
-_MODULES = (streamq3, resampleq, udxq, pqq, cleanq, ccnetq, sqq)
+_MODULES = (streamq3, resampleq, udxq, pqq, cleanq, ccnetq, sqq, dsirq)
 
 PENDING_QUERIES = {
     name: fn for mod in _MODULES for name, fn in mod.QUERIES.items()
