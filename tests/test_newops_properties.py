@@ -144,3 +144,55 @@ def test_pq_codes_match_python_model(spark, vecs, m):
         r["vec_id"]: r["pq_word"] for r in pq_codes(df, cb, m=m).collect()
     }
     assert got == _model_codes(vd, m, k)
+
+
+# ---------- SQ8 encoding ----------
+
+
+def _model_sq8(vecs: dict) -> dict:
+    dim = len(next(iter(vecs.values())))
+    scales = [
+        max(abs(v[d]) for v in vecs.values()) for d in range(dim)
+    ]
+    out = {}
+    for vid, v in vecs.items():
+        for d in range(dim):
+            if scales[d] == 0.0:
+                c = 0
+            else:
+                c = int(math.floor(v[d] / scales[d] * 127.0 + 0.5))
+                c = max(min(c, 127), -127)
+            out[(vid, d + 1)] = c
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            # exactly-representable floats (i/4): identical doubles in
+            # the python model and Spark's FLOAT->DOUBLE widening; the
+            # whole code path is +-*/floor, no transcendentals
+            st.integers(min_value=-8, max_value=8).map(lambda i: i / 4.0),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_sq8_codes_match_python_model(spark, vecs):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.sq import (
+        sq8_codes,
+        sq8_scales,
+    )
+
+    vd = {i: v for i, v in enumerate(vecs)}
+    df = spark.createDataFrame(
+        list(vd.items()), "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r["vec_id"], r["pos"]): r["code"]
+        for r in sq8_codes(df, sq8_scales(df)).collect()
+    }
+    assert got == _model_sq8(vd)
