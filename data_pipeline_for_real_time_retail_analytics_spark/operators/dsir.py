@@ -96,7 +96,18 @@ def dsir_weights(
     p = counts.groupBy("bucket").agg(F.sum("n").alias("p_n"))
     q = target_counts.groupBy("bucket").agg(F.sum("n").alias("q_n"))
     p_tot = p.agg(F.sum("p_n").alias("p_tot"))
-    q_tot = q.agg(F.sum("q_n").alias("q_tot"))
+    # an empty target would make q_tot NULL and every weight silently
+    # NULL downstream — a caller bug (no domain to match); fail loudly
+    # at action time instead (the zorder span-guard precedent)
+    q_tot = q.agg(
+        F.coalesce(
+            F.sum("q_n"),
+            F.raise_error(
+                F.lit("dsir_weights: target_counts is empty — no target "
+                      "domain to estimate q from")
+            ).cast("long"),
+        ).alias("q_tot")
+    )
     # bucket-space weight table: n_buckets rows after the outer join
     # (buckets absent from BOTH sides never appear in any doc either)
     wb = (

@@ -82,3 +82,17 @@ def test_weight_table_is_broadcast(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_empty_target_raises(spark):
+    """An empty target domain must fail loudly, not produce NULL
+    weights for every document."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    )
+    counts = doc_bucket_counts(docs, n_buckets=16)
+    weights = dsir_weights(
+        counts, counts.where(F.col("doc_id") < 0), n_buckets=16
+    )
+    with pytest.raises(Exception, match="target_counts is empty"):
+        weights.collect()
