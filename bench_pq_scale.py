@@ -86,7 +86,7 @@ def main() -> None:
         n_q = queries.count()
 
         t0 = time.perf_counter()
-        pq_codes(embs, cb, m=8).write.format("noop").mode(
+        pq_codes(embs, cb).write.format("noop").mode(
             "overwrite"
         ).save()
         encode_s = round(time.perf_counter() - t0, 3)

@@ -228,18 +228,32 @@ def pq_assignments(
 def pq_codes(
     corpus: DataFrame,
     codebooks: DataFrame,
-    m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Packed PQ words: ``(id, pq_word)`` with block ``sub``'s code in
     bit range [4·sub, 4·sub+4) — k ≤ 16 codes fit 4 bits, so the default
     8×16 parameterization packs a whole vector into one INT-sized word.
+    The block count comes from the codebook itself; a codebook built
+    with k > 16 would make distinct code sequences COLLIDE in the
+    packed word, so an out-of-range code raises at action time instead
+    of silently corrupting the compressed representation.
     """
     assigned = pq_assignments(corpus, codebooks, id_col, vec_col)
+    code = F.when(
+        F.col("code") > 15,
+        F.raise_error(
+            F.concat(
+                F.lit("pq_codes: code "),
+                F.col("code").cast("string"),
+                F.lit(" does not fit 4-bit packing (codebook k > 16); "
+                      "use pq_assignments for wide codebooks"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("code"))
     weight = F.pow(F.lit(2.0), F.col("sub") * 4).cast("long")
     return assigned.groupBy(id_col).agg(
-        F.sum(F.col("code").cast("long") * weight).alias("pq_word")
+        F.sum(code.cast("long") * weight).alias("pq_word")
     )
 
 

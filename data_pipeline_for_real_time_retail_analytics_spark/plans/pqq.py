@@ -42,7 +42,7 @@ def q_pq_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed 32-bit PQ words for the whole corpus."""
     embs = _embs(spark, sf_dir)
     cb = pq_codebooks(embs, m=PQ_M, k=PQ_K)
-    return pq_codes(embs, cb, m=PQ_M)
+    return pq_codes(embs, cb)
 
 
 def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,7 +141,7 @@ def test_pq_codes_match_python_model(spark, vecs, m):
     )
     cb = pq_codebooks(df, m=m, k=k)
     got = {
-        r["vec_id"]: r["pq_word"] for r in pq_codes(df, cb, m=m).collect()
+        r["vec_id"]: r["pq_word"] for r in pq_codes(df, cb).collect()
     }
     assert got == _model_codes(vd, m, k)
 

@@ -50,7 +50,7 @@ def test_codes_pack_expected_blocks(spark):
     cb = pq_codebooks(corpus, m=2, k=2)
     got = {
         r["vec_id"]: r["pq_word"]
-        for r in pq_codes(corpus, cb, m=2).collect()
+        for r in pq_codes(corpus, cb).collect()
     }
     # vec0: (0,0) → 0; vec1: (1,1) → 1 + 16; vec2: (0,1) → 16; vec3: (1,0) → 1
     assert got == {0: 0, 1: 17, 2: 16, 3: 1}
@@ -92,3 +92,16 @@ def test_adc_plan_is_broadcast_lookup(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_wide_codebook_packing_raises(spark):
+    """A codebook with k > 16 cannot 4-bit-pack: distinct code
+    sequences would collide in pq_word, so packing must raise instead
+    of silently corrupting the compressed representation."""
+    rows = [(i, [float(i), float(i % 3)]) for i in range(20)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cb = pq_codebooks(corpus, m=1, k=20)
+    with pytest.raises(Exception, match="4-bit packing"):
+        pq_codes(corpus, cb).collect()
