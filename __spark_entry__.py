@@ -30,6 +30,10 @@ from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r7 import 
     PENDING_ORACLES as PENDING_ORACLES_R7,
     PENDING_QUERIES as PENDING_QUERIES_R7,
 )
+from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r8 import (
+    PENDING_ORACLES as PENDING_ORACLES_R8,
+    PENDING_QUERIES as PENDING_QUERIES_R8,
+)
 from data_pipeline_for_real_time_retail_analytics_spark.plans import scaleops as SOP
 from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
 from data_pipeline_for_real_time_retail_analytics_spark.plans import streamq as SQ
@@ -53,23 +57,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OLDEST-FIRST, and the overflow is recorded explicitly in
         # ROTATION.json["deferred"] (every deferred query stays
         # value-proven on the current tree by tests/test_oracle_parity).
-        # Front composition this round:
-        #  * slots 1-4: the four staged r6 queries with only local
-        #    parity so far — z-order pair (plans/zorderq.py) + search
-        #    pair (plans/searchq.py) — never-green → front by rule;
-        #  * slots 5-14: the 10 pure-aggregation analytics.py entries
-        #    (the registry's OLDEST driver greens, r≤4) — flagged by
-        #    the FIXED closure guard because sources/registry.py
-        #    changed in r5;
-        #  * slots 15-50: 36 of the 50 r5-green cohort, prioritizing
-        #    every query whose operator files carry r7 edits (the
-        #    dedup band-join hint, the textstats entropy quantization)
-        #    plus the join/window/CDC/streaming shapes. The 14 spilled
-        #    r5 greens (similarity/multimodal/sampling/textclean
-        #    families — modules untouched this round, each also
-        #    value-checked in pytest) are listed in
-        #    ROTATION.json["deferred"] for the r8 front window.
-        # Tail: deferred entries first, then the 50 fresh r6 greens.
+        # Front composition this round (r8): the driver recorded NO
+        # CORRECTNESS_r07.json, so the r7 front window earned no greens
+        # and the ledger is unchanged since r6.
+        #  * slots 1-10: the ten r7-staged pairs (plans/pending_r8.py:
+        #    stream-stream outer join, grouped interpolation, pandas
+        #    grouped-agg UDF, PQ pair, boilerplate removal, CCNet
+        #    buckets, SQ8 pair, DSIR) — never-green → front by rule;
+        #  * slots 11-14: the four r6-staged pairs (z-order + search,
+        #    plans/pending_r7.py) — still never-green after the r7
+        #    driver gap → front by rule;
+        #  * slots 15-24: the 10 pure-aggregation analytics.py entries
+        #    (the registry's OLDEST driver greens, r≤4 @5f5e6dc);
+        #  * slots 25-50: 26 of the r5 @e9bd03e cohort, oldest-first by
+        #    rule; the rest of that cohort plus every @978398a stale
+        #    query is listed in ROTATION.json["deferred"] (each stays
+        #    value-proven on the current tree by tests/test_oracle_parity).
+        # Tail: deferred entries first, then the r6 greens.
+        **PENDING_QUERIES_R8,
         **PENDING_QUERIES_R7,
         # oldest cohort: pure-aggregation analytics.py re-proofs
         "top_customers": A.top_customers,
@@ -112,22 +117,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphan_orders": S.q_fk_orphan_orders,
         "customers_without_orders": S.q_customers_without_orders,
         "whole_row_dups_lineitem": S.q_whole_row_dups_lineitem,
-        # r5 cohort, profiling / window / reshape
+        # r5 cohort, profiling / window (slots 49-50)
         "price_quantiles": PF.q_price_quantiles,
         "event_funnel": PF.q_event_funnel,
+        # ---- tail (beyond the driver's 50-query cap) ----
+        # r5 @e9bd03e overflow (ROTATION.json["deferred"])
         "customer_running_spend": PF.q_customer_running_spend,
         "segment_year_pivot": PF.q_segment_year_pivot,
         "events_cube": PF.q_events_cube,
         "events_hourly_dense": PF.q_events_hourly_dense,
-        # r5 cohort, training export
         "lm_perplexity": TR.q_lm_perplexity,
         "packed_sequences": TR.q_packed_sequences,
         "embedding_clusters": TR.q_embedding_clusters,
-        # r5 cohort, cross-nation trade analytics
         "volume_shipping": A2.q_volume_shipping,
         "market_share": A2.q_market_share,
         "idle_customer_balance": A2.q_idle_customer_balance,
-        # ---- tail (beyond the driver's 50-query cap) ----
         # deferred r5 greens (ROTATION.json["deferred"]; r8's first
         # re-proof cohort — modules untouched this round, all
         # value-checked by tests/test_oracle_parity on the current tree)
@@ -197,6 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r8 registrations: the ten r7-staged pairs (plans/pending_r8)
+        **PENDING_ORACLES_R8,
         # r7 registrations: z-order pair + search pair (plans/pending_r7)
         **PENDING_ORACLES_R7,
         # r6 curation/maintenance registrations (plans/pending_registry)
