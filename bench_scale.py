@@ -78,6 +78,18 @@ HEAVY = [
     # r7-staged DSIR selection: one featurize explode + broadcast
     # weight-table scoring + a doc-grain top-K rank
     "dsir_selected",
+    # r8-staged pairs (plans/pending_r9.py): the KMV sketch's salted
+    # bottom-k (distinct-vocabulary-bounded), the df-capped containment
+    # self-join (the Σ df² bound under test), the cluster-keyed split
+    # (pair graph + corpus-wide left join), the zone-map staging
+    # write + metadata prune (orders-based), and blocked fuzzy matching
+    # under the linear regime (block COUNT grows, sizes constant —
+    # see the per-copy nation offset in build_scaled_dir)
+    "kmv_distinct_tokens",
+    "containment_dup_pairs",
+    "cluster_safe_splits",
+    "zonemap_pruned_orders",
+    "fuzzy_customer_pairs",
 ]
 
 #: id offset per generated copy. Must satisfy
@@ -102,6 +114,8 @@ def build_scaled_dir(spark: SparkSession, out_dir: str, scale: int) -> None:
         ("events", "event_id"): COPY_OFFSET * 10,
         ("events", "user_id"): COPY_OFFSET,
         ("lineitem", "l_orderkey"): COPY_OFFSET * 100,
+        ("customer", "c_custkey"): COPY_OFFSET,
+        ("orders", "o_orderkey"): COPY_OFFSET * 100,
     }
     for (table, col), per_copy in limits.items():
         mx = load_table(spark, SF_DIR, table).agg(F.max(col)).first()[0]
@@ -170,6 +184,51 @@ def build_scaled_dir(spark: SparkSession, out_dir: str, scale: int) -> None:
         f"{out_dir}/lineitem.parquet"
     )
 
+    # customer for fuzzy_customer_pairs: each copy keeps its names but
+    # moves to its OWN nation-key range (offset 25·k), so block COUNT
+    # grows with scale while block SIZES stay constant — the linear
+    # regime a well-chosen blocking key maintains as an entity corpus
+    # grows (a shared-nation scale-up instead grows every block ×scale
+    # and the quadratic guard trips BY DESIGN; the lever there is a
+    # finer key, not a bigger cluster — operators/fuzzy.py docstring).
+    customer = load_table(spark, SF_DIR, "customer")
+    scaled_cust = None
+    for k in range(scale):
+        c = customer
+        if k:
+            c = c.select(
+                (F.col("c_custkey") + k * COPY_OFFSET).alias("c_custkey"),
+                "c_name",
+                (F.col("c_nationkey") + k * 25).alias("c_nationkey"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        scaled_cust = c if scaled_cust is None else scaled_cust.unionByName(c)
+    scaled_cust.coalesce(8).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
+    )
+
+    # orders for zonemap_pruned_orders: per-copy order-key offset,
+    # dates kept — order volume per window grows ×scale, the zone-map
+    # prune keeps selecting the same date slice of a ×scale table.
+    orders = load_table(spark, SF_DIR, "orders")
+    scaled_ord = None
+    for k in range(scale):
+        c = orders
+        if k:
+            c = c.select(
+                (F.col("o_orderkey") + k * COPY_OFFSET * 100).alias("o_orderkey"),
+                (F.col("o_custkey") + k * COPY_OFFSET).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        scaled_ord = c if scaled_ord is None else scaled_ord.unionByName(c)
+    scaled_ord.coalesce(16).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+
 
 def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
@@ -180,7 +239,10 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r8 import (
         PENDING_QUERIES as _PENDING,
     )
-    for _n, _fn in _PENDING.items():
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r9 import (
+        PENDING_QUERIES as _PENDING9,
+    )
+    for _n, _fn in {**_PENDING, **_PENDING9}.items():
         queries.setdefault(_n, _fn)
     for name in HEAVY:
         t0 = time.perf_counter()

@@ -5,7 +5,6 @@ import os
 
 import duckdb
 import pytest
-from pyspark.errors import SparkRuntimeException
 from pyspark.sql import functions as F
 
 import test_oracle_parity as par
@@ -64,11 +63,14 @@ def test_canonical_ordering_no_self_pairs(spark):
 
 def test_oversized_block_fails_loudly(spark):
     """The quadratic guard: one block over max_block must raise at
-    action time, not silently run |block|² comparisons."""
+    action time, not silently run |block|² comparisons. The error may
+    surface as SparkRuntimeException or wrapped in an AQE
+    stage-materialization failure (the guard sits below a repartition
+    exchange) — what matters is the loud, attributable message."""
     df = spark.range(50).select(
         F.col("id"), F.lit("same name").alias("name"), F.lit("one").alias("blk")
     )
-    with pytest.raises(SparkRuntimeException, match="max_block"):
+    with pytest.raises(Exception, match="max_block"):
         blocked_fuzzy_pairs(df, "id", "name", "blk", max_block=10).collect()
 
 
