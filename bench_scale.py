@@ -90,6 +90,12 @@ HEAVY = [
     "cluster_safe_splits",
     "zonemap_pruned_orders",
     "fuzzy_customer_pairs",
+    # r8 second batch: integer PageRank (edge count saturates as the
+    # fixed catalog densifies under order growth), the per-user lag
+    # window, and the key-grain skew profile
+    "part_pagerank",
+    "event_transitions",
+    "join_key_skew",
 ]
 
 #: id offset per generated copy. Must satisfy

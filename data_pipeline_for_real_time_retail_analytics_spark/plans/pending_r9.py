@@ -14,9 +14,27 @@ the recommended registration order.
 
 from __future__ import annotations
 
-from . import containmentq, fuzzyq, kmvq, splitsq, zonemapq
+from . import (
+    containmentq,
+    fuzzyq,
+    kmvq,
+    markovq,
+    pagerankq,
+    skewq,
+    splitsq,
+    zonemapq,
+)
 
-_MODULES = (kmvq, zonemapq, containmentq, fuzzyq, splitsq)
+_MODULES = (
+    kmvq,
+    zonemapq,
+    containmentq,
+    fuzzyq,
+    splitsq,
+    pagerankq,
+    markovq,
+    skewq,
+)
 
 PENDING_QUERIES = {
     name: fn for mod in _MODULES for name, fn in mod.QUERIES.items()
