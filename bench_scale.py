@@ -78,7 +78,7 @@ HEAVY = [
     # r7-staged DSIR selection: one featurize explode + broadcast
     # weight-table scoring + a doc-grain top-K rank
     "dsir_selected",
-    # r8-staged pairs (plans/pending_r9.py): the KMV sketch's salted
+    # staged for r9 registration (plans/pending_r9.py): the KMV sketch's salted
     # bottom-k (distinct-vocabulary-bounded), the df-capped containment
     # self-join (the Σ df² bound under test), the cluster-keyed split
     # (pair graph + corpus-wide left join), the zone-map staging
@@ -90,7 +90,8 @@ HEAVY = [
     "cluster_safe_splits",
     "zonemap_pruned_orders",
     "fuzzy_customer_pairs",
-    # r8 second batch: integer PageRank (edge count saturates as the
+    # staged for r9 registration (plans/pending_r9.py), second batch:
+    # integer PageRank (edge count saturates as the
     # fixed catalog densifies under order growth), the per-user lag
     # window, and the key-grain skew profile
     "part_pagerank",

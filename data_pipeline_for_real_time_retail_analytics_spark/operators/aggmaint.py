@@ -44,13 +44,16 @@ incremental maintenance is the beyond-reference scale path for the
 same outputs.
 
 NULL contract: group-KEY columns may be NULL (a NULL-valued group is
-one group, handled by the null-safe merge); summed MEASURE columns must
-be non-NULL in every row. SUM-over-NULLs semantics cannot be rolled
-forward from (old_sum, delta) alone — a delete removing the last
-non-null row would need a per-group non-null count to know the sum
-reverts to NULL — so instead of silently coalescing such groups to 0,
-``apply_changelog_to_agg`` validates the contract at runtime and fails
-the job on a NULL measure image.
+one group, handled by the null-safe merge), and summed MEASURE columns
+may be NULL too. SUM-over-NULLs semantics cannot be rolled forward from
+(old_sum, delta) alone — a delete removing the last non-null row needs
+a per-group non-null count to know the sum reverts to NULL — so the
+maintained aggregate carries one ``nn_<out>`` non-null contribution
+count per measure: NULL measures contribute 0 to both the sum and the
+count, and a group whose count reaches zero emits SQL's SUM-over-NULLs
+answer, NULL (never 0). ``rolled == recomputed`` therefore holds for
+all-NULL-measure groups as well, which the NULL-measure regression test
+pins literally (tests/test_aggmaint.py).
 """
 
 from __future__ import annotations
@@ -132,10 +135,17 @@ def aggregate_snapshot(
     count_col: str = "n_rows",
 ) -> DataFrame:
     """The maintained aggregate's canonical shape: (group_keys…,
-    <out>=SUM(src)…, count_col=COUNT(*)). Build the day-0 baseline with
+    <out>=SUM(src), nn_<out>=COUNT(src)…, count_col=COUNT(*)). The
+    ``nn_<out>`` non-null contribution counts are part of the shape on
+    purpose: they are the extra state SUM maintenance needs to emit
+    NULL (not 0) when a group's last non-null contribution is deleted
+    (module-docstring NULL contract). Build the day-0 baseline with
     this, and verify maintenance by comparing against it on the new
     snapshot."""
-    aggs = [F.sum(F.col(src)).alias(out) for out, src in sum_cols.items()]
+    aggs: list[F.Column] = []
+    for out, src in sum_cols.items():
+        aggs.append(F.sum(F.col(src)).alias(out))
+        aggs.append(F.count(F.col(src)).alias(f"nn_{out}"))
     aggs.append(F.count(F.lit(1)).alias(count_col))
     return snap.groupBy(*group_keys).agg(*aggs)
 
@@ -147,38 +157,25 @@ def apply_changelog_to_agg(
     sum_cols: dict[str, str],
     count_col: str = "n_rows",
 ) -> DataFrame:
-    """Roll ``old_agg`` (shape of ``aggregate_snapshot``) forward by a
+    """Roll ``old_agg`` (shape of ``aggregate_snapshot``, including its
+    ``nn_<out>`` non-null counts) forward by a
     ``changelog_with_preimage`` result. Group-key and summed columns are
     read from the changelog's old_/new_ images, so both must have been
     listed in the changelog's ``value_cols``. Groups whose row count
     reaches zero are dropped.
 
-    Measure columns must be non-NULL (module-docstring contract): a
-    NULL measure image fails the job via ``raise_error`` instead of
-    silently rolling the group to 0 where a recompute would say NULL.
+    Measure columns may be NULL (module-docstring contract): a NULL
+    measure contributes 0 to the sum and 0 to its ``nn_<out>`` count,
+    and a group whose maintained non-null count is zero emits NULL for
+    that sum — exactly what ``aggregate_snapshot`` recomputes.
     """
-    def _measure(prefix: str, src: str, out: str) -> F.Column:
-        col = F.col(f"{prefix}_{src}")
-        return (
-            F.when(
-                col.isNull(),
-                # raise_error is NullType; when/otherwise unifies it
-                # with the measure's own type
-                F.raise_error(
-                    f"apply_changelog_to_agg: NULL measure {prefix}_{src} "
-                    "violates the non-NULL measure contract (SUM-over-NULL "
-                    "groups cannot be rolled forward; see operators/"
-                    "aggmaint.py module docstring)"
-                ),
-            )
-            .otherwise(col)
-            .alias(out)
-        )
-
     def _img(prefix: str, sign: int) -> F.Column:
         return F.struct(
             *[F.col(f"{prefix}_{k}").alias(k) for k in group_keys],
-            *[_measure(prefix, src, out) for out, src in sum_cols.items()],
+            *[
+                F.col(f"{prefix}_{src}").alias(out)
+                for out, src in sum_cols.items()
+            ],
             F.lit(sign).alias("_sign"),
         )
 
@@ -197,8 +194,17 @@ def apply_changelog_to_agg(
         .groupBy(*group_keys)
         .agg(
             *[
-                F.sum(F.col("_sign") * F.col(out)).alias(f"_d_{out}")
+                agg
                 for out in sum_cols
+                for agg in (
+                    F.sum(
+                        F.col("_sign") * F.coalesce(F.col(out), F.lit(0))
+                    ).alias(f"_d_{out}"),
+                    F.sum(
+                        F.col("_sign")
+                        * F.when(F.col(out).isNotNull(), 1).otherwise(0)
+                    ).alias(f"_d_nn_{out}"),
+                )
             ],
             F.sum(F.col("_sign")).alias("_d_n"),
         )
@@ -222,12 +228,17 @@ def apply_changelog_to_agg(
         for k in group_keys
     ]
     for out in sum_cols:
-        out_cols.append(
-            (
-                F.coalesce(F.col(f"o.{out}"), F.lit(0))
-                + F.coalesce(F.col(f"_d_{out}"), F.lit(0))
-            ).alias(out)
+        nn = F.coalesce(F.col(f"o.nn_{out}"), F.lit(0)) + F.coalesce(
+            F.col(f"_d_nn_{out}"), F.lit(0)
         )
+        out_cols.append(
+            F.when(
+                nn > 0,
+                F.coalesce(F.col(f"o.{out}"), F.lit(0))
+                + F.coalesce(F.col(f"_d_{out}"), F.lit(0)),
+            ).alias(out)  # nn == 0 → NULL, SQL's SUM-over-NULLs answer
+        )
+        out_cols.append(nn.cast("long").alias(f"nn_{out}"))
     new_count = (
         F.coalesce(F.col(f"o.{count_col}"), F.lit(0))
         + F.coalesce(F.col("_d_n"), F.lit(0))

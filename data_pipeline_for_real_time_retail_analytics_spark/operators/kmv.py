@@ -150,19 +150,28 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 256) -> Data
     )
 
 
-def merge_kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+def merge_kmv_estimate(
+    sketch: DataFrame, k: int = 256, n_salts: int = 32
+) -> DataFrame:
     """Union roll-up: merge every group's sketch rows into ONE estimate
     (n_kept, kth_hash, est_distinct). Exact by min-k mergeability —
     bottom-k of the concatenated sketch rows equals bottom-k of the
     union's distinct hashes, because any hash in the union's true
     bottom-k is necessarily in its own group's bottom-k. Distinct is
-    required: the same value (hash) may appear in several groups."""
-    merged = (
-        sketch.select("h")
-        .distinct()
-        .withColumn("rank", F.row_number().over(Window.orderBy("h")))
-        .where(F.col("rank") <= k)
-    )
+    required: the same value (hash) may appear in several groups.
+
+    The selection reuses the salted two-phase ``bottom_k_hashes`` with a
+    constant group key: with g merged groups the concatenated sketch is
+    g·k rows, and an unpartitioned rank window would push all of them
+    through one task — bounded, but a straggler once g is large (one
+    sketch per day × source × shard). The salted shape keeps every task
+    at ~g·k/n_salts rows instead."""
+    merged = bottom_k_hashes(
+        sketch.select("h").distinct().withColumn("__g", F.lit(1)),
+        ["__g"],
+        k,
+        n_salts,
+    ).drop("__g")
     return merged.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.max("h").alias("kth_hash"),

@@ -395,9 +395,18 @@ def embedding_near_dup_pairs(
     )
     a, b = v.alias("a"), v.alias("b")
     sim = cosine(F.col("a.v"), F.col("b.v"))
+    # hint("merge"): the self-join's two sides are the SAME bucketed
+    # subtree; left to AQE a broadcast choice at small SF serializes one
+    # copy through the driver and recomputes the shared subtree twice,
+    # while the SMJ pin makes both sides identical shuffle exchanges
+    # that ReuseExchange collapses to one scan+bucket computation (the
+    # minhash band-join precedent; adoption criterion per NOTES r8 is
+    # "expensive shared subtree" — at production corpus sizes the build
+    # side exceeds any broadcast threshold anyway, so the pin only
+    # removes the small-SF pathology the r8 plan audit measured).
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )

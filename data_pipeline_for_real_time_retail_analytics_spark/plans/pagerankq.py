@@ -54,6 +54,7 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= TOP_K)
         .select(F.col("node").alias("part"), "rank_units", "rank")
+        .orderBy("rank")
     )
 
 

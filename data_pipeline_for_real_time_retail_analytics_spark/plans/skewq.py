@@ -43,6 +43,13 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
     )
     w = Window.orderBy(F.desc("n_rows"), F.col("key"))
+    # uniform_ratio_ppm's intermediate product PPM × n_rows × n_keys
+    # exceeds 2^63 at the design point this diagnostic targets (~1e10
+    # distinct keys over 100 TB of fact rows), so it is computed in
+    # DECIMAL(38,0) — bounded to ~1e28 — and floor-divided LAST to keep
+    # ppm precision; the oracle mirrors with an explicit HUGEINT cast
+    # (DuckDB BIGINT multiplication raises on overflow, it does not
+    # promote).
     return (
         per_key.join(F.broadcast(totals), how="cross")
         .withColumn("rank", F.row_number().over(w).cast("int"))
@@ -51,11 +58,12 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key",
             "n_rows",
             F.expr(f"({PPM} * n_rows) DIV n_total").alias("share_ppm"),
-            F.expr(f"({PPM} * n_rows * n_keys) DIV n_total").alias(
-                "uniform_ratio_ppm"
-            ),
+            F.expr(
+                f"CAST({PPM} AS DECIMAL(38,0)) * n_rows * n_keys DIV n_total"
+            ).alias("uniform_ratio_ppm"),
             "rank",
         )
+        .orderBy("rank")
     )
 
 
@@ -82,8 +90,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT r.key, r.n_rows,
                CAST(({PPM} * r.n_rows) // t.n_total AS BIGINT) AS share_ppm,
-               CAST(({PPM} * r.n_rows * t.n_keys) // t.n_total AS BIGINT)
-                   AS uniform_ratio_ppm,
+               CAST((CAST({PPM} AS HUGEINT) * r.n_rows * t.n_keys)
+                    // t.n_total AS BIGINT) AS uniform_ratio_ppm,
                r.rank
         FROM ranked r, t
         WHERE r.rank <= {TOP_K}

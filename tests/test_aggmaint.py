@@ -150,30 +150,42 @@ def test_single_changelog_scan(spark):
     assert "BroadcastNestedLoopJoin" not in tree
 
 
-def test_null_measure_violates_contract_loudly(spark):
-    """A NULL measure image must FAIL the roll-forward (non-NULL measure
-    contract, module docstring): SUM-over-NULL groups cannot be rolled
-    forward from (old_sum, delta) alone, and silently coalescing them
-    to 0 would break rolled == recomputed where a recompute says NULL."""
-    from pyspark.errors import PySparkException
+def test_null_measures_roll_to_null_not_zero(spark):
+    """NULL-measure contract (module docstring; r8 verdict finding #3):
+    a NULL measure contributes nothing, and a group with ZERO non-null
+    contributions must roll forward to SUM's answer, NULL — never 0.
+    The maintained ``nn_<out>`` counts are what make that decidable, so
+    rolled == recomputed is pinned literally, NULL cells included, over
+    every transition: stays-all-NULL, last-non-null-deleted (revert to
+    NULL), and first-non-null-inserted (NULL group comes alive)."""
 
-    old = _df(spark, [(1, "a", "1.00")])
-    new_rows = [(1, "a", Decimal("2.00")), (2, "a", None)]
-    new = spark.createDataFrame(
-        new_rows, "id int, grp string, v decimal(10,2)"
-    )
+    def _ndf(rows):
+        return spark.createDataFrame(
+            [(k, g, None if v is None else Decimal(v)) for k, g, v in rows],
+            "id int, grp string, v decimal(10,2)",
+        )
+
+    # a: all-NULL group, unchanged row + a NULL insert (stays NULL)
+    # b: its only non-null row is deleted (2.00 → NULL, not 0.00)
+    # c: all-NULL group gains its first non-null value (NULL → 7.00)
+    old = _ndf([(1, "a", None), (2, "b", "2.00"), (3, "b", None),
+                (4, "c", None)])
+    new = _ndf([(1, "a", None), (5, "a", None), (3, "b", None),
+                (4, "c", None), (6, "c", "7.00")])
     spec = {"total_v": "v"}
     old_agg = aggregate_snapshot(old, ["grp"], spec)
     changelog = changelog_with_preimage(old, new, ["id"], ["grp", "v"])
-    with pytest.raises(PySparkException, match="non-NULL measure contract"):
-        apply_changelog_to_agg(old_agg, changelog, ["grp"], spec).collect()
-    # non-null measures through the same path still roll forward fine
-    ok_new = _df(spark, [(1, "a", "2.00"), (2, "a", "3.00")])
-    ok_cl = changelog_with_preimage(old, ok_new, ["id"], ["grp", "v"])
     rolled = _rows_by_key(
-        apply_changelog_to_agg(old_agg, ok_cl, ["grp"], spec), "grp"
+        apply_changelog_to_agg(old_agg, changelog, ["grp"], spec), "grp"
     )
-    assert rolled[("a",)]["total_v"] == Decimal("5.00")
+    direct = _rows_by_key(aggregate_snapshot(new, ["grp"], spec), "grp")
+    assert rolled == direct
+    assert rolled[("a",)]["total_v"] is None
+    assert rolled[("a",)]["nn_total_v"] == 0
+    assert rolled[("b",)]["total_v"] is None, "revert-to-NULL, not 0"
+    assert rolled[("b",)]["n_rows"] == 1
+    assert rolled[("c",)]["total_v"] == Decimal("7.00")
+    assert rolled[("c",)]["nn_total_v"] == 1
 
 
 def test_empty_specs_rejected(spark):

@@ -287,3 +287,31 @@ def test_ann_multitable_is_bucket_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bucket" in plan and "tbl" in plan
     assert "BroadcastHashJoin" in plan  # query side broadcast, corpus streamed
+
+
+def test_embedding_near_dup_reuses_bucket_subtree(spark, sf_dir):
+    """The LSH-bucketed near-dup self-join carries hint("merge") (r8
+    plan-audit finding): under AQE's broadcast choice the shared
+    scan→union→bucket subtree was computed TWICE; pinned to SMJ both
+    sides become identical shuffle exchanges that ReuseExchange
+    collapses, so the planted corpus is scanned once per union leg (2),
+    never once per join side per leg (4)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.llm import (
+        q_embedding_near_dup,
+    )
+
+    df = q_embedding_near_dup(spark, sf_dir)
+    # collect through the df's OWN QueryExecution: AQE decides exchange
+    # reuse at runtime, and the noop-write helper plans a separate query
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin" in plan, "near-dup self-join lost its SMJ pin"
+    assert "CartesianProduct" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, "bucket subtree no longer shared"
+    assert final.count("Scan parquet") <= 2, (
+        "bucketed self-join subtree scanned per-side instead of reused"
+    )
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "merge" in logical.lower(), "merge hint dropped"
