@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["symmetric_edges", "pagerank_fixed"]
+__all__ = ["symmetric_edges", "pagerank_fixed", "pagerank_weighted_fixed"]
 
 #: rank unit: 1e6 units == mass 1.0
 SCALE = 1_000_000
@@ -90,6 +90,81 @@ def pagerank_fixed(
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_units DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base_units).cast("long")
+                + F.expr(
+                    f"({DAMP_NUM} * coalesce(inbound, 0L)) DIV {DAMP_DEN}"
+                )
+            )
+            .cast("long")
+            .alias("rank_units"),
+        )
+        if materialize:
+            rank = rank.localCheckpoint()
+    return rank
+
+
+def pagerank_weighted_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    weight_col: str = "w",
+    materialize: bool = True,
+) -> DataFrame:
+    """Weighted PageRank: like ``pagerank_fixed`` but each edge carries
+    an integer weight and a node's mass splits PROPORTIONALLY to its
+    out-edge weights instead of uniformly:
+
+    p'(u) = (15·SCALE) DIV 100
+          + (85 · Σ_{v→u} floor(p(v)·w(v,u) / W(v))) DIV 100
+
+    with W(v) = Σ out-weights of v. Still all-integer, so an unrolled
+    DuckDB oracle matches bit-for-bit (plans/wpagerankq.py).
+
+    Overflow discipline: ``p·w`` naively needs BIGINT×BIGINT headroom
+    (rank mass can reach ~SCALE·n_nodes on a hub while w is unbounded),
+    so the contribution uses the exact floor identity
+
+        floor(p·w / W) = (p DIV W)·w + ((p mod W)·w) DIV W
+
+    whose intermediates are bounded by ``w·W`` — edge-local magnitudes,
+    never rank-mass-sized. DuckDB verifies the identity from the other
+    side by computing the plain product in HUGEINT.
+
+    Same per-iteration shape and lineage discipline as the unweighted
+    form: one edge-join shuffle, partial-aggregated on dst,
+    localCheckpoint per step.
+    """
+    w = F.col(weight_col)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = edges.groupBy("src").agg(F.sum(w).cast("long").alias("outw"))
+    if materialize:
+        edges = edges.localCheckpoint()
+        nodes = nodes.localCheckpoint()
+        outw = outw.localCheckpoint()
+
+    base_units = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
+    rank = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_units"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # floor(p·w / W) via the bounded-intermediate identity
+                F.expr(
+                    f"(rank_units DIV outw) * {weight_col}"
+                    f" + ((rank_units % outw) * {weight_col}) DIV outw"
+                ).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("inbound"))

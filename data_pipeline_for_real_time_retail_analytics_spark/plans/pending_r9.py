@@ -1,15 +1,23 @@
-"""Registry-ready queries awaiting round-9 driver slots.
+"""The nine r8-staged pairs, REGISTERED in round 9.
 
 Same staging mechanism as plans/pending_registry.py (registered r6),
 plans/pending_r7.py (r7) and plans/pending_r8.py (r8): query/oracle
-pairs proven with driver-identical local parity aggregate here so the
-r9 registration is one ``**`` splice on each side of
-``__spark_entry__`` plus null rows in ROTATION.json. The r8 front
-window is exactly consumed by the 14 never-green pairs plus the oldest
-stale cohorts, so these wait.
+pairs proven with driver-identical local parity aggregate here, and the
+registration is one ``**`` splice on each side of ``__spark_entry__``
+plus null rows in ROTATION.json. This module stays the source of truth
+after the flip (tests/test_rotation_update.py pins key-for-key
+identity with the registry).
 
-Keys are exactly the names their parity tests prove; insertion order is
-the recommended registration order.
+Registration recipe (r8 lesson — the flip itself broke the suite once):
+1. roll the ledger first (``rotation_update.py CORRECTNESS_r{N}.json
+   <snapshot_commit>``);
+2. splice the pending module into ``__spark_entry__`` and add one null
+   row per pair to ROTATION.json["last_green"];
+3. recompose FRONT_50 (never-green first, stale oldest-first) and
+   ROTATION.json["deferred"];
+4. run the FULL ``pytest tests/`` — not the guard subset: the pending-
+   module tests are registration-state-aware, but only the whole suite
+   proves nothing else pinned the pre-flip state.
 """
 
 from __future__ import annotations

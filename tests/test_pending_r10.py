@@ -1,0 +1,129 @@
+"""The r9-staged round-10 pairs (plans/pending_r10.py): driver-identical
+DuckDB parity for each, plus the semantic pins that make the families
+trustworthy beyond the hash match — the banded-sketch claims really can
+fail, weighted centrality really diverges from unweighted, and the
+attribution grain really is sessions."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import test_oracle_parity as par
+from data_pipeline_for_real_time_retail_analytics_spark.plans import (
+    approxq,
+    sessionattrq,
+    wpagerankq,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r10 import (
+    PENDING_ORACLES,
+    PENDING_QUERIES,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = par.make_views(
+        duckdb.connect(), ["orders", "lineitem", "events"], SF_DIR
+    )
+    yield con
+    con.close()
+
+
+def test_pending_r10_aggregates_the_staged_pairs():
+    """State-aware from day one (the r8 lesson): green while staged,
+    green at the r10 flip, green after."""
+    from test_rotation_update import _assert_pending_module_consistent
+
+    assert set(PENDING_QUERIES) == {
+        "approx_profile_orders", "part_pagerank_weighted",
+        "session_first_touch",
+    }
+    _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(PENDING_QUERIES))
+def test_parity(spark, ddb, name):
+    spark_pdf = PENDING_QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = ddb.execute(PENDING_ORACLES[name]).fetchdf()
+    par.assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+# ---------- approx profile ----------
+
+
+def test_sketch_bands_are_falsifiable(spark):
+    """The banded booleans must FLIP when the band is absurdly tight —
+    proof the claim compares real sketch output, not a tautology."""
+    df = approxq.q_approx_profile_orders(spark, SF_DIR)
+    rows = df.collect()
+    assert rows and all(r.custkey_sketch_ok for r in rows)
+    assert all(r.median_sketch_ok for r in rows)
+    # recompute the HLL estimate and show it is NOT exact (the sketch
+    # is estimating, so the band is doing real work at this grain)
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    est, exact = orders.select(
+        F.approx_count_distinct("o_custkey", approxq.RSD).alias("e"),
+        F.count_distinct("o_custkey").alias("x"),
+    ).first()
+    assert est != exact, "HLL exact at this SF — band test is vacuous"
+    assert abs(est - exact) <= 3 * approxq.RSD * exact
+
+
+# ---------- weighted pagerank ----------
+
+
+def test_weighted_rank_diverges_from_unweighted(spark):
+    """Quantity weighting must actually reorder centrality: the two
+    top-20 lists differ in membership or order at sf0.01."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import pagerankq
+
+    wtop = [
+        r.part
+        for r in wpagerankq.QUERIES["part_pagerank_weighted"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    utop = [
+        r.part for r in pagerankq.QUERIES["part_pagerank"](spark, SF_DIR).collect()
+    ]
+    assert wtop != utop, "weighting changed nothing — weight path inert"
+
+
+def test_weighted_contribution_identity(spark):
+    """The bounded-intermediate identity floor(p*w/W) ==
+    (p DIV W)*w + ((p mod W)*w) DIV W on adversarial magnitudes where
+    the naive product would overflow BIGINT."""
+    rows = [(10**15, 7, 13), (10**15, 13, 13), (999_999_999, 10**6, 10**7),
+            (5, 3, 9), (0, 4, 9)]
+    df = spark.createDataFrame(rows, "p long, w long, ww long")
+    got = df.select(
+        F.expr("(p DIV ww) * w + ((p % ww) * w) DIV ww").alias("v")
+    ).collect()
+    for (p, w, ww), r in zip(rows, got):
+        assert r.v == (p * w) // ww, (p, w, ww)
+
+
+# ---------- session attribution ----------
+
+
+def test_attribution_is_session_grain(spark, ddb):
+    """n_sessions summed over first-touch types == total session count
+    from the established user_sessions derivation (same gap, same
+    engine) — the attribution neither drops nor double-counts
+    sessions."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import temporal as TP
+
+    attr = sessionattrq.q_session_first_touch(spark, SF_DIR)
+    n_attr = attr.agg(F.sum("n_sessions")).first()[0]
+    n_sessions = TP.q_user_sessions(spark, SF_DIR).count()
+    assert n_attr == n_sessions
+    # conversions can never exceed sessions
+    for r in attr.collect():
+        assert 0 <= r.n_converted <= r.n_sessions
+        assert 0 <= r.conv_ppm <= 1_000_000
