@@ -97,6 +97,13 @@ HEAVY = [
     "part_pagerank",
     "event_transitions",
     "join_key_skew",
+    # staged for r10 registration (plans/pending_r10.py): the weighted
+    # PageRank (same pair join as the unweighted form + a weight
+    # aggregation), the one-pass sketch-vs-exact profile, and the
+    # double-window sessionization + attribution rollup
+    "part_pagerank_weighted",
+    "approx_profile_orders",
+    "session_first_touch",
 ]
 
 #: id offset per generated copy. Must satisfy
@@ -249,7 +256,10 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r9 import (
         PENDING_QUERIES as _PENDING9,
     )
-    for _n, _fn in {**_PENDING, **_PENDING9}.items():
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r10 import (
+        PENDING_QUERIES as _PENDING10,
+    )
+    for _n, _fn in {**_PENDING, **_PENDING9, **_PENDING10}.items():
         queries.setdefault(_n, _fn)
     for name in HEAVY:
         t0 = time.perf_counter()
