@@ -34,6 +34,10 @@ from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r8 import 
     PENDING_ORACLES as PENDING_ORACLES_R8,
     PENDING_QUERIES as PENDING_QUERIES_R8,
 )
+from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r9 import (
+    PENDING_ORACLES as PENDING_ORACLES_R9,
+    PENDING_QUERIES as PENDING_QUERIES_R9,
+)
 from data_pipeline_for_real_time_retail_analytics_spark.plans import scaleops as SOP
 from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
 from data_pipeline_for_real_time_retail_analytics_spark.plans import streamq as SQ
@@ -47,33 +51,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return A.revenue_by_segment(spark, "/root/testdata/sf0.001")
 
 
+#: The driver checks the FIRST 50 entries of queries() in insertion
+#: order; this list IS that window. Rotation rule (mechanized in
+#: tests/test_rotation_guard.py against ROTATION.json, amended r7):
+#: never-green queries MUST be front; stale queries (any closure file
+#: changed since their last green commit) fill the rest OLDEST-FIRST,
+#: and the overflow is recorded explicitly in ROTATION.json["deferred"]
+#: (every deferred query stays value-proven on the current tree by
+#: tests/test_oracle_parity.py). Composition this round (r9), after
+#: rolling the ledger with CORRECTNESS_r08.json @52353f3:
+#:  * slots 1-9: the nine r8-staged pairs (plans/pending_r9.py: KMV
+#:    sketch x2, zone-map prune, containment dedup, blocked fuzzy
+#:    matching, cluster-safe splits, PageRank, Markov transitions,
+#:    join-key skew) — never-green -> front by rule;
+#:  * slots 10-33: the full remaining r5 @e9bd03e cohort (24), the
+#:    registry's oldest stale greens — includes the similarity.py
+#:    family re-proving this round's hint("merge") pin;
+#:  * slots 34-50: 17 of the 25 stale @978398a (r6) — the aggregate-
+#:    maintenance trio re-proving the NULL-measure fix, the semantic-
+#:    dedup family, and incremental_dedup_new_docs (the r8 perf cell
+#:    under attribution);
+#:  * deferred (ROTATION.json): the 8 remaining @978398a analytics
+#:    entries plus the 24 @52353f3 queries that went stale again via
+#:    the shared plans/llm.py closure when similarity.py was edited.
+FRONT_50 = [
+    # slots 1-9: never-green r9 registrations
+    "kmv_distinct_tokens", "kmv_union_tokens", "zonemap_pruned_orders",
+    "containment_dup_pairs", "fuzzy_customer_pairs", "cluster_safe_splits",
+    "part_pagerank", "event_transitions", "join_key_skew",
+    # slots 10-33: the r5 @e9bd03e cohort (oldest stale)
+    "ann_ivf", "ann_multiprobe", "ann_multitable", "ann_sign_lsh",
+    "benford_profile", "chunked_docs", "cleaned_docs", "cosine_topk",
+    "customer_running_spend", "doc_fingerprints", "embedding_clusters",
+    "embedding_near_dup", "events_cube", "events_hourly_dense",
+    "idle_customer_balance", "lm_perplexity", "market_share",
+    "mixture_sample_docs", "multimodal_features", "packed_sequences",
+    "segment_year_pivot", "stratified_sample_docs", "train_split_counts",
+    "volume_shipping",
+    # slots 34-50: 17 of the stale @978398a (r6) cohort
+    "orders_agg_maintenance", "orders_snapshot_diff",
+    "orders_snapshot_summary", "semantic_dedup", "semantic_dedup_stats",
+    "semantic_dedup_2level", "semantic_contamination",
+    "embedding_clusters_2level", "shard_manifest",
+    "incremental_dedup_new_docs", "dedup_survivors", "shuffled_shards",
+    "dup_rate_by_source", "lang_temperature_sample", "quality_quota_prune",
+    "customer_rfm", "supplier_diversity",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _registry()
+    front = {n: q[n] for n in FRONT_50}
+    # re-assigning an existing key does NOT move its position, so the
+    # merge keeps FRONT_50 as slots 1-50 and the registry's grouping
+    # (below) as the stable tail order
+    return {**front, **q}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Front-loaded: the driver checks the first 50 entries in
-        # insertion order. Rotation rule (mechanized in
-        # tests/test_rotation_guard.py against ROTATION.json, amended
-        # r7): never-green queries MUST be front; stale queries (any
-        # closure file changed since their last green) fill the rest
-        # OLDEST-FIRST, and the overflow is recorded explicitly in
-        # ROTATION.json["deferred"] (every deferred query stays
-        # value-proven on the current tree by tests/test_oracle_parity).
-        # Front composition this round (r8): the driver recorded NO
-        # CORRECTNESS_r07.json, so the r7 front window earned no greens
-        # and the ledger is unchanged since r6.
-        #  * slots 1-10: the ten r7-staged pairs (plans/pending_r8.py:
-        #    stream-stream outer join, grouped interpolation, pandas
-        #    grouped-agg UDF, PQ pair, boilerplate removal, CCNet
-        #    buckets, SQ8 pair, DSIR) — never-green → front by rule;
-        #  * slots 11-14: the four r6-staged pairs (z-order + search,
-        #    plans/pending_r7.py) — still never-green after the r7
-        #    driver gap → front by rule;
-        #  * slots 15-24: the 10 pure-aggregation analytics.py entries
-        #    (the registry's OLDEST driver greens, r≤4 @5f5e6dc);
-        #  * slots 25-50: 26 of the r5 @e9bd03e cohort, oldest-first by
-        #    rule; the rest of that cohort plus every @978398a stale
-        #    query is listed in ROTATION.json["deferred"] (each stays
-        #    value-proven on the current tree by tests/test_oracle_parity).
-        # Tail: deferred entries first, then the r6 greens.
+        # grouped by family/registration round; driver order is imposed
+        # by FRONT_50 in queries() above
+        **PENDING_QUERIES_R9,
         **PENDING_QUERIES_R8,
         **PENDING_QUERIES_R7,
         # oldest cohort: pure-aggregation analytics.py re-proofs
@@ -201,6 +240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r9 registrations: the nine r8-staged pairs (plans/pending_r9)
+        **PENDING_ORACLES_R9,
         # r8 registrations: the ten r7-staged pairs (plans/pending_r8)
         **PENDING_ORACLES_R8,
         # r7 registrations: z-order pair + search pair (plans/pending_r7)

@@ -18,12 +18,14 @@ the recommended registration order.
 
 from __future__ import annotations
 
-from . import approxq, sessionattrq, wpagerankq
+from . import approxq, chunkdedupq, sessionattrq, sketchq, wpagerankq
 
 _MODULES = (
     approxq,
+    sketchq,
     wpagerankq,
     sessionattrq,
+    chunkdedupq,
 )
 
 PENDING_QUERIES = {

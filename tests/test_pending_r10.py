@@ -27,7 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 @pytest.fixture(scope="module")
 def ddb():
     con = par.make_views(
-        duckdb.connect(), ["orders", "lineitem", "events"], SF_DIR
+        duckdb.connect(), ["orders", "lineitem", "events", "documents"], SF_DIR
     )
     yield con
     con.close()
@@ -39,8 +39,9 @@ def test_pending_r10_aggregates_the_staged_pairs():
     from test_rotation_update import _assert_pending_module_consistent
 
     assert set(PENDING_QUERIES) == {
-        "approx_profile_orders", "part_pagerank_weighted",
-        "session_first_touch",
+        "approx_profile_orders", "sketch_rollup_events",
+        "part_pagerank_weighted", "session_first_touch",
+        "chunk_dedup_docs",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
@@ -127,3 +128,73 @@ def test_attribution_is_session_grain(spark, ddb):
     for r in attr.collect():
         assert 0 <= r.n_converted <= r.n_sessions
         assert 0 <= r.conv_ppm <= 1_000_000
+
+
+# ---------- chunk dedup ----------
+
+
+def test_planted_quotes_come_out_empty(spark):
+    """Every planted quote doc (first 64 tokens of its source, chunk-
+    aligned at position 0) must lose ALL its chunks to the source's
+    earlier occurrences; sources keep their full text."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import chunkdedupq
+
+    rows = chunkdedupq.q_chunk_dedup_docs(spark, SF_DIR).collect()
+    quotes = [r for r in rows if r.doc_id >= chunkdedupq.QUOTE_ID_OFFSET]
+    assert quotes, "no quote docs planted — workload inert"
+    for r in quotes:
+        assert r.n_kept == 0, (r.doc_id, r.n_kept)
+        assert r.dedup_text == ""
+    sources = {
+        r.doc_id: r
+        for r in rows
+        if r.doc_id < chunkdedupq.QUOTE_ID_OFFSET
+        and (r.doc_id + chunkdedupq.QUOTE_ID_OFFSET)
+        in {q.doc_id for q in quotes}
+    }
+    assert sources
+    # a source precedes its quote in (doc_id, chunk_id) order, so it
+    # keeps everything unless it repeats a chunk of an EARLIER doc
+    assert any(r.n_kept == r.n_chunks for r in sources.values())
+
+
+def test_chunk_dedup_idempotent(spark):
+    """Deduping the deduped corpus must change nothing (no chunk
+    appears twice in the survivor set)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.chunkdedup import (
+        chunk_dedup,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import chunkdedupq
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    once = chunk_dedup(docs.limit(200), chunk_tokens=32).where(
+        F.col("dedup_text") != ""
+    )
+    again = chunk_dedup(
+        once.select("doc_id", F.col("dedup_text").alias("text")),
+        chunk_tokens=32,
+    )
+    changed = again.where(F.col("n_kept") != F.col("n_chunks")).count()
+    assert changed == 0
+
+
+# ---------- sketch rollup ----------
+
+
+def test_union_rollup_row_is_consistent(spark):
+    """The grand-total row must come from merged per-group sketches:
+    its exact anchor equals the true overall distinct, its band holds,
+    and it is bounded by the per-group structure (>= max group,
+    <= sum of groups)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import sketchq
+
+    rows = sketchq.q_sketch_rollup_events(spark, SF_DIR).collect()
+    total = [r for r in rows if r.is_total == 1]
+    groups = [r for r in rows if r.is_total == 0]
+    assert len(total) == 1 and groups
+    assert all(r.sketch_ok for r in rows)
+    t = total[0]
+    assert t.event_type is None
+    assert max(g.exact_distinct for g in groups) <= t.exact_distinct
+    assert t.exact_distinct <= sum(g.exact_distinct for g in groups)
