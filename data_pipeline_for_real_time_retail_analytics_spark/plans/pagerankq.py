@@ -43,7 +43,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
         .distinct()
     )
-    return symmetric_edges(pairs, "pa", "pb")
+    return symmetric_edges(pairs, "pa", "pb", canonical=True)
 
 
 def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
