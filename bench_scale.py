@@ -104,6 +104,15 @@ HEAVY = [
     "part_pagerank_weighted",
     "approx_profile_orders",
     "session_first_touch",
+    # staged for r10 registration, second batch: chunk-grain exact
+    # dedup (duplication-bounded hash window) and the mergeable HLL
+    # union rollup
+    "chunk_dedup_docs",
+    "sketch_rollup_events",
+    # staged for r10 registration, third batch: the streaming
+    # session_window attribution (two-window batch twin runs above via
+    # session_first_touch; this one is a real AvailableNow drive)
+    "stream_session_first_touch",
 ]
 
 #: id offset per generated copy. Must satisfy

@@ -18,13 +18,21 @@ the recommended registration order.
 
 from __future__ import annotations
 
-from . import approxq, chunkdedupq, sessionattrq, sketchq, wpagerankq
+from . import (
+    approxq,
+    chunkdedupq,
+    sessionattrq,
+    sketchq,
+    streamattrq,
+    wpagerankq,
+)
 
 _MODULES = (
     approxq,
     sketchq,
     wpagerankq,
     sessionattrq,
+    streamattrq,
     chunkdedupq,
 )
 

@@ -41,7 +41,7 @@ def test_pending_r10_aggregates_the_staged_pairs():
     assert set(PENDING_QUERIES) == {
         "approx_profile_orders", "sketch_rollup_events",
         "part_pagerank_weighted", "session_first_touch",
-        "chunk_dedup_docs",
+        "stream_session_first_touch", "chunk_dedup_docs",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
@@ -198,3 +198,24 @@ def test_union_rollup_row_is_consistent(spark):
     assert t.event_type is None
     assert max(g.exact_distinct for g in groups) <= t.exact_distinct
     assert t.exact_distinct <= sum(g.exact_distinct for g in groups)
+
+
+def test_stream_attribution_equals_batch(spark):
+    """The streaming session_window attribution must equal the batch
+    lag/cumsum attribution row for row — the stream/batch equivalence
+    the shared oracle pins at the driver, proven engine-side here."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import streamattrq
+
+    got = {
+        r.first_type: (r.n_sessions, r.n_converted, r.conv_ppm,
+                       r.purchase_cents)
+        for r in streamattrq.q_stream_session_first_touch(
+            spark, SF_DIR
+        ).collect()
+    }
+    want = {
+        r.first_type: (r.n_sessions, r.n_converted, r.conv_ppm,
+                       r.purchase_cents)
+        for r in sessionattrq.q_session_first_touch(spark, SF_DIR).collect()
+    }
+    assert got == want
