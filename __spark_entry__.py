@@ -115,7 +115,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **PENDING_QUERIES_R9,
         **PENDING_QUERIES_R8,
         **PENDING_QUERIES_R7,
-        # oldest cohort: pure-aggregation analytics.py re-proofs
+        # pure-aggregation analytics.py family
         "top_customers": A.top_customers,
         "order_priority_counts": A.order_priority_counts,
         "promo_revenue": A.promo_revenue,
@@ -126,8 +126,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": A.large_orders,
         "events_hourly": A.events_hourly,
         "customer_order_distribution": A.customer_order_distribution,
-        # r5 cohort, dedup family (operators/dedup.py carries the r7
-        # band-join merge hint — re-prove the edited operator first)
+        # dedup family (operators/dedup.py)
         "minhash_lsh_dupes": L.q_minhash_lsh_dupes,
         "ngram_jaccard_pairs": L.q_ngram_jaccard_pairs,
         "contaminated_docs": L.q_contaminated_docs,
@@ -136,8 +135,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": L.q_exact_dedup_docs,
         "dedup_clusters": L.q_dedup_clusters,
         "boilerplate_ngrams": CU.q_boilerplate_ngrams,
-        # r5 cohort, textstats family (operators/textstats.py carries
-        # the r7 micro-unit entropy quantization)
+        # textstats family (operators/textstats.py)
         "token_entropy": L.q_token_entropy,
         "token_stats": L.q_token_stats,
         "language_id": L.q_language_id,
@@ -145,22 +143,21 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": L.q_tfidf_top_terms,
         "repetition_ratio": L.q_repetition_ratio,
         "corpus_filter": L.q_corpus_filter,
-        # r5 cohort, streaming executions
+        # streaming executions (plans/streamq.py)
         "stream_events_hourly": SQ.q_stream_events_hourly,
         "stream_user_sessions": SQ.q_stream_user_sessions,
         "stream_click_purchases": SQ.q_stream_click_purchases,
-        # r5 cohort, CDC / join shapes
+        # CDC / join shapes (plans/showcase.py)
         "scd2_user_history": S.q_scd2_user_history,
         "event_dedup": S.q_event_dedup,
         "incremental_scan": S.q_incremental_scan,
         "fk_orphan_orders": S.q_fk_orphan_orders,
         "customers_without_orders": S.q_customers_without_orders,
         "whole_row_dups_lineitem": S.q_whole_row_dups_lineitem,
-        # r5 cohort, profiling / window (slots 49-50)
+        # profiling / window (plans/profiling.py)
         "price_quantiles": PF.q_price_quantiles,
         "event_funnel": PF.q_event_funnel,
-        # ---- tail (beyond the driver's 50-query cap) ----
-        # r5 @e9bd03e overflow (ROTATION.json["deferred"])
+        # profiling / training / trade analytics
         "customer_running_spend": PF.q_customer_running_spend,
         "segment_year_pivot": PF.q_segment_year_pivot,
         "events_cube": PF.q_events_cube,
@@ -171,9 +168,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": A2.q_volume_shipping,
         "market_share": A2.q_market_share,
         "idle_customer_balance": A2.q_idle_customer_balance,
-        # deferred r5 greens (ROTATION.json["deferred"]; r8's first
-        # re-proof cohort — modules untouched this round, all
-        # value-checked by tests/test_oracle_parity on the current tree)
+        # similarity / multimodal / sampling families
         "ann_sign_lsh": L.q_ann_sign_lsh,
         "ann_multiprobe": L.q_ann_multiprobe,
         "ann_multitable": L.q_ann_multitable,
@@ -188,8 +183,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_profile": L.q_benford_profile,
         "train_split_counts": L.q_train_split_counts,
         "stratified_sample_docs": L.q_stratified_sample_docs,
-        # fresh r6 greens (checked at 978398a; any that pick up r7
-        # operator edits are recorded in ROTATION.json["deferred"])
+        # shards / incremental dedup / procurement / RFM / corpus
+        # composition / behavioral families
         "shuffled_shards": TR.q_shuffled_shards,
         "incremental_dedup_new_docs": L.q_incremental_dedup_new_docs,
         "dedup_survivors": L.q_dedup_survivors,
