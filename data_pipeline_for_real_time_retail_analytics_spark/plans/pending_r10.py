@@ -21,6 +21,7 @@ from __future__ import annotations
 from . import (
     approxq,
     chunkdedupq,
+    ivfpqq,
     sessionattrq,
     sketchq,
     streamattrq,
@@ -34,6 +35,7 @@ _MODULES = (
     sessionattrq,
     streamattrq,
     chunkdedupq,
+    ivfpqq,
 )
 
 PENDING_QUERIES = {

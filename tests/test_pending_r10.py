@@ -27,7 +27,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 @pytest.fixture(scope="module")
 def ddb():
     con = par.make_views(
-        duckdb.connect(), ["orders", "lineitem", "events", "documents"], SF_DIR
+        duckdb.connect(),
+        ["orders", "lineitem", "events", "documents", "embeddings"],
+        SF_DIR,
     )
     yield con
     con.close()
@@ -42,6 +44,7 @@ def test_pending_r10_aggregates_the_staged_pairs():
         "approx_profile_orders", "sketch_rollup_events",
         "part_pagerank_weighted", "session_first_touch",
         "stream_session_first_touch", "chunk_dedup_docs",
+        "ivfpq_topk",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
@@ -219,3 +222,32 @@ def test_stream_attribution_equals_batch(spark):
         for r in sessionattrq.q_session_first_touch(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+# ---------- IVF-PQ composition ----------
+
+
+def test_ivfpq_is_a_subset_of_full_adc_with_high_recall(spark):
+    """The composed index must (a) only ever return candidates from
+    probed cells — every (query, match) it emits appears in the
+    unrestricted ADC ranking with the SAME distance — and (b) keep
+    useful recall vs full ADC top-5 at this parameterization."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import ivfpqq, pqq
+
+    comp = ivfpqq.q_ivfpq_topk(spark, SF_DIR).collect()
+    full = pqq.q_pq_topk_adc(spark, SF_DIR).collect()
+    full_d = {(r.query_id, r.match_id): r.adc_dist_q12 for r in full}
+    full_top = {}
+    for r in full:
+        full_top.setdefault(r.query_id, set()).add(r.match_id)
+    assert comp
+    # distances agree wherever both rankings contain the pair
+    for r in comp:
+        if (r.query_id, r.match_id) in full_d:
+            assert r.adc_dist_q12 == full_d[(r.query_id, r.match_id)]
+    # recall of full-ADC top-5 within the probed candidates
+    hits = sum(
+        1 for r in comp if r.match_id in full_top.get(r.query_id, set())
+    )
+    recall = hits / sum(len(v) for v in full_top.values())
+    assert recall >= 0.3, f"IVF probing lost too much: recall={recall:.2f}"
