@@ -27,7 +27,16 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Index-ordered double-precision dot product of two float arrays."""
+    """Index-ordered double-precision dot product of two float arrays.
+
+    Stays the ``aggregate``/``zip_with`` fold deliberately: an unrolled
+    ``a[0]*b[0] + …`` chain (statically-known dim) was prototyped in r9
+    to move the evaluation into whole-stage codegen, and measured NO
+    win at the 90x corpus — the 64-term × 3 (dot + two norms) expression
+    tree exceeds codegen's method-size budget and falls back to
+    interpreted anyway, with added guard complexity (NOTES r9). The
+    interpreted fold is the simpler of two interpreted forms.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -309,28 +318,36 @@ def _assign_cells(
 ) -> DataFrame:
     """Top-``n_probe`` nearest cells per vector. Broadcast the codebook,
     rank per vector — map-side except a shuffle of n_cells rows per
-    vector for the ranking window (n_cells is small by construction)."""
-    sims = df.select(
+    vector for the ranking window (n_cells is small by construction).
+
+    The argmax/rank stages move only (id, cid, csim) — the n_cells-way
+    candidate expansion must NOT carry the vector itself (measured at
+    90x corpus: the fat shuffle was ~24 s of a 38.7 s assignment; the
+    skinny shuffle + one id-keyed join-back to re-attach vectors is the
+    corpus-scale shape)."""
+    base = df.select(
         F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
-    ).join(F.broadcast(centroids), how="cross").select(
+    )
+    sims = base.join(F.broadcast(centroids), how="cross").select(
         id_alias,
-        vec_alias,
         "cid",
         cosine(F.col(vec_alias), F.col("cv")).alias("csim"),
     )
     if n_probe == 1:
         # argmax via struct-max: partial-aggregates map-side, so the
-        # shuffle carries one row per vector — the corpus-side shape
-        return sims.groupBy(id_alias).agg(
-            F.max(F.struct("csim", "cid"))["cid"].alias("cell"),
-            F.any_value(F.col(vec_alias)).alias(vec_alias),
-        ).select(id_alias, vec_alias, "cell")
+        # shuffle carries one skinny row per vector — the corpus-side
+        # shape
+        best = sims.groupBy(id_alias).agg(
+            F.max(F.struct("csim", "cid"))["cid"].alias("cell")
+        )
+        return base.join(best, id_alias).select(id_alias, vec_alias, "cell")
     w = Window.partitionBy(id_alias).orderBy(F.desc("csim"), F.desc("cid"))
-    return (
+    probed = (
         sims.withColumn("crank", F.row_number().over(w))
         .where(F.col("crank") <= n_probe)
-        .select(id_alias, vec_alias, F.col("cid").alias("cell"))
+        .select(id_alias, F.col("cid").alias("cell"))
     )
+    return base.join(probed, id_alias).select(id_alias, vec_alias, "cell")
 
 
 def ann_topk_ivf(

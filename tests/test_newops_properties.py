@@ -196,3 +196,50 @@ def test_sq8_codes_match_python_model(spark, vecs):
         for r in sq8_codes(df, sq8_scales(df)).collect()
     }
     assert got == _model_sq8(vd)
+
+
+# ---------- chunk-grain exact dedup (r9 addition) ----------
+
+
+doc_words = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=20
+)
+
+
+def _chunks_of(tokens, k):
+    return [tokens[i : i + k] for i in range(0, len(tokens), k)] or [[]]
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(doc_words, min_size=1, max_size=8),
+    k=st.sampled_from([2, 3]),
+)
+def test_chunk_dedup_matches_python_model(spark, docs, k):
+    """operators/chunkdedup.py vs the direct semantics: chunk at fixed
+    k-token boundaries, keep only the first (doc_id, chunk_id)
+    occurrence of each chunk TEXT corpus-wide, reassemble in order.
+    Tiny vocabulary so cross-document chunk collisions actually occur."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.chunkdedup import (
+        chunk_dedup,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.dedup_text)
+        for r in chunk_dedup(df, chunk_tokens=k).collect()
+    }
+
+    seen: set[str] = set()
+    want = {}
+    for i, ws in enumerate(docs):
+        chunks = _chunks_of(ws, k)
+        kept = []
+        for ch in chunks:
+            text = " ".join(ch)
+            if text not in seen:
+                seen.add(text)
+                kept.append(text)
+        want[i] = (len(chunks), len(kept), " ".join(kept))
+    assert got == want
