@@ -21,10 +21,12 @@ from __future__ import annotations
 from . import (
     approxq,
     chunkdedupq,
+    dedupevalq,
     ivfpqq,
     sessionattrq,
     sketchq,
     streamattrq,
+    trianglesq,
     wpagerankq,
 )
 
@@ -36,6 +38,8 @@ _MODULES = (
     streamattrq,
     chunkdedupq,
     ivfpqq,
+    dedupevalq,
+    trianglesq,
 )
 
 PENDING_QUERIES = {

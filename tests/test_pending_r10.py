@@ -44,7 +44,7 @@ def test_pending_r10_aggregates_the_staged_pairs():
         "approx_profile_orders", "sketch_rollup_events",
         "part_pagerank_weighted", "session_first_touch",
         "stream_session_first_touch", "chunk_dedup_docs",
-        "ivfpq_topk",
+        "ivfpq_topk", "dedup_eval_metrics", "copurchase_triangles",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
@@ -251,3 +251,50 @@ def test_ivfpq_is_a_subset_of_full_adc_with_high_recall(spark):
     )
     recall = hits / sum(len(v) for v in full_top.values())
     assert recall >= 0.3, f"IVF probing lost too much: recall={recall:.2f}"
+
+
+# ---------- dedup evaluation ----------
+
+
+def test_dedup_eval_counts_are_consistent(spark):
+    """tp bounded by both sides, totals match the planting rule, and
+    the detector genuinely finds most planted pairs at 12/3@0.5."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import dedupevalq
+
+    r = dedupevalq.q_dedup_eval_metrics(spark, SF_DIR).collect()[0]
+    assert r.tp <= min(r.n_truth, r.n_found)
+    assert r.fp == r.n_found - r.tp and r.fn == r.n_truth - r.tp
+    assert 0 < r.recall_ppm <= 1_000_000
+    assert 0 < r.precision_ppm <= 1_000_000
+    assert r.recall_ppm > 500_000, "detector misses most planted pairs"
+
+
+# ---------- triangle counting ----------
+
+
+def test_triangles_on_known_graph(spark):
+    """Degree-ordered wedge counting on a hand-built graph: K4 plus a
+    pendant edge — K4 has exactly 4 triangles, each K4 node sits in 3,
+    the pendant node in 0; every triangle counted exactly once."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import trianglesq
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # lineitem-shaped input: each order = one clique edge (support 3x)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    rows = []
+    okey = 0
+    for a, b in k4 + [(4, 5)]:
+        for _ in range(trianglesq.MIN_SUPPORT):
+            okey += 1
+            rows += [(okey, a), (okey, b)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    import data_pipeline_for_real_time_retail_analytics_spark.plans.trianglesq as T
+
+    orig = T.load_table
+    try:
+        T.load_table = lambda spark, sf_dir, name: li
+        got = {r.part: r.n_triangles
+               for r in T.q_copurchase_triangles(spark, "ignored").collect()}
+    finally:
+        T.load_table = orig
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
