@@ -109,6 +109,8 @@ HEAVY = [
     # union rollup
     "chunk_dedup_docs",
     "sketch_rollup_events",
+    "dedup_eval_metrics",
+    "copurchase_triangles",
     # staged for r10 registration, third batch: the streaming
     # session_window attribution (two-window batch twin runs above via
     # session_first_touch; this one is a real AvailableNow drive)
