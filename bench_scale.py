@@ -115,6 +115,13 @@ HEAVY = [
     # session_window attribution (two-window batch twin runs above via
     # session_first_touch; this one is a real AvailableNow drive)
     "stream_session_first_touch",
+    # staged for r10 registration, fourth batch: the CMS build's
+    # vocabulary-keyed count pass + bounded-cell broadcast estimate,
+    # and the two one-pass PSI drift profiles (bins × groups state)
+    "cms_heavy_tokens",
+    "cms_merged_heavy_tokens",
+    "events_value_drift",
+    "source_length_drift",
 ]
 
 #: id offset per generated copy. Must satisfy

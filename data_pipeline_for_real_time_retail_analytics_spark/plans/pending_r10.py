@@ -21,7 +21,9 @@ from __future__ import annotations
 from . import (
     approxq,
     chunkdedupq,
+    cmsq,
     dedupevalq,
+    driftq,
     ivfpqq,
     sessionattrq,
     sketchq,
@@ -33,6 +35,8 @@ from . import (
 _MODULES = (
     approxq,
     sketchq,
+    cmsq,
+    driftq,
     wpagerankq,
     sessionattrq,
     streamattrq,
