@@ -121,7 +121,16 @@ HEAVY = [
     "cms_heavy_tokens",
     "cms_merged_heavy_tokens",
     "events_value_drift",
+    "events_value_ks",
     "source_length_drift",
+    # the Hilbert transform is map-side bit arithmetic; the locality
+    # walk's 32 (curve, block) windows are the part worth scale-proving
+    "hilbert_values",
+    "curve_locality",
+    # streaming sketch maintenance: a real AvailableNow drive whose
+    # entire state is the 1536-cell matrix — the drive cost should be
+    # flat-ish in state and linear in input
+    "stream_cms_heavy_tokens",
 ]
 
 #: id offset per generated copy. Must satisfy

@@ -26,8 +26,12 @@ beyond the vocabulary-bounded count frame that also feeds the exact
 comparison column (a production run that trusts the sketch drops that
 frame and with it the only vocabulary-sized shuffle).
 
-The per-token count frame is referenced twice per query (cells + exact
-column) → localCheckpoint, the shared-frames rule (NOTES r7).
+The GLOBAL per-token count frame is referenced twice in
+``cms_heavy_tokens`` (cells + exact column) → localCheckpoint, the
+shared-frames rule (NOTES r7). The per-SOURCE count grain in the
+merged query is deliberately never materialized — vocab × sources
+rows grow with the corpus (see the function docstring for the measured
+90× pathology).
 """
 
 from __future__ import annotations
@@ -102,19 +106,27 @@ def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cms_merged_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 candidates estimated from MERGED per-source sketches —
     value-identical to the direct global sketch (linearity), which is
-    what the oracle computes."""
+    what the oracle computes.
+
+    Deliberately NO materialization of the (source, token) count grain:
+    that frame is vocab × sources and the scale harness's 90× corpus
+    (whose vocabulary grows with the data — per-copy token tagging)
+    measured 92 s with it localCheckpointed vs ~2× the single-sketch
+    query without (NOTES r9 second session). The per-source counts
+    exist only as the partial-aggregate feeding the cell build (bounded
+    depth·width·sources out), and the exact comparison column comes
+    from its own global pass — two token-stream aggregations, zero
+    vocabulary-sized materializations."""
     toks = _toks(spark, sf_dir)
-    counts_src = (
-        toks.groupBy("source", "t")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+    counts_src = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
     merged = merge_cms_cells(
         cms_cells(counts_src, "t", "c", ["source"]), ["source"]
     )
     est = cms_estimate(merged, _candidates(toks), "t")
-    exact = counts_src.groupBy("t").agg(
-        F.sum("c").cast("long").alias("exact_count")
+    exact = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
     )
     return _ranked(est, exact, TOP_N_MERGED)
 

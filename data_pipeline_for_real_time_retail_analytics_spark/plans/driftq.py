@@ -7,6 +7,14 @@ ts < 2024-01-16) and the second (current) — the week-over-week "did
 the stream move" monitor. Ten fixed-width bins (width 50 over the
 generator's 0-490 range); add-one smoothing over the complete domain.
 
+``events_value_ks``: the two-sample Kolmogorov-Smirnov distance over
+the same binned windows — the float-free companion statistic: cross-
+multiplied integer CDF gaps (DECIMAL(38,0) intermediates, the
+join_key_skew discipline), one floor division to ppm at the very end.
+Where the PSI weights every bin's divergence, the KS reads the single
+worst CDF gap — the pair covers both "diffuse reshaping" and "mass
+jumped across a threshold" drift shapes.
+
 ``source_length_drift``: per-source PSI of the document-length
 (n_chars) distribution against the WHOLE-CORPUS reference — the
 domain-shift profile a curation run consults before reweighting a
@@ -26,10 +34,16 @@ back broadcast; nothing iterates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.drift import N_BINS, complete_bins, fixed_width_bin, psi_micro
+from ..operators.drift import (
+    MICRO,
+    N_BINS,
+    complete_bins,
+    fixed_width_bin,
+    psi_micro,
+)
 from ..sources import load_table
 
 #: reference/current boundary — the midpoint of the generator's window
@@ -53,14 +67,18 @@ def _addend_sql(c_ref: str, n_ref: str, c_cur: str, n_cur: str) -> str:
     )
 
 
-def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per event-type PSI of value bins, second half vs first half."""
+def _event_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete (event_type, bin, c_ref, c_cur) frame for the
+    window-vs-window value distribution — the shared input of the PSI
+    and KS statistics.
+
+    bins × groups rows after ONE partial-aggregated scan; checkpointed
+    because the group domain and the left join both reference it (the
+    shared-frames rule — and deriving the domain from the counts keeps
+    the query single-scan: every observed group has at least one bin
+    row)."""
     ev = load_table(spark, sf_dir, "events")
     is_ref = F.col("ts") < F.lit(SPLIT_TS).cast("timestamp")
-    # bins × groups rows after ONE partial-aggregated scan; checkpointed
-    # because the group domain and the left join both reference it (the
-    # shared-frames rule — and deriving the domain from the counts keeps
-    # the query single-scan: every observed group has at least one bin row)
     counts = (
         ev.select(
             "event_type",
@@ -75,10 +93,72 @@ def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     groups = counts.select("event_type").distinct()
-    completed = complete_bins(
-        counts, groups, ["event_type"], ["c_ref", "c_cur"]
-    )
+    return complete_bins(counts, groups, ["event_type"], ["c_ref", "c_cur"])
+
+
+def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type PSI of value bins, second half vs first half."""
+    completed = _event_value_counts(spark, sf_dir)
     return psi_micro(completed, ["event_type"]).orderBy("event_type")
+
+
+def q_events_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type two-sample Kolmogorov-Smirnov distance over the
+    same binned windows — max CDF gap in exact ppm.
+
+    Unlike the PSI there is NO float anywhere: the per-bin CDF gap is
+    compared cross-multiplied (|cum_ref·n_cur − cum_cur·n_ref|), the
+    max is taken over those exact integers (denominators are constant
+    per group, so the argmax is division-free), and the single floor
+    division to ppm happens last. Intermediates run in DECIMAL(38,0)
+    (the join_key_skew discipline): at the 100 TB design point
+    cum ~ 1e14 × n ~ 1e14 = 1e28 exceeds BIGINT but not DECIMAL(38).
+    The cumulative window orders 10 bin rows per group — bounded state
+    by construction."""
+    completed = _event_value_counts(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = completed.select(
+        "event_type",
+        F.sum("c_ref").over(w).cast("long").alias("cum_ref"),
+        F.sum("c_cur").over(w).cast("long").alias("cum_cur"),
+    )
+    # the cross-multiplied gap needs the group totals, which are the
+    # LAST cumulative values — attach them via one more bounded window
+    wg = Window.partitionBy("event_type")
+    gaps = cum.select(
+        "event_type",
+        F.max("cum_ref").over(wg).alias("n_ref"),
+        F.max("cum_cur").over(wg).alias("n_cur"),
+        "cum_ref",
+        "cum_cur",
+    ).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.expr(
+            "abs(CAST(cum_ref AS DECIMAL(38,0)) * n_cur"
+            " - CAST(cum_cur AS DECIMAL(38,0)) * n_ref)"
+        ).alias("gap"),
+    )
+    return (
+        gaps.groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.max("gap").alias("max_gap"))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.expr(
+                "CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL ELSE "
+                f"CAST((CAST({int(MICRO)} AS DECIMAL(38,0)) * max_gap) DIV "
+                "(CAST(n_ref AS DECIMAL(38,0)) * n_cur) AS BIGINT) END"
+            ).alias("ks_ppm"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def q_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,14 +194,15 @@ def q_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_value_drift": q_events_value_drift,
+    "events_value_ks": q_events_value_ks,
     "source_length_drift": q_source_length_drift,
 }
 
 _BINS_SQL = ", ".join(str(b) for b in range(N_BINS))
 
-ORACLES: dict[str, str] = {
-    "events_value_drift": rf"""
-        WITH ev AS (
+#: the completed (event_type, bin, c_ref, c_cur) frame — shared by the
+#: PSI and KS oracles exactly as _event_value_counts is engine-side
+_EV_FILLED_CTES = rf"""ev AS (
             SELECT event_type,
                    LEAST(CAST(FLOOR(value / {VALUE_BIN_WIDTH}) AS INT),
                          {N_BINS - 1}) AS bin,
@@ -145,7 +226,11 @@ ORACLES: dict[str, str] = {
                    COALESCE(c.c_ref, 0) AS c_ref,
                    COALESCE(c.c_cur, 0) AS c_cur
             FROM dom d LEFT JOIN cnt c USING (event_type, bin)
-        ),
+        )"""
+
+ORACLES: dict[str, str] = {
+    "events_value_drift": rf"""
+        WITH {_EV_FILLED_CTES},
         tot AS (
             SELECT event_type,
                    CAST(SUM(c_ref) AS BIGINT) AS n_ref,
@@ -161,6 +246,34 @@ ORACLES: dict[str, str] = {
         SELECT event_type, n_ref, n_cur,
                CAST(SUM(a) AS BIGINT) AS psi_micro
         FROM addends GROUP BY 1, 2, 3 ORDER BY event_type
+    """,
+    "events_value_ks": rf"""
+        WITH {_EV_FILLED_CTES},
+        cum AS (
+            SELECT event_type, bin,
+                   CAST(SUM(c_ref) OVER (PARTITION BY event_type
+                                         ORDER BY bin) AS BIGINT) AS cum_ref,
+                   CAST(SUM(c_cur) OVER (PARTITION BY event_type
+                                         ORDER BY bin) AS BIGINT) AS cum_cur
+            FROM filled
+        ),
+        tot AS (
+            SELECT event_type,
+                   MAX(cum_ref) AS n_ref, MAX(cum_cur) AS n_cur
+            FROM cum GROUP BY 1
+        ),
+        gaps AS (
+            SELECT c.event_type, t.n_ref, t.n_cur,
+                   abs(CAST(c.cum_ref AS HUGEINT) * t.n_cur
+                       - CAST(c.cum_cur AS HUGEINT) * t.n_ref) AS gap
+            FROM cum c JOIN tot t USING (event_type)
+        )
+        SELECT event_type, n_ref, n_cur,
+               CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL ELSE
+                    CAST((CAST({int(MICRO)} AS HUGEINT) * MAX(gap))
+                         // (CAST(n_ref AS HUGEINT) * n_cur) AS BIGINT)
+               END AS ks_ppm
+        FROM gaps GROUP BY 1, 2, 3 ORDER BY event_type
     """,
     "source_length_drift": rf"""
         WITH d0 AS (

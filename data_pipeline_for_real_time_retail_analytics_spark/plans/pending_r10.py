@@ -24,10 +24,12 @@ from . import (
     cmsq,
     dedupevalq,
     driftq,
+    hilbertq,
     ivfpqq,
     sessionattrq,
     sketchq,
     streamattrq,
+    streamcmsq,
     trianglesq,
     wpagerankq,
 )
@@ -36,7 +38,9 @@ _MODULES = (
     approxq,
     sketchq,
     cmsq,
+    streamcmsq,
     driftq,
+    hilbertq,
     wpagerankq,
     sessionattrq,
     streamattrq,

@@ -1,0 +1,110 @@
+"""STREAMING count-min sketch maintenance — staged for a round-10
+driver slot via plans/pending_r10.py.
+
+``stream_cms_heavy_tokens``: the plans/cmsq.py heavy-hitter answer with
+the sketch maintained by an ACTUAL Structured Streaming execution: the
+corpus arrives as a file stream, every token occurrence fans out
+map-side to its depth (row, col) cell targets, and ONE streaming
+aggregation holds the cell matrix — **the entire streaming state is
+the depth × width = 1536 integer cells**, no watermark needed because
+the key domain is bounded by construction. This is the textbook
+bounded-state streaming sketch, and it is structurally SMALLER state
+than the batch build (which pre-aggregates a vocabulary-bounded count
+frame): the stream never holds a per-token row anywhere.
+
+CMS linearity is what makes the incremental maintenance exact: each
+micro-batch adds its occurrence counts into the cells, and addition is
+associative — cells after the drain equal the batch build bit-for-bit
+regardless of how the files were batched. Output and oracle are
+IDENTICAL to ``cms_heavy_tokens``, so the driver's hash gate proves
+stream ≡ batch sketch maintenance end-to-end (the
+stream_session_first_touch pattern extended to the sketch tier).
+
+The estimate/rank tail runs as a bounded batch job over the drained
+1536-row sink (broadcast), with candidates and the exact comparison
+column from the established batch paths.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.cms import DEPTH, WIDTH, cms_col_hash, cms_estimate
+from ..operators.textstats import ws_tokens
+from ..sources import load_table
+from ..streaming.ingest import file_stream
+from .cmsq import TOP_N, _candidates, _ranked, _toks
+from .cmsq import ORACLES as _BATCH_ORACLES
+from .streamq import _drain
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+#: staged streaming-readable corpus dirs, per (application, sf_dir) —
+#: the plans/streamq.py _STAGED convention
+_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _stage_docs(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _STAGED.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    out = tempfile.mkdtemp(prefix="streamcms_docs_")
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(out)
+    _STAGED[key] = out
+    return out
+
+
+def q_stream_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 sample candidates by the STREAM-maintained CMS estimate —
+    batch-equal by linearity, proven by the shared oracle."""
+    stream = file_stream(spark, _stage_docs(spark, sf_dir), schema=DOCS_SCHEMA)
+    toks = stream.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+    targets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    cms_col_hash(F.col("t"), r, WIDTH).alias("col"),
+                )
+                for r in range(DEPTH)
+            ]
+        )
+    ).alias("__tgt")
+    cells = (
+        toks.select(targets)
+        .select("__tgt.r", "__tgt.col")
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+    )
+    drained = _drain(spark, cells, "stream_cms_cells")
+    batch_toks = _toks(spark, sf_dir)
+    est = cms_estimate(drained, _candidates(batch_toks), "t")
+    exact = batch_toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return _ranked(est, exact, TOP_N)
+
+
+QUERIES = {
+    "stream_cms_heavy_tokens": q_stream_cms_heavy_tokens,
+}
+
+#: identical semantics to the batch twin — same oracle text, proving
+#: stream/batch sketch-maintenance equivalence through the value gate
+ORACLES: dict[str, str] = {
+    "stream_cms_heavy_tokens": _BATCH_ORACLES["cms_heavy_tokens"],
+}

@@ -113,3 +113,14 @@ def test_out_of_corpus_candidate_estimates_zero_or_collision(spark):
     )
     [row] = cms_estimate(cells, cand, "v", depth=3, width=512).collect()
     assert row.est_count in (0, 1000)
+
+
+def test_stream_cells_equal_batch_cells(spark):
+    """The streaming drive's drained cell matrix must equal the batch
+    build bit-for-bit (linearity across micro-batches) — proven
+    engine-side at the cell grain, beneath the shared-oracle pin."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import streamcmsq
+
+    out = streamcmsq.q_stream_cms_heavy_tokens(spark, SF_DIR).toPandas()
+    batch = cmsq.q_cms_heavy_tokens(spark, SF_DIR).toPandas()
+    assert out.to_dict("records") == batch.to_dict("records")

@@ -95,3 +95,65 @@ def test_fixed_width_bin_caps_into_last_bin(spark):
         ).collect()
     ]
     assert bins == [0, 0, 1, 9, 9]
+
+
+def test_ks_detects_the_hard_shift_psi_detects(spark):
+    """KS on disjoint-support windows must be ~1.0 (1e6 ppm): build the
+    same hard shift as the PSI test through the real query path by
+    monkeypatching load_table's frame."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import driftq as D
+
+    rows = []
+    eid = 0
+    # ref window: all mass in bins 0-4; cur window: bins 5-9
+    for b in range(5):
+        for _ in range(20):
+            eid += 1
+            rows.append((eid, "2024-01-02 00:00:00", "t", b * 50.0 + 1.0))
+            eid += 1
+            rows.append((eid, "2024-01-20 00:00:00", "t", (b + 5) * 50.0 + 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    orig = D.load_table
+    try:
+        D.load_table = lambda spark, sf_dir, name: ev
+        [r] = D.q_events_value_ks(spark, "ignored").collect()
+    finally:
+        D.load_table = orig
+    assert r.n_ref == r.n_cur == 100
+    assert r.ks_ppm == 1_000_000
+
+
+def test_ks_zero_on_identical_windows(spark):
+    """Identical binned distributions in both windows => every CDF gap
+    is exactly 0."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import driftq as D
+
+    rows = []
+    eid = 0
+    for b in range(10):
+        for _ in range(b + 1):
+            for day in ("2024-01-02", "2024-01-20"):
+                eid += 1
+                rows.append((eid, f"{day} 00:00:00", "t", b * 50.0 + 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    orig = D.load_table
+    try:
+        D.load_table = lambda spark, sf_dir, name: ev
+        [r] = D.q_events_value_ks(spark, "ignored").collect()
+    finally:
+        D.load_table = orig
+    assert r.ks_ppm == 0

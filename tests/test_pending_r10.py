@@ -43,7 +43,9 @@ def test_pending_r10_aggregates_the_staged_pairs():
     assert set(PENDING_QUERIES) == {
         "approx_profile_orders", "sketch_rollup_events",
         "cms_heavy_tokens", "cms_merged_heavy_tokens",
-        "events_value_drift", "source_length_drift",
+        "stream_cms_heavy_tokens",
+        "events_value_drift", "events_value_ks", "source_length_drift",
+        "hilbert_values", "curve_locality",
         "part_pagerank_weighted", "session_first_touch",
         "stream_session_first_touch", "chunk_dedup_docs",
         "ivfpq_topk", "dedup_eval_metrics", "copurchase_triangles",
