@@ -131,6 +131,8 @@ HEAVY = [
     # entire state is the 1536-cell matrix — the drive cost should be
     # flat-ish in state and linear in input
     "stream_cms_heavy_tokens",
+    # hard_negatives is embedding-based: its scale evidence lives in
+    # bench_hardneg_scale.py (the scaled-dir here carries no embeddings)
 ]
 
 #: id offset per generated copy. Must satisfy

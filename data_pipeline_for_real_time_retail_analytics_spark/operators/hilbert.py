@@ -115,7 +115,7 @@ def with_hilbert_value(
             f"AS BIGINT) "
             f"ELSE (__hmax_{j} - __hmin_{j}) div {1 << bits} + 1 END)"
         ).alias(f"__hx_{j}")
-        for j, (c,) in enumerate(zip(cols))
+        for j, c in enumerate(cols)
     ]
     cur = joined.select("*", *scaled)
     # unroll the planes, re-anchoring x/y/d as real columns each step so

@@ -19,11 +19,13 @@ the recommended registration order.
 from __future__ import annotations
 
 from . import (
+    annevalq,
     approxq,
     chunkdedupq,
     cmsq,
     dedupevalq,
     driftq,
+    hardnegq,
     hilbertq,
     ivfpqq,
     sessionattrq,
@@ -41,6 +43,8 @@ _MODULES = (
     streamcmsq,
     driftq,
     hilbertq,
+    hardnegq,
+    annevalq,
     wpagerankq,
     sessionattrq,
     streamattrq,

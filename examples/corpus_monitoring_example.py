@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Corpus monitoring walk: the observability pass a training-data
+pipeline runs on every ingest batch BEFORE the expensive curation
+stages touch it — catch a drifted or degenerate batch at the sketch
+tier, where every statistic is one bounded-state pass.
+
+Composed from the engine's monitoring parts:
+
+1. distribution drift — PSI per event type (diffuse reshaping) and the
+   two-sample KS distance (single worst CDF gap) over fixed bins
+   (plans/driftq.py); per-source document-length drift against the
+   corpus reference — the mixture-audit signal;
+2. frequency sketch — count-min heavy hitters over the token stream
+   with exact counts alongside (plans/cmsq.py): a sudden new heavy
+   token is boilerplate/spam arriving;
+3. cardinality sketch — per-source KMV vocabulary estimates
+   (plans/kmvq.py): a collapsing vocabulary estimate is template text
+   flooding a source.
+
+All three tiers are mergeable (cells add, bottom-k unions, counts
+add), so per-day/per-source sketches roll up to any reporting grain
+without re-touching data — the property that makes this pass viable
+at 100 TB.
+
+Run:  python examples/corpus_monitoring_example.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from data_pipeline_for_real_time_retail_analytics_spark.plans import cmsq, driftq, kmvq  # noqa: E402
+
+#: PSI rules of thumb in micro-units
+PSI_STABLE, PSI_SHIFTED = 100_000, 250_000
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("corpus_monitoring_example")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== event-stream drift (window B vs window A) ==")
+    psi = {r.event_type: r for r in
+           driftq.q_events_value_drift(spark, sf_dir).collect()}
+    ks = {r.event_type: r for r in
+          driftq.q_events_value_ks(spark, sf_dir).collect()}
+    for et in sorted(psi):
+        p, k = psi[et], ks[et]
+        flag = ("SHIFTED" if p.psi_micro > PSI_SHIFTED
+                else "watch" if p.psi_micro > PSI_STABLE else "stable")
+        print(f"  {et:10s} psi={p.psi_micro:>8d}µ ks={k.ks_ppm:>7d}ppm "
+              f"(n={p.n_ref}/{p.n_cur}) -> {flag}")
+
+    print("\n== per-source length-profile drift vs corpus ==")
+    worst = sorted(
+        driftq.q_source_length_drift(spark, sf_dir).collect(),
+        key=lambda r: -r.psi_micro,
+    )[:5]
+    for r in worst:
+        print(f"  {r.source:8s} psi={r.psi_micro:>8d}µ (n={r.n_cur})")
+
+    print("\n== CMS heavy tokens (sample candidates, full-stream sketch) ==")
+    for r in cmsq.q_cms_heavy_tokens(spark, sf_dir).collect()[:8]:
+        print(f"  {r.token:12s} est={r.est_count:>6d} exact={r.exact_count:>6d} "
+              f"overcount={r.overcount}")
+
+    print("\n== KMV vocabulary estimates per source (first 5) ==")
+    for r in kmvq.q_kmv_distinct_tokens(spark, sf_dir).collect()[:5]:
+        print(f"  {r.source:8s} est={r.est_distinct:>6d} "
+              f"exact={r.exact_distinct:>6d}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -162,3 +162,19 @@ def test_pq_retrieval_example_runs(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert "ivf-pq candidates scored from codes only" in out
     assert "recall@5:" in out
+
+
+def test_corpus_monitoring_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["corpus_monitoring_example.py", sf_dir]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/corpus_monitoring_example.py", run_name="__main__"
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "event-stream drift" in out
+    assert "CMS heavy tokens" in out
+    assert "KMV vocabulary estimates" in out
