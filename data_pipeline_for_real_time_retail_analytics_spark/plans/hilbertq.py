@@ -99,13 +99,16 @@ def q_curve_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.withColumns(
             {"__hd": F.col("__hd") + d_inc, "__hx": nx, "__hy": ny}
         )
+    # referenced twice by the two-curve stack below → localCheckpoint
+    # (the shared-frames rule; without it the scan + plane transforms
+    # execute once per curve — audited 4 FileScans vs 2)
     both = cur.select(
         "o_orderkey",
         "sc",
         "sd",
         F.col("__hd").alias("h"),
         _interleave([sc, sd], H_BITS).cast("long").alias("z"),
-    )
+    ).localCheckpoint()
     stacked = both.select(
         "o_orderkey", "sc", "sd", F.lit("hilbert").alias("curve"),
         F.col("h").alias("v"),

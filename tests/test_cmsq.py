@@ -124,3 +124,75 @@ def test_stream_cells_equal_batch_cells(spark):
     out = streamcmsq.q_stream_cms_heavy_tokens(spark, SF_DIR).toPandas()
     batch = cmsq.q_cms_heavy_tokens(spark, SF_DIR).toPandas()
     assert out.to_dict("records") == batch.to_dict("records")
+
+
+def test_stream_cells_accumulate_across_real_micro_batches(spark, tmp_path):
+    """Force multiple micro-batches (one file per trigger) and prove the
+    drained cells equal the batch build — linearity across ACTUAL batch
+    boundaries, not just a single-batch AvailableNow pass."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.cms import (
+        DEPTH,
+        WIDTH,
+        cms_col_hash,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.streamcmsq import (
+        DOCS_SCHEMA,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.streamq import _drain
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import (
+        ws_tokens,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.streaming.ingest import (
+        file_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} shared", "en", f"s{i % 2}", 20)
+         for i in range(40)],
+        DOCS_SCHEMA,
+    )
+    # four separate files => four micro-batches at one file per trigger
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    def targets(col):
+        from pyspark.sql import functions as FF
+
+        return FF.explode(
+            FF.array(
+                *[
+                    FF.struct(
+                        FF.lit(r).alias("r"),
+                        cms_col_hash(col, r, WIDTH).alias("col"),
+                    )
+                    for r in range(DEPTH)
+                ]
+            )
+        ).alias("__tgt")
+
+    stream = file_stream(
+        spark, src, schema=DOCS_SCHEMA, max_files_per_trigger=1
+    )
+    s_cells = (
+        stream.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+        .select(targets(F.col("t")))
+        .select("__tgt.r", "__tgt.col")
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+    )
+    drained = {
+        (r.r, r.col): r.cell
+        for r in _drain(spark, s_cells, "cms_multibatch_test").collect()
+    }
+    batch = {
+        (r.r, r.col): r.cell
+        for r in (
+            spark.read.parquet(src)
+            .select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+            .select(targets(F.col("t")))
+            .select("__tgt.r", "__tgt.col")
+            .groupBy("r", "col")
+            .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+        ).collect()
+    }
+    assert drained == batch
