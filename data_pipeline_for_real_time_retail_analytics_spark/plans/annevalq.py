@@ -84,8 +84,17 @@ def _metric_row(truth: DataFrame, approx: DataFrame, variant: str) -> DataFrame:
         "n_queries",
         "n_truth",
         "n_hits",
-        F.expr(f"({PPM} * n_hits) DIV n_truth").alias("recall_ppm"),
-        F.expr("sum_rr DIV n_queries").alias("mrr_micro"),
+        # empty-corpus guard: integral DIV raises under ANSI on a zero
+        # divisor — an empty query set must yield NULL metrics, not a
+        # crash; values identical whenever the divisor is non-zero
+        F.expr(
+            f"CASE WHEN n_truth = 0 THEN NULL "
+            f"ELSE ({PPM} * n_hits) DIV n_truth END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_queries = 0 THEN NULL "
+            "ELSE sum_rr DIV n_queries END"
+        ).alias("mrr_micro"),
     )
 
 

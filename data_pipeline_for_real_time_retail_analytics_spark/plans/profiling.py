@@ -98,11 +98,21 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_view_click",
         "n_view_click_purchase",
-        F.round(F.col("n_view") / F.col("n_users"), 4).alias("view_rate"),
-        F.round(F.col("n_view_click") / F.col("n_view"), 4).alias("click_rate"),
-        F.round(F.col("n_view_click_purchase") / F.col("n_view_click"), 4).alias(
-            "purchase_rate"
+        # try_divide: an empty ingest window (or a stage with zero
+        # survivors) must yield NULL rates, not an ANSI DIVIDE_BY_ZERO
+        # crash — identical values whenever the divisor is non-zero, so
+        # the DuckDB oracle (which never sees the empty case at the
+        # driver's SF) is unaffected
+        F.round(F.try_divide(F.col("n_view"), F.col("n_users")), 4).alias(
+            "view_rate"
         ),
+        F.round(
+            F.try_divide(F.col("n_view_click"), F.col("n_view")), 4
+        ).alias("click_rate"),
+        F.round(
+            F.try_divide(F.col("n_view_click_purchase"), F.col("n_view_click")),
+            4,
+        ).alias("purchase_rate"),
     )
 
 

@@ -1,0 +1,62 @@
+"""Empty-input hardening: every registered and staged query must handle
+a schema-correct, zero-row dataset — the empty-ingest-window case a
+100 TB deployment hits on day one of a new source — by returning a
+well-formed (usually empty) frame, never crashing.
+
+Found and fixed by this sweep: ANSI-mode DIVIDE_BY_ZERO crashes in
+``event_funnel`` (stage-rate divisions) and ``ann_eval_metrics``
+(recall/MRR divisions). The one allowed exception is ``zonemap_scan``'s
+deliberate loud ValueError — an empty zone-map table means the layout
+step never ran, and silently scanning nothing would mask that.
+"""
+
+import os
+
+import pytest
+
+SRC = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+#: queries whose documented behavior on missing layout/zone state is a
+#: loud error rather than an empty result
+LOUD_GUARDS = {"zonemap_pruned_orders"}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in TABLES:
+        (
+            spark.read.parquet(f"{SRC}/{t}.parquet")
+            .limit(0)
+            .write.mode("overwrite")
+            .parquet(f"{out}/{t}.parquet")
+        )
+    return out
+
+
+def _all_queries():
+    import __spark_entry__ as entry
+
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r10 import (
+        PENDING_QUERIES,
+    )
+
+    qs = dict(entry.queries())
+    qs.update(PENDING_QUERIES)
+    return qs
+
+
+@pytest.mark.parametrize("name", sorted(_all_queries()))
+def test_handles_empty_dataset(spark, empty_dir, name):
+    fn = _all_queries()[name]
+    if name in LOUD_GUARDS:
+        with pytest.raises(ValueError):
+            fn(spark, empty_dir).take(1)
+        return
+    out = fn(spark, empty_dir)
+    assert out.columns
+    out.take(1)  # must execute without raising
