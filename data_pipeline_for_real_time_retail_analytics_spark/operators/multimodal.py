@@ -103,14 +103,23 @@ def extract_features(media: DataFrame) -> DataFrame:
         import pandas as _pd
 
         for pdf in batches:
-            stats = [(len(p), hashlib.sha256(p).hexdigest()) for p in pdf["payload"]]
+            # NULL payload/meta rows (a failed fetch upstream) yield NULL
+            # features — the batch must not crash the worker over them
+            stats = [
+                (None, None)
+                if p is None
+                else (len(p), hashlib.sha256(p).hexdigest())
+                for p in pdf["payload"]
+            ]
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [s[0] for s in stats],
                     "payload_sha256": [s[1] for s in stats],
-                    "width": [m["width"] for m in pdf["meta"]],
-                    "height": [m["height"] for m in pdf["meta"]],
+                    "width": [None if m is None else m["width"]
+                              for m in pdf["meta"]],
+                    "height": [None if m is None else m["height"]
+                               for m in pdf["meta"]],
                 }
             )
 
@@ -132,7 +141,9 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "frames": [
-                        [bytes(p[i : i + 1]) for i in range(0, len(p), n)]
+                        None
+                        if p is None
+                        else [bytes(p[i : i + 1]) for i in range(0, len(p), n)]
                         for p in pdf["payload"]
                     ],
                 }
