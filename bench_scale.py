@@ -133,6 +133,10 @@ HEAVY = [
     "stream_cms_heavy_tokens",
     # hard_negatives is embedding-based: its scale evidence lives in
     # bench_hardneg_scale.py (the scaled-dir here carries no embeddings)
+    # PMI: the lm_perplexity corpus pass + vocabulary-keyed marginal
+    # joins — vocabulary grows with this harness's tagged copies, the
+    # adversarial case for the count-table checkpoint
+    "pmi_collocations",
 ]
 
 #: id offset per generated copy. Must satisfy

@@ -28,6 +28,7 @@ from . import (
     hardnegq,
     hilbertq,
     ivfpqq,
+    pmiq,
     sessionattrq,
     sketchq,
     streamattrq,
@@ -45,6 +46,7 @@ _MODULES = (
     hilbertq,
     hardnegq,
     annevalq,
+    pmiq,
     wpagerankq,
     sessionattrq,
     streamattrq,

@@ -46,7 +46,7 @@ def test_pending_r10_aggregates_the_staged_pairs():
         "stream_cms_heavy_tokens",
         "events_value_drift", "events_value_ks", "source_length_drift",
         "hilbert_values", "curve_locality", "hard_negatives",
-        "ann_eval_metrics",
+        "ann_eval_metrics", "pmi_collocations",
         "part_pagerank_weighted", "session_first_touch",
         "stream_session_first_touch", "chunk_dedup_docs",
         "ivfpq_topk", "dedup_eval_metrics", "copurchase_triangles",
