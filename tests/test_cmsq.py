@@ -196,3 +196,32 @@ def test_stream_cells_accumulate_across_real_micro_batches(spark, tmp_path):
         ).collect()
     }
     assert drained == batch
+
+
+def test_stream_cells_identical_under_rocksdb_state_store(spark):
+    """The production state-store choice at 100 TB is RocksDB (bounded
+    JVM heap, state spills to local disk); the streaming sketch must
+    produce the identical output under it. The provider binds at
+    stream start, so flipping the session conf around the drive is
+    sufficient — and the drained result must equal the batch query."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import streamcmsq
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, rocks)
+    try:
+        out = streamcmsq.q_stream_cms_heavy_tokens(spark, SF_DIR).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = cmsq.q_cms_heavy_tokens(spark, SF_DIR).toPandas()
+    assert out.to_dict("records") == batch.to_dict("records")
