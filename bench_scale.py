@@ -122,6 +122,7 @@ HEAVY = [
     "cms_merged_heavy_tokens",
     "events_value_drift",
     "events_value_ks",
+    "events_daily_drift",
     "source_length_drift",
     # the Hilbert transform is map-side bit arithmetic; the locality
     # walk's 32 (curve, block) windows are the part worth scale-proving

@@ -192,9 +192,53 @@ def q_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_micro(with_ref, ["source"]).orderBy("source")
 
 
+def q_events_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day PSI series of the value distribution — the
+    production monitoring shape (a daily batch compares each day to the
+    previous one and alerts on the statistic's trajectory, not one
+    global split). One (day, bin) count pass → complete-domain frame →
+    adjacent-day self-join (bounded: days × bins rows) → the SAME
+    ``psi_micro`` aggregation as the window query, keyed on the day.
+
+    Output: (day, n_ref, n_cur, psi_micro) for every day with a
+    predecessor, ordered by day; the generator's stationary stream
+    should sit far below the 0.1 'stable' line on every row — which is
+    itself the useful pin: a monitoring statistic that false-alarms on
+    stationary data is unusable."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            fixed_width_bin(F.col("value"), VALUE_BIN_WIDTH).alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    completed = complete_bins(
+        counts, counts.select("day").distinct(), ["day"], ["c"]
+    )
+    cur = completed.select("day", "bin", F.col("c").alias("c_cur"))
+    prev = completed.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        "bin",
+        F.col("c").alias("c_ref"),
+    )
+    paired = cur.join(prev, ["day", "bin"]).select(
+        # ISO-string day: engine-portable output (DuckDB surfaces DATE
+        # as a timestamp through pandas, which the value gate rejects)
+        F.col("day").cast("string").alias("day"),
+        "bin",
+        "c_ref",
+        "c_cur",
+    )
+    return psi_micro(paired, ["day"]).orderBy("day")
+
+
 QUERIES = {
     "events_value_drift": q_events_value_drift,
     "events_value_ks": q_events_value_ks,
+    "events_daily_drift": q_events_daily_drift,
     "source_length_drift": q_source_length_drift,
 }
 
@@ -274,6 +318,48 @@ ORACLES: dict[str, str] = {
                          // (CAST(n_ref AS HUGEINT) * n_cur) AS BIGINT)
                END AS ks_ppm
         FROM gaps GROUP BY 1, 2, 3 ORDER BY event_type
+    """,
+    "events_daily_drift": rf"""
+        WITH d0 AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   LEAST(CAST(FLOOR(value / {VALUE_BIN_WIDTH}) AS INT),
+                         {N_BINS - 1}) AS bin
+            FROM events
+        ),
+        cnt AS (
+            SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS c
+            FROM d0 GROUP BY 1, 2
+        ),
+        dom AS (
+            SELECT d.day, b.bin
+            FROM (SELECT DISTINCT day FROM cnt) d
+            CROSS JOIN (SELECT unnest([{_BINS_SQL}]) AS bin) b
+        ),
+        filled AS (
+            SELECT d.day, d.bin, COALESCE(c.c, 0) AS c
+            FROM dom d LEFT JOIN cnt c USING (day, bin)
+        ),
+        paired AS (
+            SELECT cur.day, cur.bin, prev.c AS c_ref, cur.c AS c_cur
+            FROM filled cur
+            JOIN filled prev
+              ON cur.day = prev.day + 1 AND cur.bin = prev.bin
+        ),
+        tot AS (
+            SELECT day,
+                   CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur
+            FROM paired GROUP BY 1
+        ),
+        addends AS (
+            SELECT p.day, t.n_ref, t.n_cur,
+                   {_addend_sql("p.c_ref", "t.n_ref", "p.c_cur", "t.n_cur")}
+                       AS a
+            FROM paired p JOIN tot t USING (day)
+        )
+        SELECT CAST(day AS VARCHAR) AS day, n_ref, n_cur,
+               CAST(SUM(a) AS BIGINT) AS psi_micro
+        FROM addends GROUP BY 1, 2, 3 ORDER BY day
     """,
     "source_length_drift": rf"""
         WITH d0 AS (

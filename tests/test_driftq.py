@@ -157,3 +157,53 @@ def test_ks_zero_on_identical_windows(spark):
     finally:
         D.load_table = orig
     assert r.ks_ppm == 0
+
+
+@pytest.mark.parametrize("name", ["events_daily_drift"])
+def test_daily_parity(spark, ddb, name):
+    spark_pdf = driftq.QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = ddb.execute(driftq.ORACLES[name]).fetchdf()
+    par.assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_daily_series_is_complete_and_stable_on_stationary_stream(spark):
+    """One row per adjacent day pair over the generator's 30-day window,
+    and a monitoring statistic that false-alarms on stationary data is
+    unusable: every day must sit under the 0.1 'stable' line at the
+    driver SF."""
+    rows = driftq.QUERIES["events_daily_drift"](spark, SF_DIR).collect()
+    days = [r.day for r in rows]
+    assert len(days) == 29 and days == sorted(days)
+    assert all(r.psi_micro < 100_000 for r in rows), max(
+        (r.psi_micro, r.day) for r in rows
+    )
+
+
+def test_daily_series_flags_a_planted_day_shift(spark):
+    """Shift one day's values into disjoint bins: that day's row (and
+    only substantial ones like it) must cross the 0.25 alert line."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import driftq as D
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):  # Jan 1-10, 200 events/day in bin 0
+        for i in range(200):
+            eid += 1
+            v = 1.0 if d != 5 else 451.0  # day 5 jumps to bin 9
+            rows.append((eid, f"2024-01-{d:02d} 12:00:00", "t", v))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    orig = D.load_table
+    try:
+        D.load_table = lambda spark, sf_dir, name: ev
+        got = {r.day: r.psi_micro
+               for r in D.q_events_daily_drift(spark, "ignored").collect()}
+    finally:
+        D.load_table = orig
+    assert got["2024-01-05"] > 250_000   # shift INTO day 5
+    assert got["2024-01-06"] > 250_000   # shift back OUT on day 6
+    assert got["2024-01-03"] == 0        # identical stationary days

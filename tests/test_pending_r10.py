@@ -44,7 +44,8 @@ def test_pending_r10_aggregates_the_staged_pairs():
         "approx_profile_orders", "sketch_rollup_events",
         "cms_heavy_tokens", "cms_merged_heavy_tokens",
         "stream_cms_heavy_tokens",
-        "events_value_drift", "events_value_ks", "source_length_drift",
+        "events_value_drift", "events_value_ks", "events_daily_drift",
+        "source_length_drift",
         "hilbert_values", "curve_locality", "hard_negatives",
         "ann_eval_metrics", "pmi_collocations",
         "part_pagerank_weighted", "session_first_touch",
