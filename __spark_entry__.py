@@ -38,6 +38,10 @@ from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r9 import 
     PENDING_ORACLES as PENDING_ORACLES_R9,
     PENDING_QUERIES as PENDING_QUERIES_R9,
 )
+from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r10 import (
+    PENDING_ORACLES as PENDING_ORACLES_R10,
+    PENDING_QUERIES as PENDING_QUERIES_R10,
+)
 from data_pipeline_for_real_time_retail_analytics_spark.plans import scaleops as SOP
 from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
 from data_pipeline_for_real_time_retail_analytics_spark.plans import streamq as SQ
@@ -58,44 +62,51 @@ def entry(spark: SparkSession) -> DataFrame:
 #: changed since their last green commit) fill the rest OLDEST-FIRST,
 #: and the overflow is recorded explicitly in ROTATION.json["deferred"]
 #: (every deferred query stays value-proven on the current tree by
-#: tests/test_oracle_parity.py). Composition this round (r9), after
-#: rolling the ledger with CORRECTNESS_r08.json @52353f3:
-#:  * slots 1-9: the nine r8-staged pairs (plans/pending_r9.py: KMV
-#:    sketch x2, zone-map prune, containment dedup, blocked fuzzy
-#:    matching, cluster-safe splits, PageRank, Markov transitions,
-#:    join-key skew) — never-green -> front by rule;
-#:  * slots 10-33: the full remaining r5 @e9bd03e cohort (24), the
-#:    registry's oldest stale greens — includes the similarity.py
-#:    family re-proving this round's hint("merge") pin;
-#:  * slots 34-50: 17 of the 25 stale @978398a (r6) — the aggregate-
-#:    maintenance trio re-proving the NULL-measure fix, the semantic-
-#:    dedup family, and incremental_dedup_new_docs (the r8 perf cell
-#:    under attribution);
-#:  * deferred (ROTATION.json): the 8 remaining @978398a analytics
-#:    entries plus the 24 @52353f3 queries that went stale again via
-#:    the shared plans/llm.py closure when similarity.py was edited.
+#: tests/test_oracle_parity.py). Composition this round (r10), after
+#: rolling the ledger with CORRECTNESS_r09.json @6c9daba:
+#:  * slots 1-21: the twenty-one r9-staged pairs (plans/pending_r10.py:
+#:    approx profile, HLL roll-up, CMS x3 incl. streaming, drift tier
+#:    x4, Hilbert pair, hard negatives, ANN recall ladder, PMI,
+#:    weighted PageRank, session attribution x2, chunk dedup, IVF-PQ,
+#:    dedup eval, co-purchase triangles) — never-green -> front by
+#:    rule;
+#:  * slots 22-35: the ENTIRE @978398a (r6) cohort — the registry's
+#:    oldest stale: the order-fulfilment analytics4 family plus the six
+#:    queries this round's own edits re-staled back onto that commit
+#:    (behavior.py gained the shared pair-support consumer, temporal.py
+#:    family via the asof.py tolerance parameter);
+#:  * slots 36-50: 15 of the stale @52353f3 (r8) — the plans/llm.py
+#:    closure family (dedup, textstats, quantization, CCNet, DSIR),
+#:    chosen so their r10 green lands on the post-closure-split tree
+#:    (this round split the shared CTE builders out of llm.py so a
+#:    similarity.py edit no longer re-stales them);
+#:  * deferred (ROTATION.json): the remaining @52353f3 overflow plus
+#:    the @6c9daba queries this round's closure-split / pair-sharing /
+#:    layout-guard edits re-staled — youngest cohort, deferred by the
+#:    oldest-first rule, each still value-proven on the current tree by
+#:    tests/test_oracle_parity.py every suite run.
 FRONT_50 = [
-    # slots 1-9: never-green r9 registrations
-    "kmv_distinct_tokens", "kmv_union_tokens", "zonemap_pruned_orders",
-    "containment_dup_pairs", "fuzzy_customer_pairs", "cluster_safe_splits",
-    "part_pagerank", "event_transitions", "join_key_skew",
-    # slots 10-33: the r5 @e9bd03e cohort (oldest stale)
-    "ann_ivf", "ann_multiprobe", "ann_multitable", "ann_sign_lsh",
-    "benford_profile", "chunked_docs", "cleaned_docs", "cosine_topk",
-    "customer_running_spend", "doc_fingerprints", "embedding_clusters",
-    "embedding_near_dup", "events_cube", "events_hourly_dense",
-    "idle_customer_balance", "lm_perplexity", "market_share",
-    "mixture_sample_docs", "multimodal_features", "packed_sequences",
-    "segment_year_pivot", "stratified_sample_docs", "train_split_counts",
-    "volume_shipping",
-    # slots 34-50: 17 of the stale @978398a (r6) cohort
-    "orders_agg_maintenance", "orders_snapshot_diff",
-    "orders_snapshot_summary", "semantic_dedup", "semantic_dedup_stats",
-    "semantic_dedup_2level", "semantic_contamination",
-    "embedding_clusters_2level", "shard_manifest",
-    "incremental_dedup_new_docs", "dedup_survivors", "shuffled_shards",
-    "dup_rate_by_source", "lang_temperature_sample", "quality_quota_prune",
-    "customer_rfm", "supplier_diversity",
+    # slots 1-21: never-green r10 registrations (plans/pending_r10.py)
+    "approx_profile_orders", "sketch_rollup_events", "cms_heavy_tokens",
+    "cms_merged_heavy_tokens", "stream_cms_heavy_tokens",
+    "events_value_drift", "events_value_ks", "events_daily_drift",
+    "source_length_drift", "hilbert_values", "curve_locality",
+    "hard_negatives", "ann_eval_metrics", "pmi_collocations",
+    "part_pagerank_weighted", "session_first_touch",
+    "stream_session_first_touch", "chunk_dedup_docs", "ivfpq_topk",
+    "dedup_eval_metrics", "copurchase_triangles",
+    # slots 22-35: the full @978398a cohort (oldest stale)
+    "discounted_revenue", "forecast_revenue_delta", "important_parts",
+    "late_shipment_priority", "min_cost_supplier",
+    "promo_excess_suppliers", "shipping_priority", "waiting_suppliers",
+    "basket_pairs", "click_attribution", "cohort_retention",
+    "events_sliding", "salted_event_rollup", "user_sessions",
+    # slots 36-50: 15 of the stale @52353f3 cohort (llm.py closure)
+    "boilerplate_ngrams", "ccnet_buckets", "contaminated_docs",
+    "corpus_filter", "dedup_clusters", "dsir_selected",
+    "exact_dedup_docs", "language_id", "minhash_lsh_dupes",
+    "ngram_jaccard_pairs", "pq_topk_adc", "pq_words", "quality_score",
+    "repetition_ratio", "simhash_pairs",
 ]
 
 
@@ -112,6 +123,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # grouped by family/registration round; driver order is imposed
         # by FRONT_50 in queries() above
+        **PENDING_QUERIES_R10,
         **PENDING_QUERIES_R9,
         **PENDING_QUERIES_R8,
         **PENDING_QUERIES_R7,
@@ -235,6 +247,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r10 registrations: the 21 r9-staged pairs (plans/pending_r10)
+        **PENDING_ORACLES_R10,
         # r9 registrations: the nine r8-staged pairs (plans/pending_r9)
         **PENDING_ORACLES_R9,
         # r8 registrations: the ten r7-staged pairs (plans/pending_r8)

@@ -23,8 +23,25 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
+from data_pipeline_for_real_time_retail_analytics_spark.plans import (  # noqa: E402
+    copurchase as _copurchase,
+    corpusbase as _corpusbase,
+)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _clear_shared_caches() -> None:
+    """Reset the per-application shared materializations (MinHash pair
+    set, corpus stats, co-purchase pair support) OUTSIDE every timed
+    window. Without this, whichever consumer runs first pays the
+    materialization and the rest time a cache hit (the r9 advice's
+    0.093 s minhash_lsh_dupes cell) — per-query walls must each carry
+    their full cost to stay interpretable. Production pipelines keep
+    the amortization; the bench deliberately forgoes it."""
+    _corpusbase.clear_caches()
+    _copurchase.clear_caches()
 
 
 def _sf_from_dir(path: str) -> float:
@@ -140,6 +157,7 @@ def main() -> None:
         samples: list[float] = []
         try:
             for _ in range(repeat):
+                _clear_shared_caches()
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
@@ -163,6 +181,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        # per-query walls are UNAMORTIZED: the shared materializations
+        # (corpusbase MinHash pairs, copurchase pair support) are
+        # cleared outside every timed window, so each cell carries its
+        # full cost (r9 advice — no cache-warmed 0.09 s artifacts)
+        "cache_policy": "shared_frames_cleared_between_cells",
     }
     # Full per-query detail goes to a sidecar file: the driver keeps
     # only a 2000-byte tail of stdout and parses its LAST line, so the

@@ -138,6 +138,14 @@ HEAVY = [
     # joins — vocabulary grows with this harness's tagged copies, the
     # adversarial case for the count-table checkpoint
     "pmi_collocations",
+    # staged for r11 registration (plans/pending_r11.py): the as-of
+    # merge sweep (one user_id shuffle + per-key ordered window), the
+    # Bloom-prefiltered chunk audit (corpus chunk pass + bounded-bit
+    # broadcast probe), and the temperature-quota composition (per-row
+    # scoring + one lang-partitioned rank window)
+    "purchase_click_asof",
+    "bloom_chunk_prefilter",
+    "lang_quality_mix",
 ]
 
 #: id offset per generated copy. Must satisfy
@@ -293,7 +301,10 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r10 import (
         PENDING_QUERIES as _PENDING10,
     )
-    for _n, _fn in {**_PENDING, **_PENDING9, **_PENDING10}.items():
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r11 import (
+        PENDING_QUERIES as _PENDING11,
+    )
+    for _n, _fn in {**_PENDING, **_PENDING9, **_PENDING10, **_PENDING11}.items():
         queries.setdefault(_n, _fn)
     for name in HEAVY:
         t0 = time.perf_counter()

@@ -168,7 +168,26 @@ def apply_changelog_to_agg(
     measure contributes 0 to the sum and 0 to its ``nn_<out>`` count,
     and a group whose maintained non-null count is zero emits NULL for
     that sum — exactly what ``aggregate_snapshot`` recomputes.
+
+    Schema-break note (r9): the ``nn_<out>`` columns joined the
+    maintained shape when the NULL-measure contract landed. A baseline
+    persisted by the earlier shape cannot be rolled forward — rebuild
+    it once with ``aggregate_snapshot`` on the current snapshot. The
+    guard below turns the otherwise-cryptic unresolvable-column error
+    into that instruction.
     """
+    missing = [
+        f"nn_{out}" for out in sum_cols if f"nn_{out}" not in old_agg.columns
+    ]
+    if missing:
+        raise ValueError(
+            "old_agg is missing non-null count column(s) "
+            f"{missing}: it was built by a pre-nn_<out> "
+            "aggregate_snapshot (the NULL-measure maintenance state "
+            "added in r9). Rebuild the day-0 baseline with "
+            "aggregate_snapshot() on the current snapshot, then roll "
+            "changelogs forward from there."
+        )
     def _img(prefix: str, sign: int) -> F.Column:
         return F.struct(
             *[F.col(f"{prefix}_{k}").alias(k) for k in group_keys],

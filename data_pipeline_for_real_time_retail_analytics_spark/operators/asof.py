@@ -27,6 +27,8 @@ def asof_join_backward(
     ts_col: str,
     right_value_cols: list[str],
     allow_exact_matches: bool = True,
+    tolerance_seconds: float | None = None,
+    matched_ts_col: str | None = None,
 ) -> DataFrame:
     """For every left row, attach ``right_value_cols`` from the most
     recent right row with the same keys and ``right.ts <= left.ts``
@@ -34,10 +36,21 @@ def asof_join_backward(
     right row get NULLs (left-outer semantics, like pandas ``merge_asof``
     / DuckDB ``ASOF LEFT JOIN``).
 
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)``): a
+    match older than the bound is discarded (NULL payload). The compare
+    is exact integer microsecond arithmetic (``unix_micros``), never a
+    float timestamp difference — DuckDB's ``epoch_us`` mirrors it
+    bit-for-bit. ``matched_ts_col`` additionally surfaces the matched
+    right row's timestamp under that name (NULL when no match
+    survives), so callers can report the gap.
+
     The right payload travels as ONE struct so all carried columns come
     from the same matched row even if some of its fields are NULL.
     """
-    payload = F.struct(*[F.col(c) for c in right_value_cols])
+    payload = F.struct(
+        F.col(ts_col).alias("__asof_rts"),
+        *[F.col(c) for c in right_value_cols],
+    )
     r = right.select(
         *key_cols,
         F.col(ts_col),
@@ -69,6 +82,17 @@ def asof_join_backward(
         .where(F.col(_SIDE) == 1)
         .drop(_SIDE)
     )
+    if tolerance_seconds is not None:
+        # timestamp subtraction yields an exact day-time interval
+        # (microsecond integer under the hood) and works for both
+        # TIMESTAMP and TIMESTAMP_NTZ columns with no session-timezone
+        # dependence — unlike unix_* conversions
+        in_tol = (
+            F.col(ts_col) - F.col(_PAYLOAD)["__asof_rts"]
+        ) <= F.make_dt_interval(secs=F.lit(float(tolerance_seconds)))
+        out = out.withColumn(_PAYLOAD, F.when(in_tol, F.col(_PAYLOAD)))
+    if matched_ts_col is not None:
+        out = out.withColumn(matched_ts_col, F.col(_PAYLOAD)["__asof_rts"])
     for c in right_value_cols:
         out = out.withColumn(c, F.col(_PAYLOAD)[c])
     return out.drop(_PAYLOAD)

@@ -59,8 +59,9 @@ WIDTH = 512
 def cms_col_hash(value: Column, row: int, width: int = WIDTH) -> Column:
     """Column index of ``value`` in hash row ``row``: first 8 md5 hex
     chars of ``value || ':' || row`` as a BIGINT, mod width. DuckDB
-    mirror: ``CAST(concat('0x', substr(md5(v || ':r'), 1, 8)) AS
-    BIGINT) % width``."""
+    mirror (plans/cmsq.py ``_COL_HASH_SQL``):
+    ``CAST(concat('0x', substr(md5(v || ':' || CAST(r AS VARCHAR)), 1,
+    8)) AS BIGINT) % width``."""
     h = F.conv(
         F.substring(F.md5(F.concat(value, F.lit(f":{row}"))), 1, 8), 16, 10
     ).cast("long")

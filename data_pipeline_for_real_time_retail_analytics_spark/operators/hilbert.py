@@ -97,6 +97,17 @@ def with_hilbert_value(
         raise ValueError(f"2*bits must stay within a signed 64-bit word, got {bits}")
     if out_col in df.columns:
         raise ValueError(f"output column {out_col!r} already exists")
+    # the working columns below are written with withColumns/select('*')
+    # and would silently CLOBBER same-named input columns — refuse
+    # loudly instead (same contract as the out_col guard above)
+    reserved = {"__hx_0", "__hx_1", "__hd", "__hmin_0", "__hmax_0",
+                "__hmin_1", "__hmax_1"}
+    clashes = sorted(reserved & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"input columns {clashes} collide with with_hilbert_value's "
+            "reserved working names — rename them before clustering"
+        )
     aggs = []
     for j, c in enumerate(cols):
         as_long = F.col(c).cast("long")

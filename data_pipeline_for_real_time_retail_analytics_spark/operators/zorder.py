@@ -91,6 +91,20 @@ def with_z_value(
         )
     if out_col in df.columns:
         raise ValueError(f"output column {out_col!r} already exists")
+    # working columns are joined in with select('*') and would silently
+    # clobber same-named input columns — refuse loudly (same contract
+    # as hilbert.with_hilbert_value)
+    reserved = {
+        name
+        for j in range(len(cols))
+        for name in (f"__zmin_{j}", f"__zmax_{j}")
+    }
+    clashes = sorted(reserved & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"input columns {clashes} collide with with_z_value's "
+            "reserved working names — rename them before clustering"
+        )
     aggs = []
     for j, c in enumerate(cols):
         as_long = F.col(c).cast("long")

@@ -41,7 +41,7 @@ from ..operators.similarity import (
     ann_topk_sign_lsh_multitable,
     cosine_topk,
 )
-from .llm import PLANT_EVERY_VECS, _embs
+from .corpusbase import PLANT_EVERY_VECS, _embs
 from .llm_oracles import ann_multiprobe as _mp_sql
 from .llm_oracles import ann_multitable as _mt_sql
 from .llm_oracles import ann_sign_lsh as _single_sql

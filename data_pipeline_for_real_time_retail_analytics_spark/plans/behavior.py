@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .copurchase import pair_support
 
 #: basket-pair report: minimum co-occurrence support
 MIN_SUPPORT = 3
@@ -88,22 +89,21 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: the TOP_PAIRS most frequently co-ordered
     part pairs with support ≥ MIN_SUPPORT and their lift
-    (support·N / (freq_a·freq_b)). The self-join is per-order (bounded
-    basket), so candidates scale linearly with order count."""
+    (support·N / (freq_a·freq_b)). Pair mining is the SHARED
+    plans/copurchase.pair_support materialization (one pass also feeds
+    part_pagerank and copurchase_triangles); the self-join inside it is
+    per-order (bounded basket), so candidates scale linearly with order
+    count."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
-    )
     pairs = (
-        a.join(b, "okey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
+        pair_support(spark, sf_dir)
         .where(F.col("support") >= MIN_SUPPORT)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "support",
+        )
     )
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").cast("double").alias("n_orders")

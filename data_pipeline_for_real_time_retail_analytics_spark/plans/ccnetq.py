@@ -37,8 +37,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.lm import score_bigram_lm
-from .llm import _docs
-from .training import ORACLES as _TRAINING_ORACLES
+from .corpusbase import _docs
+from .llm_oracles import LM_PERPLEXITY_ORACLE
 
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,7 +65,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the registered lm_perplexity oracle, stripped of its trailing ORDER
 #: BY, reused as the scoring CTE so the two stay in lockstep by
 #: construction (one definition of the quantized nll)
-_SCORED_SQL = _TRAINING_ORACLES["lm_perplexity"].rsplit("ORDER BY", 1)[0]
+_SCORED_SQL = LM_PERPLEXITY_ORACLE.rsplit("ORDER BY", 1)[0]
 
 QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.boilerplate import remove_boilerplate_spans
 from ..operators.dedup import plant_near_dups
-from .llm import ID_OFFSET, PLANT_EVERY_DOCS, _docs
+from .corpusbase import ID_OFFSET, PLANT_EVERY_DOCS, _docs
 from .llm_oracles import PLANTED, TOKS
 
 _N = 5

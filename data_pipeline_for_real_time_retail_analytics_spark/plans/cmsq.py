@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from ..operators.cms import DEPTH, WIDTH, cms_cells, cms_estimate, merge_cms_cells
 from ..operators.sampling import hash_bucket
 from ..operators.textstats import ws_tokens
-from .llm import _docs
+from .corpusbase import _docs
 from .llm_oracles import TOKS
 
 #: 1-in-SAMPLE_MOD documents contribute candidate tokens

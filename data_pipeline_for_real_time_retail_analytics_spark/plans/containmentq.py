@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.containment import containment_pairs
 from ..operators.dedup import plant_near_dups
-from .llm import PLANT_EVERY_DOCS, _docs
+from .corpusbase import PLANT_EVERY_DOCS, _docs
 from .llm_oracles import PLANTED, SHINGLES
 
 DF_CAP = 25

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.semcontam import semantic_contamination_pairs
-from .llm import _embs
+from .corpusbase import _embs
 from .llm_oracles import _bucket_expr, _cosine
 
 #: every Nth embedding doubles as a leaked eval example

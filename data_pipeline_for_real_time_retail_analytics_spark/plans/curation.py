@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import boilerplate_ngrams, plant_near_dups
 from ..operators.mixture import target_mixture_sample
-from .llm import ID_OFFSET, PLANT_EVERY_DOCS, _docs
+from .corpusbase import ID_OFFSET, PLANT_EVERY_DOCS, _docs
 from .llm_oracles import _BUCKET10K, PLANTED, TOKS
 
 #: target training-mix proportions over the synthetic corpus languages

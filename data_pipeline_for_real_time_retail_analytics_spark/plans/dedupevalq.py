@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..operators.textstats import ws_tokens
 from . import llm_oracles as LO
-from .llm import ID_OFFSET, PLANT_EVERY_DOCS, _docs, planted_minhash_pairs
+from .corpusbase import ID_OFFSET, PLANT_EVERY_DOCS, _docs, planted_minhash_pairs
 
 PPM = 1_000_000
 #: plant_near_dups' drop_words — a doc needs more tokens than this to

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dsir import doc_bucket_counts, dsir_top_k, dsir_weights
-from .llm import _docs
+from .corpusbase import _docs
 from .llm_oracles import TOKS
 
 N_BUCKETS = 256

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.packing import shuffle_shards
-from .llm import _docs
+from .corpusbase import _docs
 
 #: must match plans/training.py's shuffled_shards parameterization so
 #: the manifest describes the SAME export the registry query produces

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import cosine, plant_dup_vectors
-from .llm import ID_OFFSET, PLANT_EVERY_VECS, _embs
+from .corpusbase import ID_OFFSET, PLANT_EVERY_VECS, _embs
 from .llm_oracles import _cosine
 
 K = 3

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..operators.pq import pq_assignments, pq_codebooks, _qdist
 from ..operators.similarity import _assign_cells, ivf_centroids
-from .llm import PLANT_EVERY_VECS, _embs
+from .corpusbase import PLANT_EVERY_VECS, _embs
 from .pqq import PQ_K, PQ_M, _CODEBOOK, _ASSIGN, _SUB_DIM, _term
 
 N_CELLS = 16

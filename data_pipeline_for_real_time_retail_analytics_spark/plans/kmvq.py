@@ -33,7 +33,7 @@ from ..operators.kmv import (
     merge_kmv_estimate,
 )
 from ..operators.textstats import ws_tokens
-from .llm import _docs
+from .corpusbase import _docs
 from .llm_oracles import TOKS
 
 K = 256

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.pagerank import DAMP_DEN, DAMP_NUM, SCALE, pagerank_fixed, symmetric_edges
-from ..sources import load_table
+from .copurchase import pair_support
 
 ITERATIONS = 3
 TOP_K = 20
@@ -30,19 +30,11 @@ _BASE_UNITS = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed co-purchase edges: both directions of every distinct
-    same-order part pair."""
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    a = baskets.select("okey", F.col("part").alias("pa"))
-    b = baskets.select("okey", F.col("part").alias("pb"))
-    pairs = (
-        a.join(b, "okey")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    same-order part pair. Pair mining is the shared
+    plans/copurchase.pair_support materialization (one pass also feeds
+    basket_pairs and copurchase_triangles — the r9 plan audit found the
+    basket self-join computed twice across those cells)."""
+    pairs = pair_support(spark, sf_dir).select("pa", "pb")
     return symmetric_edges(pairs, "pa", "pb", canonical=True)
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.lm import doc_bigrams
-from .llm import _docs
+from .corpusbase import _docs
 from .llm_oracles import TOKS
 
 #: support floor — a collocation seen fewer times is tail noise and PMI

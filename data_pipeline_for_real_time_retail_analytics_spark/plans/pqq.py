@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.pq import pq_adc_topk, pq_codebooks, pq_codes
-from .llm import PLANT_EVERY_VECS, _embs
+from .corpusbase import PLANT_EVERY_VECS, _embs
 
 #: PQ geometry — 64-dim corpus → 8 blocks of 8 dims, 16 codes per block
 PQ_M = 8

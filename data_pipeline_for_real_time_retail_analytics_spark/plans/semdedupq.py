@@ -29,7 +29,7 @@ from ..operators.semdedup import (
     semdedup_prune,
 )
 from ..operators.similarity import ivf_centroids
-from .llm import _embs
+from .corpusbase import _embs
 from .llm_oracles import _cosine
 
 #: codebook size — same as the proven embedding_clusters query

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_clusters, plant_near_dups
 from ..operators.sampling import train_val_test_split
-from .llm import PLANT_EVERY_DOCS, _docs, planted_minhash_pairs
+from .corpusbase import PLANT_EVERY_DOCS, _docs, planted_minhash_pairs
 from .llm_oracles import _minhash_pair_ctes
 
 VAL_RATE = 0.1

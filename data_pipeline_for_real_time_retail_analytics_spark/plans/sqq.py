@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sq import sq8_codes, sq8_scales, sq8_topk
-from .llm import PLANT_EVERY_VECS, _embs
+from .corpusbase import PLANT_EVERY_VECS, _embs
 
 _TOPK = 5
 

@@ -17,8 +17,8 @@ from ..operators.lm import score_bigram_lm
 from ..operators.packing import pack_sequences, shuffle_shards
 from ..operators.similarity import ivf_centroids
 from ..operators.textstats import ws_tokens
-from .llm import _docs, _embs
-from .llm_oracles import TOKS, _cosine
+from .corpusbase import _docs, _embs
+from .llm_oracles import LM_PERPLEXITY_ORACLE, TOKS, _cosine
 
 #: packing capacity — ~4 synthetic docs (30-40 tokens each) per sequence
 SEQ_LEN = 128
@@ -83,42 +83,7 @@ ORACLES: dict[str, str] = {
                ) AS BIGINT) AS pos
         FROM sh ORDER BY shard, pos
     """,
-    "lm_perplexity": rf"""
-        WITH t AS (SELECT doc_id, {TOKS} AS w FROM documents),
-        bg AS (
-            SELECT doc_id,
-                   unnest(list_slice(w, 1, len(w) - 1)) AS w1,
-                   unnest(list_slice(w, 2, len(w))) AS w2
-            FROM t WHERE len(w) >= 2
-        ),
-        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
-        c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
-        v AS (
-            SELECT COUNT(DISTINCT tk) AS v FROM (
-                SELECT w1 AS tk FROM c12 UNION ALL SELECT w2 FROM c12
-            )
-        ),
-        scored AS (
-            SELECT bg.doc_id,
-                   log2((COALESCE(c12.c12, 0) + 0.5)
-                        / (CAST(COALESCE(c1.c1, 0) AS DOUBLE)
-                           + 0.5 * CAST(v.v AS DOUBLE))) AS lp
-            FROM bg
-            LEFT JOIN c12 USING (w1, w2)
-            LEFT JOIN c1 USING (w1)
-            CROSS JOIN v
-        )
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               -- micro-unit quantization of each lp addend before the
-               -- sum, mirroring operators/lm.py (fold-order-independent
-               -- by construction; 1000000.0 CAST AS DOUBLE per the
-               -- decimal-literal rule)
-               ROUND(-(CAST(CAST(SUM(CAST(ROUND(lp * CAST(1000000.0 AS DOUBLE), 0)
-                                        AS BIGINT)) AS BIGINT) AS DOUBLE)
-                       / CAST(1000000.0 AS DOUBLE))
-                     / CAST(COUNT(*) AS DOUBLE), 6) AS nll_bits
-        FROM scored GROUP BY doc_id ORDER BY doc_id
-    """,
+    "lm_perplexity": LM_PERPLEXITY_ORACLE,
     "packed_sequences": rf"""
         WITH t AS (
             SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import plant_near_dups
 from ..operators.sampling import BUCKETS, hash_bucket
-from .llm import ID_OFFSET, PLANT_EVERY_DOCS, _docs, planted_minhash_pairs
+from .corpusbase import ID_OFFSET, PLANT_EVERY_DOCS, _docs, planted_minhash_pairs
 from .llm_oracles import _BUCKET10K, _minhash_pair_ctes
 
 #: temperature-sampling target corpus size multiplier (T = N · SCALE)

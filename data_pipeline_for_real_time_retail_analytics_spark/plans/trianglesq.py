@@ -32,25 +32,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from .copurchase import pair_support
 
 MIN_SUPPORT = 3
 TOP_K = 20
 
 
 def _thresholded_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (pa < pb) strong-tie co-purchase edges."""
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    a = baskets.select("okey", F.col("part").alias("pa"))
-    b = baskets.select("okey", F.col("part").alias("pb"))
+    """Canonical (pa < pb) strong-tie co-purchase edges, filtered from
+    the shared plans/copurchase.pair_support materialization (one
+    mining pass also feeds basket_pairs and part_pagerank)."""
     return (
-        a.join(b, "okey")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
+        pair_support(spark, sf_dir)
         .where(F.col("support") >= MIN_SUPPORT)
         .select("pa", "pb")
     )

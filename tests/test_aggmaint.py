@@ -194,3 +194,16 @@ def test_empty_specs_rejected(spark):
         changelog_with_preimage(df, df, [], ["v"])
     with pytest.raises(ValueError):
         changelog_with_preimage(df, df, ["id"], [])
+
+
+def test_legacy_baseline_without_nn_cols_rejected(spark):
+    """A baseline persisted by the pre-r9 aggregate_snapshot (no
+    nn_<out> non-null counts) must fail with the rebuild instruction,
+    not an unresolvable-column analysis error (r9 advice)."""
+    old = _df(spark, [(1, "a", "1.00"), (2, "b", "2.00")])
+    new = _df(spark, [(1, "a", "3.00"), (2, "b", "2.00")])
+    spec = {"total_v": "v"}
+    legacy = aggregate_snapshot(old, ["grp"], spec).drop("nn_total_v")
+    changelog = changelog_with_preimage(old, new, ["id"], ["grp", "v"])
+    with pytest.raises(ValueError, match="pre-nn_<out>.*Rebuild"):
+        apply_changelog_to_agg(legacy, changelog, ["grp"], spec)

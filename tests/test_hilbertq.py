@@ -86,6 +86,14 @@ def test_guards(spark):
     with pytest.raises(ValueError, match="already exists"):
         with_hilbert_value(df.withColumnRenamed("c", "h_value"),
                            ["a", "b"], bits=4)
+    # reserved WORKING columns are guarded too (r9 advice): an input
+    # carrying __hx_0/__hd/... would otherwise be silently clobbered
+    with pytest.raises(ValueError, match="reserved working names"):
+        with_hilbert_value(df.withColumnRenamed("c", "__hd"),
+                           ["a", "b"], bits=4)
+    with pytest.raises(ValueError, match="reserved working names"):
+        with_hilbert_value(df.withColumnRenamed("c", "__hmin_1"),
+                           ["a", "b"], bits=4)
 
 
 def test_identity_rescale_when_span_is_small(spark):

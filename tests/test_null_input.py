@@ -58,9 +58,13 @@ def _all_queries():
     from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r10 import (
         PENDING_QUERIES,
     )
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r11 import (
+        PENDING_QUERIES as PENDING_QUERIES_R11,
+    )
 
     qs = dict(entry.queries())
     qs.update(PENDING_QUERIES)
+    qs.update(PENDING_QUERIES_R11)
     return qs
 
 

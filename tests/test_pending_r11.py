@@ -1,0 +1,215 @@
+"""The r10-staged round-11 pairs (plans/pending_r11.py): driver-identical
+DuckDB parity for each, plus the semantic pins that make the families
+trustworthy beyond the hash match — the as-of tolerance really cuts at
+the boundary, the Bloom filter really has no false negatives (and its
+FP accounting survives a deliberately saturated filter), and the
+temperature quota really flattens the head language."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import test_oracle_parity as par
+from data_pipeline_for_real_time_retail_analytics_spark.operators.asof import (
+    asof_join_backward,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.operators.bloomfilter import (
+    bloom_bits,
+    bloom_probe,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.plans import (
+    bloomdedupq,
+    langquotaq,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r11 import (
+    PENDING_ORACLES,
+    PENDING_QUERIES,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = par.make_views(
+        duckdb.connect(), ["events", "documents"], SF_DIR
+    )
+    yield con
+    con.close()
+
+
+def test_pending_r11_aggregates_the_staged_pairs():
+    """State-aware from day one (the r8 lesson): green while staged,
+    green at the r11 flip, green after."""
+    from test_rotation_update import _assert_pending_module_consistent
+
+    assert set(PENDING_QUERIES) == {
+        "purchase_click_asof", "bloom_chunk_prefilter", "lang_quality_mix",
+    }
+    _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(PENDING_QUERIES))
+def test_parity(spark, ddb, name):
+    spark_pdf = PENDING_QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = ddb.execute(PENDING_ORACLES[name]).fetchdf()
+    par.assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+# ---------- as-of tolerance ----------
+
+
+def test_asof_tolerance_cuts_exactly_at_the_boundary(spark):
+    """gap == tolerance is KEPT (<=), one microsecond more is dropped;
+    an exact-timestamp click matches; a user with only later clicks
+    gets NULL."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 01:00:00"),          # gap exactly 600s
+            (2, 20, "2024-01-01 01:00:00.000001"),   # 600s + 1us
+            (3, 30, "2024-01-01 00:50:00"),          # exact-ts match
+            (4, 40, "2024-01-01 00:00:00"),          # click only later
+        ],
+        "purchase_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-01 00:50:00", 100),
+            (20, "2024-01-01 00:50:00", 200),
+            (30, "2024-01-01 00:50:00", 300),
+            (40, "2024-01-01 02:00:00", 400),
+        ],
+        "user_id long, ts string, click_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.purchase_id: r.click_id
+        for r in asof_join_backward(
+            left, right, key_cols=["user_id"], ts_col="ts",
+            right_value_cols=["click_id"], tolerance_seconds=600,
+        ).collect()
+    }
+    assert out == {1: 100, 2: None, 3: 300, 4: None}
+
+
+def test_asof_matched_ts_col_surfaces_the_match(spark):
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 01:00:00")],
+        "pid long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:59:00", 7)],
+        "user_id long, ts string, click_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = asof_join_backward(
+        left, right, key_cols=["user_id"], ts_col="ts",
+        right_value_cols=["click_id"], tolerance_seconds=3600,
+        matched_ts_col="click_ts",
+    ).collect()[0]
+    assert row.click_id == 7 and str(row.click_ts).startswith("2024-01-01 00:59")
+
+
+# ---------- bloom pre-filter ----------
+
+
+def test_bloom_no_false_negatives_and_tail_is_novel(spark):
+    """Bloom law: every verified duplicate was a hit (no false
+    negatives), and the generator's contract holds — exactly one
+    mutated tail chunk per re-ingested doc is novel."""
+    rows = bloomdedupq.q_bloom_chunk_prefilter(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_hit >= r.n_verified, "false negative — impossible for Bloom"
+        assert r.n_false_pos == r.n_hit - r.n_verified
+        assert r.n_verified == r.n_chunks - 1, (
+            "all aligned prefix chunks must verify; only the mutated "
+            f"tail is novel (doc {r.doc_id})"
+        )
+
+
+def test_bloom_fp_accounting_under_saturation(spark):
+    """Force false positives with a deliberately tiny filter (m=64):
+    novel probe keys collide with set bits, n_false_pos goes positive,
+    and membership still never misses a present key."""
+    corpus = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], "h string"
+    )
+    probes = spark.createDataFrame(
+        [(f"key{i}",) for i in range(150, 250)], "h string"
+    )
+    flags = {
+        r.h: r.bloom_hit
+        for r in bloom_probe(
+            probes, "h", bloom_bits(corpus, "h", m=64, k=3), m=64, k=3
+        ).collect()
+    }
+    present = [f"key{i}" for i in range(150, 200)]
+    novel = [f"key{i}" for i in range(200, 250)]
+    assert all(flags[k] for k in present), "present key missed"
+    n_fp = sum(1 for k in novel if flags[k])
+    # 200 keys x 3 rows into 64 positions saturates the table; a novel
+    # key passing all 3 probes is near-certain for at least one of 50
+    assert n_fp > 0, "saturated filter produced zero FPs — probe broken?"
+    assert n_fp < 50 or True  # accounting, not an FP-rate claim
+
+
+def test_bloom_bits_bounded_by_k_times_m(spark):
+    corpus = spark.createDataFrame(
+        [(f"key{i}",) for i in range(500)], "h string"
+    )
+    bits = bloom_bits(corpus, "h", m=32, k=3).collect()
+    assert len(bits) <= 3 * 32
+    assert len(set((b.bit_row, b.bit_pos) for b in bits)) == len(bits)
+
+
+# ---------- per-language quality quota ----------
+
+
+def test_lang_quota_laws(spark):
+    """Selection fills min(target, available); the head language's
+    share of the kept corpus is strictly below its corpus share
+    (temperature flattening) and the rarest language's is at or above
+    (upweighting) — the mT5 rebalancing direction, on real output."""
+    rows = langquotaq.q_lang_quality_mix(spark, SF_DIR).collect()
+    assert rows
+    n_total = sum(r.n_docs for r in rows)
+    keep_total = sum(r.n_target for r in rows)
+    assert keep_total <= (2 * n_total) // 5, "quota exceeds the 40% budget"
+    for r in rows:
+        assert r.n_selected == min(r.n_target, r.n_docs)
+        assert r.sum_qkey_selected > 0 or r.n_selected == 0
+    head = max(rows, key=lambda r: r.n_docs)
+    rare = min(rows, key=lambda r: r.n_docs)
+    assert head.n_target * n_total < head.n_docs * keep_total, (
+        "head language not flattened"
+    )
+    assert rare.n_target * n_total >= rare.n_docs * keep_total, (
+        "rare language not upweighted"
+    )
+
+
+def test_lang_quota_selects_the_top_quality_docs(spark):
+    """The selected set is exactly the top-n_target by (q_key desc,
+    doc_id): recompute one language's selection independently."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.corpusbase import (
+        _docs,
+    )
+
+    summary = {
+        r.lang: r for r in langquotaq.q_lang_quality_mix(spark, SF_DIR).collect()
+    }
+    lang = sorted(summary)[0]
+    docs = _docs(spark, SF_DIR).where(F.col("lang") == lang)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("long") * F.lit(100_000)
+            + F.size(toks).cast("long")
+        ).alias("q_key"),
+    ).collect()
+    top = sorted(scored, key=lambda r: (-r.q_key, r.doc_id))
+    want = top[: summary[lang].n_target]
+    assert summary[lang].n_selected == len(want)
+    assert summary[lang].sum_qkey_selected == sum(r.q_key for r in want)

@@ -29,14 +29,16 @@ def test_parity(spark, ddb):
 
 def _run_on(spark, docs):
     import data_pipeline_for_real_time_retail_analytics_spark.plans.pmiq as P
-    import data_pipeline_for_real_time_retail_analytics_spark.plans.llm as L
+    # _docs moved to the corpusbase leaf module in the r10 closure
+    # split — patch the loader where it is actually resolved
+    import data_pipeline_for_real_time_retail_analytics_spark.plans.corpusbase as CB
 
-    orig = L.load_table
+    orig = CB.load_table
     try:
-        L.load_table = lambda spark, sf_dir, name: docs
+        CB.load_table = lambda spark, sf_dir, name: docs
         return P.q_pmi_collocations(spark, "ignored").collect()
     finally:
-        L.load_table = orig
+        CB.load_table = orig
 
 
 def test_perfect_collocation_scores_ln_n_minus_ln_c(spark):

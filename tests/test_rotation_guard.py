@@ -188,6 +188,44 @@ def test_closure_resolves_package_init_reexports():
     assert f"{PKG}/sources/registry.py" in clo_llm
 
 
+def test_similarity_edit_stales_only_ann_family():
+    """r10 closure split (r9 verdict ask #3): the shared corpus builders
+    live in the LEAF module plans/corpusbase.py, so an edit to
+    operators/similarity.py (where ANN experiments happen) re-stales the
+    ANN-hosting modules only — NOT the dedup/text/quantization/drift
+    family that consumes the shared builders. Before the split, one
+    similarity.py edit re-staled 24 queries through plans/llm.py."""
+    clo = _closures()
+    sim = f"{PKG}/operators/similarity.py"
+    llm = f"{PKG}/plans/llm.py"
+
+    # the leaf module itself must never grow a similarity (or llm) edge
+    base = clo[f"{PKG}.plans.corpusbase"]
+    assert sim not in base and llm not in base, (
+        "plans/corpusbase.py must stay a leaf: no similarity.py/llm.py "
+        "in its closure, or the r8 mass-restale returns"
+    )
+
+    # ANN/embedding hosts legitimately depend on similarity.py (they
+    # call its centroid/cell/LSH builders directly)
+    for mod in ("plans.llm", "plans.searchq", "plans.contamq",
+                "plans.annevalq", "plans.hardnegq", "plans.ivfpqq",
+                "plans.semdedupq", "plans.training"):
+        assert sim in clo[f"{PKG}.{mod}"], f"{mod} should see similarity.py"
+
+    # the shared-builder consumers must NOT — one entry per family:
+    # dedup eval, quantization (PQ/SQ), CCNet, DSIR, CMS, PMI,
+    # exports, splits, curation, containment, KMV, training mixes
+    for mod in ("plans.training2", "plans.pqq", "plans.sqq",
+                "plans.splitsq", "plans.dedupevalq",
+                "plans.exportq", "plans.kmvq", "plans.containmentq",
+                "plans.dsirq", "plans.pmiq", "plans.curation",
+                "plans.cleanq", "plans.ccnetq", "plans.cmsq"):
+        c = clo[f"{PKG}.{mod}"]
+        assert sim not in c, f"{mod} closure leaks operators/similarity.py"
+        assert llm not in c, f"{mod} closure leaks plans/llm.py"
+
+
 def test_front_window_rotation_rule():
     import __spark_entry__ as entry
 

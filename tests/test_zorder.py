@@ -90,6 +90,9 @@ def test_with_z_value_rejects_bad_configs(spark):
         with_z_value(df, ["x"], bits=64)
     with pytest.raises(ValueError, match="already exists"):
         with_z_value(df.withColumn("z_value", F.lit(0)), ["x"])
+    # reserved working columns refuse loudly instead of clobbering
+    with pytest.raises(ValueError, match="reserved working names"):
+        with_z_value(df.withColumn("__zmin_0", F.lit(0)), ["x"])
 
 
 def test_wide_value_span_does_not_overflow(spark):
