@@ -8,10 +8,11 @@ This probe measures how bad that actually is.
 Two synthetic event tables of identical size (~1M rows, deterministic
 spark.range generation): UNIFORM (10k users, ~100 events each) and HOT
 (one user holds 30% of all events, rest uniform). Timed on each:
-`session_first_touch` (two per-user windows + rollup) and
-`event_transitions` (per-user lag window + pair aggregation), via the
-registered plan functions (loader monkeypatched — the test suite's
-idiom).
+`session_first_touch` (two per-user windows + rollup),
+`event_transitions` (per-user lag window + pair aggregation), and the
+r11-staged `purchase_click_asof` (union-tag as-of merge sweep — one
+per-user ordered window), via the registered plan functions (loader
+monkeypatched — the test suite's idiom).
 
 Expected shape and why: per-user window cost is O(per-user rows ×
 log(per-user rows)) in the sort feeding the window, so a 300k-row hot
@@ -87,6 +88,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import data_pipeline_for_real_time_retail_analytics_spark.plans.asofq as AQ
     import data_pipeline_for_real_time_retail_analytics_spark.plans.markovq as MK
     import data_pipeline_for_real_time_retail_analytics_spark.plans.sessionattrq as SA
 
@@ -98,6 +100,9 @@ def main() -> None:
     queries = (
         ("session_first_touch", SA, SA.q_session_first_touch),
         ("event_transitions", MK, MK.QUERIES["event_transitions"]),
+        # r11-staged as-of merge sweep: same per-user window shape, so
+        # the same bounded-straggler argument must hold under a bot key
+        ("purchase_click_asof", AQ, AQ.q_purchase_click_asof),
     )
 
     def run(label: str, qname: str) -> float:
