@@ -146,6 +146,10 @@ HEAVY = [
     "purchase_click_asof",
     "bloom_chunk_prefilter",
     "lang_quality_mix",
+    # r11 second batch: positional-index phrase intersection (posting-
+    # list-bounded joins) and the one-pass length-bucket audit
+    "phrase_search",
+    "length_bucket_stats",
 ]
 
 #: id offset per generated copy. Must satisfy

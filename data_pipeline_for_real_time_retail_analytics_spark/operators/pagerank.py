@@ -79,6 +79,13 @@ def pagerank_fixed(
 
     p'(u) = (15·SCALE) DIV 100  +  (85 · Σ_{v→u} (p(v) DIV outdeg(v))) DIV 100
     """
+    # checkpoint the EDGES first, then derive nodes/outdeg from the
+    # checkpointed frame: deriving them from the raw lineage first made
+    # each of the three materializations re-execute the whole upstream
+    # mining subtree (3× the pair-mining cost per cell — measured on
+    # part_pagerank_weighted, whose edges come straight from lineitem)
+    if materialize:
+        edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -86,7 +93,6 @@ def pagerank_fixed(
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     if materialize:
-        edges = edges.localCheckpoint()
         nodes = nodes.localCheckpoint()
         outdeg = outdeg.localCheckpoint()
 
@@ -151,6 +157,11 @@ def pagerank_weighted_fixed(
     localCheckpoint per step.
     """
     w = F.col(weight_col)
+    # same ordering discipline as pagerank_fixed: edges checkpoint
+    # FIRST so the nodes/out-weight materializations read it instead of
+    # re-executing the mining lineage
+    if materialize:
+        edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -158,7 +169,6 @@ def pagerank_weighted_fixed(
     )
     outw = edges.groupBy("src").agg(F.sum(w).cast("long").alias("outw"))
     if materialize:
-        edges = edges.localCheckpoint()
         nodes = nodes.localCheckpoint()
         outw = outw.localCheckpoint()
 

@@ -18,12 +18,14 @@ the recommended registration order.
 
 from __future__ import annotations
 
-from . import asofq, bloomdedupq, langquotaq
+from . import asofq, bloomdedupq, langquotaq, lenbucketq, phraseq
 
 _MODULES = (
     asofq,
     bloomdedupq,
     langquotaq,
+    phraseq,
+    lenbucketq,
 )
 
 PENDING_QUERIES = {

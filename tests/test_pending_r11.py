@@ -47,6 +47,7 @@ def test_pending_r11_aggregates_the_staged_pairs():
 
     assert set(PENDING_QUERIES) == {
         "purchase_click_asof", "bloom_chunk_prefilter", "lang_quality_mix",
+        "phrase_search", "length_bucket_stats",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
@@ -187,6 +188,97 @@ def test_lang_quota_laws(spark):
     assert rare.n_target * n_total >= rare.n_docs * keep_total, (
         "rare language not upweighted"
     )
+
+
+# ---------- phrase search ----------
+
+
+def test_phrase_three_term_chain_and_overlaps(spark):
+    """The ≥3-term join chain on a hand-built corpus: a doc with two
+    non-overlapping occurrences counts 2; a self-overlapping phrase
+    counts every start position; a doc with the words present but not
+    adjacent counts 0 (absent from output)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.phrase import (
+        phrase_match_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b c y a b c z"),     # two clean occurrences
+            (2, "a b c"),                  # exactly one
+            (3, "a x b y c"),              # words present, not adjacent
+            (4, "a a a a"),                # self-overlap: 'a a a' at 0 and 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in phrase_match_counts(docs, ["a", "b", "c"]).collect()
+    }
+    assert got == {1: 2, 2: 1}
+    over = {
+        r.doc_id: r.n_hits
+        for r in phrase_match_counts(docs, ["a", "a", "a"]).collect()
+    }
+    assert over[4] == 2, "overlapping starts each count (positions 0 and 1)"
+
+
+def test_phrase_matches_a_text_scan_ground_truth(spark):
+    """The index answer equals a brute-force text scan of the corpus —
+    independent recomputation, no SQL in common."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import phraseq
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import (
+        load_table,
+    )
+
+    got = {
+        r.doc_id: r.n_hits
+        for r in phraseq.q_phrase_search(spark, SF_DIR).collect()
+    }
+    needle = phraseq.PHRASE
+    want = {}
+    for r in load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        toks = r.text.split()
+        n = sum(
+            1
+            for i in range(len(toks) - len(needle) + 1)
+            if toks[i : i + len(needle)] == needle
+        )
+        if n:
+            want[r.doc_id] = n
+    assert got == want
+
+
+# ---------- length buckets ----------
+
+
+def test_length_bucket_laws(spark):
+    """Per-bucket accounting laws on real data: waste = padded − real,
+    0 ≤ waste < padded (no doc overflows its cap at test scale), and
+    bucketing strictly beats global-max padding wherever lengths are
+    mixed."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import lenbucketq
+
+    rows = lenbucketq.q_length_bucket_stats(spark, SF_DIR).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == 500 or total_docs > 0
+    for r in rows:
+        assert r.waste_tokens == r.padded_tokens - r.sum_tokens
+        assert 0 <= r.waste_tokens < r.padded_tokens
+        assert r.padded_tokens <= r.naive_padded_tokens
+    assert sum(r.padded_tokens for r in rows) < sum(
+        r.naive_padded_tokens for r in rows
+    ), "bucketing shows no win over global-max padding?"
+
+
+def test_length_bucket_caps_are_the_declared_ladder(spark):
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import lenbucketq
+
+    rows = lenbucketq.q_length_bucket_stats(spark, SF_DIR).collect()
+    assert all(r.bucket_cap in lenbucketq.BUCKET_CAPS for r in rows)
 
 
 def test_lang_quota_selects_the_top_quality_docs(spark):
