@@ -150,6 +150,9 @@ HEAVY = [
     # list-bounded joins) and the one-pass length-bucket audit
     "phrase_search",
     "length_bucket_stats",
+    # streaming drift maintenance: bounded groups x bins x 2 state, an
+    # AvailableNow drive whose cost should be linear in input rows
+    "stream_events_value_drift",
 ]
 
 #: id offset per generated copy. Must satisfy

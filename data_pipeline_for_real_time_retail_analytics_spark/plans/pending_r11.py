@@ -18,7 +18,7 @@ the recommended registration order.
 
 from __future__ import annotations
 
-from . import asofq, bloomdedupq, langquotaq, lenbucketq, phraseq
+from . import asofq, bloomdedupq, langquotaq, lenbucketq, phraseq, streamdriftq
 
 _MODULES = (
     asofq,
@@ -26,6 +26,7 @@ _MODULES = (
     langquotaq,
     phraseq,
     lenbucketq,
+    streamdriftq,
 )
 
 PENDING_QUERIES = {

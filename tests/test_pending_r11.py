@@ -47,7 +47,7 @@ def test_pending_r11_aggregates_the_staged_pairs():
 
     assert set(PENDING_QUERIES) == {
         "purchase_click_asof", "bloom_chunk_prefilter", "lang_quality_mix",
-        "phrase_search", "length_bucket_stats",
+        "phrase_search", "length_bucket_stats", "stream_events_value_drift",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
@@ -165,6 +165,20 @@ def test_bloom_bits_bounded_by_k_times_m(spark):
 
 
 # ---------- per-language quality quota ----------
+
+
+def test_stream_drift_equals_batch_engine_side(spark):
+    """The drained streaming PSI equals the batch twin row-for-row ON
+    THE ENGINE (the oracle gate proves it against DuckDB; this pins the
+    two Spark paths against each other directly)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import (
+        driftq,
+        streamdriftq,
+    )
+
+    s = streamdriftq.q_stream_events_value_drift(spark, SF_DIR).collect()
+    b = driftq.QUERIES["events_value_drift"](spark, SF_DIR).collect()
+    assert s == b
 
 
 def test_lang_quota_laws(spark):
