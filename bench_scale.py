@@ -153,6 +153,10 @@ HEAVY = [
     # streaming drift maintenance: bounded groups x bins x 2 state, an
     # AvailableNow drive whose cost should be linear in input rows
     "stream_events_value_drift",
+    # the four-stage funnel composition: one scoring pass + two hash
+    # tiers — the end-to-end shape whose cost should track the heaviest
+    # single tier, not the sum of four corpus scans
+    "curation_funnel",
 ]
 
 #: id offset per generated copy. Must satisfy

@@ -18,7 +18,15 @@ the recommended registration order.
 
 from __future__ import annotations
 
-from . import asofq, bloomdedupq, langquotaq, lenbucketq, phraseq, streamdriftq
+from . import (
+    asofq,
+    bloomdedupq,
+    funnelq,
+    langquotaq,
+    lenbucketq,
+    phraseq,
+    streamdriftq,
+)
 
 _MODULES = (
     asofq,
@@ -27,6 +35,7 @@ _MODULES = (
     phraseq,
     lenbucketq,
     streamdriftq,
+    funnelq,
 )
 
 PENDING_QUERIES = {

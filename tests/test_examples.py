@@ -178,3 +178,19 @@ def test_corpus_monitoring_example_runs(spark, sf_dir, capsys):
     assert "event-stream drift" in out
     assert "CMS heavy tokens" in out
     assert "KMV vocabulary estimates" in out
+
+
+def test_pipeline_alerting_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["pipeline_alerting_example.py"]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/pipeline_alerting_example.py", run_name="__main__"
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "[CRITICAL" in out and "pipeline_failure" in out
+    assert "data_quality_warning" in out and "long_running_task" in out
+    assert "did not page: OK" in out

@@ -48,6 +48,7 @@ def test_pending_r11_aggregates_the_staged_pairs():
     assert set(PENDING_QUERIES) == {
         "purchase_click_asof", "bloom_chunk_prefilter", "lang_quality_mix",
         "phrase_search", "length_bucket_stats", "stream_events_value_drift",
+        "curation_funnel",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
@@ -179,6 +180,40 @@ def test_stream_drift_equals_batch_engine_side(spark):
     s = streamdriftq.q_stream_events_value_drift(spark, SF_DIR).collect()
     b = driftq.QUERIES["events_value_drift"](spark, SF_DIR).collect()
     assert s == b
+
+
+def test_curation_funnel_laws(spark):
+    """Funnel laws on real output: counts/tokens monotone non-
+    increasing; stage 1 drops EXACTLY the planted exact copies; the
+    planted quote docs survive stages 1-2 and die at span_clean."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import funnelq
+    from data_pipeline_for_real_time_retail_analytics_spark.sources import (
+        load_table,
+    )
+    import pyspark.sql.functions as SF
+
+    rows = {r.stage: r for r in funnelq.q_curation_funnel(spark, SF_DIR).collect()}
+    assert list(rows) == funnelq.STAGES
+    seq = [rows[s] for s in funnelq.STAGES]
+    for a, b in zip(seq, seq[1:]):
+        assert a.n_docs >= b.n_docs and a.n_tokens >= b.n_tokens
+    docs = load_table(spark, SF_DIR, "documents")
+    n_orig = docs.count()
+    n_copies = docs.where(SF.col("doc_id") % funnelq.EXACT_EVERY == 0).count()
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import (
+        ws_tokens,
+    )
+    n_quotes = docs.where(
+        (SF.col("doc_id") % funnelq.QUOTE_EVERY == 0)
+        & (SF.size(ws_tokens(SF.col("text"))) >= funnelq.QUOTE_TOKENS)
+    ).count()
+    assert rows["raw"].n_docs == n_orig + n_copies + n_quotes
+    assert rows["exact_dedup"].n_docs == rows["raw"].n_docs - n_copies, (
+        "stage 1 must drop exactly the planted exact copies"
+    )
+    # quotes are exact-unique and quality-passing, so they can only die
+    # at the chunk tier: span_clean drops AT LEAST all of them
+    assert rows["quality"].n_docs - rows["span_clean"].n_docs >= n_quotes
 
 
 def test_lang_quota_laws(spark):
