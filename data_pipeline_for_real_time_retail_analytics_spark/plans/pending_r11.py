@@ -21,6 +21,7 @@ from __future__ import annotations
 from . import (
     asofq,
     bloomdedupq,
+    embdriftq,
     funnelq,
     langquotaq,
     lenbucketq,
@@ -36,6 +37,7 @@ _MODULES = (
     lenbucketq,
     streamdriftq,
     funnelq,
+    embdriftq,
 )
 
 PENDING_QUERIES = {

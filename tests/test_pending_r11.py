@@ -34,7 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 @pytest.fixture(scope="module")
 def ddb():
     con = par.make_views(
-        duckdb.connect(), ["events", "documents"], SF_DIR
+        duckdb.connect(), ["events", "documents", "embeddings"], SF_DIR
     )
     yield con
     con.close()
@@ -48,7 +48,7 @@ def test_pending_r11_aggregates_the_staged_pairs():
     assert set(PENDING_QUERIES) == {
         "purchase_click_asof", "bloom_chunk_prefilter", "lang_quality_mix",
         "phrase_search", "length_bucket_stats", "stream_events_value_drift",
-        "curation_funnel",
+        "curation_funnel", "label_centroid_shift",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
@@ -214,6 +214,72 @@ def test_curation_funnel_laws(spark):
     # quotes are exact-unique and quality-passing, so they can only die
     # at the chunk tier: span_clean drops AT LEAST all of them
     assert rows["quality"].n_docs - rows["span_clean"].n_docs >= n_quotes
+
+
+def test_centroid_shift_closed_forms(spark):
+    """Closed-form pins: a single-label corpus scores exactly 1.0; two
+    equal-mass orthogonal labels each score 1/sqrt(2) against their
+    union (0.707107 at 6 dp)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import embdriftq
+    import data_pipeline_for_real_time_retail_analytics_spark.plans.corpusbase as CB
+
+    def run_on(embs):
+        orig = CB.load_table
+        try:
+            CB.load_table = lambda spark, sf_dir, name: embs
+            return {r.label: r.cos_to_global
+                    for r in embdriftq.q_label_centroid_shift(
+                        spark, "ignored").collect()}
+        finally:
+            CB.load_table = orig
+
+    e1, e2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    one = spark.createDataFrame(
+        [(i, e1, 0) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert run_on(one) == {0: 1.0}
+    two = spark.createDataFrame(
+        [(i, e1, 0) for i in range(8)]
+        + [(100 + i, e2, 1) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = run_on(two)
+    assert got == {0: 0.707107, 1: 0.707107}
+
+
+def test_centroid_shift_bounds_and_global_linearity(spark):
+    """On real data every cosine sits in [-1, 1]; and the global
+    direction really is the sum of the label sums (recomputed
+    independently from the raw table)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import embdriftq
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.corpusbase import (
+        _embs,
+    )
+
+    rows = embdriftq.q_label_centroid_shift(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(-1.0 <= r.cos_to_global <= 1.0 for r in rows)
+    # independent global: micro-quantized per-component sum over ALL rows
+    direct = (
+        _embs(spark, SF_DIR)
+        .select(F.posexplode("embedding").alias("dim", "val"))
+        .select("dim", F.round(F.col("val").cast("double") * 1_000_000, 0)
+                .cast("long").alias("v"))
+        .groupBy("dim").agg(F.sum("v").alias("g"))
+    )
+    via_labels = (
+        _embs(spark, SF_DIR)
+        .select("label", F.posexplode("embedding").alias("dim", "val"))
+        .select("label", "dim",
+                F.round(F.col("val").cast("double") * 1_000_000, 0)
+                .cast("long").alias("v"))
+        .groupBy("label", "dim").agg(F.sum("v").alias("c"))
+        .groupBy("dim").agg(F.sum("c").alias("g"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_labels.collect())
+    )
 
 
 def test_lang_quota_laws(spark):
