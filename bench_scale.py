@@ -157,6 +157,9 @@ HEAVY = [
     # tiers — the end-to-end shape whose cost should track the heaviest
     # single tier, not the sum of four corpus scans
     "curation_funnel",
+    # cluster-size histogram: two tiny aggregations over the shared
+    # pair components — cost tracks the pair materialization
+    "dup_cluster_sizes",
 ]
 
 #: id offset per generated copy. Must satisfy

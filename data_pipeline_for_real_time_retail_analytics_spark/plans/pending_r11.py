@@ -21,6 +21,7 @@ from __future__ import annotations
 from . import (
     asofq,
     bloomdedupq,
+    clusterstatq,
     embdriftq,
     funnelq,
     langquotaq,
@@ -38,6 +39,7 @@ _MODULES = (
     streamdriftq,
     funnelq,
     embdriftq,
+    clusterstatq,
 )
 
 PENDING_QUERIES = {

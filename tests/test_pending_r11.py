@@ -48,7 +48,7 @@ def test_pending_r11_aggregates_the_staged_pairs():
     assert set(PENDING_QUERIES) == {
         "purchase_click_asof", "bloom_chunk_prefilter", "lang_quality_mix",
         "phrase_search", "length_bucket_stats", "stream_events_value_drift",
-        "curation_funnel", "label_centroid_shift",
+        "curation_funnel", "label_centroid_shift", "dup_cluster_sizes",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
@@ -280,6 +280,27 @@ def test_centroid_shift_bounds_and_global_linearity(spark):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, via_labels.collect())
     )
+
+
+def test_cluster_size_histogram_matches_cluster_table(spark):
+    """The histogram is EXACTLY the size distribution of the registered
+    dedup_clusters output (independent recomputation), every cluster
+    has >= 2 members, and sizes x counts account for every clustered
+    doc."""
+    from collections import Counter
+
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import (
+        clusterstatq,
+        llm as L,
+    )
+
+    hist = {r.cluster_size: r.n_clusters
+            for r in clusterstatq.q_dup_cluster_sizes(spark, SF_DIR).collect()}
+    clusters = L.q_dedup_clusters(spark, SF_DIR).collect()
+    want = Counter(Counter(r.cluster_id for r in clusters).values())
+    assert hist == dict(want)
+    assert min(hist) >= 2, "a 1-member group is not a duplicate cluster"
+    assert sum(s * n for s, n in hist.items()) == len(clusters)
 
 
 def test_lang_quota_laws(spark):
