@@ -441,3 +441,35 @@ def test_lang_quota_selects_the_top_quality_docs(spark):
     want = top[: summary[lang].n_target]
     assert summary[lang].n_selected == len(want)
     assert summary[lang].sum_qkey_selected == sum(r.q_key for r in want)
+
+
+def test_stream_drift_identical_under_rocksdb_state_store(spark):
+    """The r9 RocksDB discipline extended to the new streaming pair:
+    the drift counts' streaming state under the production RocksDB
+    provider must produce the identical PSI table as the batch twin
+    (provider binds at stream start — flip the conf around the
+    drive)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import (
+        driftq,
+        streamdriftq,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, rocks)
+    try:
+        out = streamdriftq.q_stream_events_value_drift(spark, SF_DIR).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = driftq.QUERIES["events_value_drift"](spark, SF_DIR).toPandas()
+    assert out.to_dict("records") == batch.to_dict("records")
