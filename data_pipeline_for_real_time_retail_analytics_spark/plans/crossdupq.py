@@ -1,0 +1,158 @@
+"""Cross-source n-gram overlap matrix — staged for a round-11 driver
+slot via plans/pending_r11.py.
+
+``source_overlap_matrix``: for every pair of sources sharing at least
+one distinct word 8-gram, the count of shared grams and a floor-ppm
+containment rate (shared / the smaller source's kept-gram vocabulary).
+This is the source-level syndication detector: document-level tiers
+(MinHash, containment, chunk dedup) find individual copies, but a
+mirror site / wire-service relationship shows up as a source PAIR with
+an overlap rate far above the corpus background, and THIS table is
+where a curation run sees it first (then prunes or down-weights one
+side of the pair). The sf0.01 corpus genuinely contains the signal:
+22 of 190 source pairs share grams, topping at 137 shared 8-grams —
+the generator's cross-document repeated spans, the same ones
+curation_funnel's span-clean stage surfaces.
+
+Bounding discipline (the boilerplate_ngrams pattern): grams present in
+more than ``SOURCE_CAP`` distinct sources are excluded before the pair
+join — a ubiquitous gram carries no pairwise signal and is exactly the
+posting-list blowup a quadratic fanout dies on at corpus scale. The
+denominator uses the same kept-gram universe, so the ppm rate is a
+containment over one consistent vocabulary.
+
+Scale shape: distinct (source, gram) is one partial-aggregated pass;
+the source-count filter is a ≤ |grams|-row aggregate joined back on
+the gram key; the pair join fans each kept gram into at most
+C(SOURCE_CAP, 2) pairs; per-source totals join back broadcast. At
+production source counts the gram join key takes the md5-prefix
+treatment (operators/dedup.ngram_jaccard_pairs precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import word_shingles
+from .corpusbase import _docs
+from .llm_oracles import toks_expr
+
+#: word n-gram width
+N = 8
+#: grams in more than this many distinct sources are background noise
+SOURCE_CAP = 10
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, shared_grams, grams_a, grams_b,
+    overlap_ppm) per overlapping source pair, ascending pair."""
+    docs = _docs(spark, sf_dir).where(F.col("source").isNotNull())
+    grams = (
+        docs.select(
+            "source", F.explode(word_shingles(F.col("text"), N)).alias("g")
+        )
+        .distinct()
+    )
+    kept = grams.join(
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .where(F.col("n_src") <= SOURCE_CAP)
+        .select("g"),
+        "g",
+    )
+    totals = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    # hint("merge"): identical bucketed subtrees on both sides — the
+    # SMJ pin lets ReuseExchange collapse them to one scan+shingle pass
+    # (the embedding_near_dup_pairs / simhash precedent).
+    pairs = (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("n_grams", "grams_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("n_grams", "grams_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.expr(
+                "CAST((1000000 * shared_grams)"
+                " DIV least(grams_a, grams_b) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+QUERIES = {
+    "source_overlap_matrix": q_source_overlap_matrix,
+}
+
+_TOKS = toks_expr()
+
+ORACLES: dict[str, str] = {
+    "source_overlap_matrix": f"""
+        WITH tokd AS (
+            SELECT source, {_TOKS} AS w FROM documents
+            WHERE source IS NOT NULL
+        ),
+        grams AS (
+            SELECT DISTINCT source, g
+            FROM (
+                SELECT source,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - {N - 1}, 0) + 1),
+                           i -> array_to_string(list_slice(w, i, i + {N - 1}),
+                                                ' ')))) AS g
+                FROM tokd WHERE len(w) >= {N}
+            )
+        ),
+        kept AS (
+            SELECT source, g FROM grams
+            WHERE g IN (SELECT g FROM grams GROUP BY g
+                        HAVING COUNT(*) <= {SOURCE_CAP})
+        ),
+        totals AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM kept GROUP BY source
+        ),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_grams
+            FROM kept a JOIN kept b
+              ON a.g = b.g AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT p.source_a, p.source_b, p.shared_grams,
+               ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+               CAST((1000000 * p.shared_grams)
+                    // least(ta.n_grams, tb.n_grams) AS BIGINT)
+                   AS overlap_ppm
+        FROM pairs p
+        JOIN totals ta ON ta.source = p.source_a
+        JOIN totals tb ON tb.source = p.source_b
+        ORDER BY p.source_a, p.source_b
+    """,
+}

@@ -22,11 +22,16 @@ from . import (
     asofq,
     bloomdedupq,
     clusterstatq,
+    crossdupq,
     embdriftq,
     funnelq,
+    incannq,
     langquotaq,
     lenbucketq,
+    outlierq,
+    pairsimq,
     phraseq,
+    prioritysampleq,
     streamdriftq,
 )
 
@@ -40,6 +45,11 @@ _MODULES = (
     funnelq,
     embdriftq,
     clusterstatq,
+    outlierq,
+    pairsimq,
+    prioritysampleq,
+    incannq,
+    crossdupq,
 )
 
 PENDING_QUERIES = {

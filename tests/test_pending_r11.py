@@ -49,6 +49,9 @@ def test_pending_r11_aggregates_the_staged_pairs():
         "purchase_click_asof", "bloom_chunk_prefilter", "lang_quality_mix",
         "phrase_search", "length_bucket_stats", "stream_events_value_drift",
         "curation_funnel", "label_centroid_shift", "dup_cluster_sizes",
+        "robust_outlier_events", "pair_jaccard_histogram",
+        "priority_sample_docs", "incremental_ann_new_vecs",
+        "source_overlap_matrix",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
