@@ -160,6 +160,17 @@ HEAVY = [
     # cluster-size histogram: two tiny aggregations over the shared
     # pair components — cost tracks the pair materialization
     "dup_cluster_sizes",
+    # r11 third batch: MAD outlier gate (three ≤ n_types-row partial
+    # aggregations over events), the Jaccard-bin histogram (one tiny
+    # aggregation past the shared pair set), priority sampling (one
+    # scan + TakeOrderedAndProject head), and the cross-source 8-gram
+    # matrix (distinct posting pass + cap-bounded pair join — the
+    # quadratic-fanout guard under test; copies replicate the 20-source
+    # overlap structure linearly)
+    "robust_outlier_events",
+    "pair_jaccard_histogram",
+    "priority_sample_docs",
+    "source_overlap_matrix",
 ]
 
 #: id offset per generated copy. Must satisfy

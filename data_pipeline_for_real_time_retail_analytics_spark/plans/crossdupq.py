@@ -22,11 +22,13 @@ denominator uses the same kept-gram universe, so the ppm rate is a
 containment over one consistent vocabulary.
 
 Scale shape: distinct (source, gram) is one partial-aggregated pass;
-the source-count filter is a ≤ |grams|-row aggregate joined back on
-the gram key; the pair join fans each kept gram into at most
-C(SOURCE_CAP, 2) pairs; per-source totals join back broadcast. At
-production source counts the gram join key takes the md5-prefix
-treatment (operators/dedup.ngram_jaccard_pairs precedent).
+the cap turns each gram's posting list into a bounded ≤ cap-element
+collect_set (one gram-keyed shuffle, never a self-join — see the
+query docstring for the measured pathology the first draft had), and
+the pair expansion is a map-side array transform emitting at most
+C(SOURCE_CAP, 2) structs per gram; per-source totals join back
+broadcast. At production source counts the gram shuffle key takes the
+md5-prefix treatment (operators/dedup.ngram_jaccard_pairs precedent).
 """
 
 from __future__ import annotations
@@ -46,7 +48,18 @@ SOURCE_CAP = 10
 
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source_a, source_b, shared_grams, grams_a, grams_b,
-    overlap_ppm) per overlapping source pair, ascending pair."""
+    overlap_ppm) per overlapping source pair, ascending pair.
+
+    No self-join: the SOURCE_CAP bound means each kept gram's posting
+    list fits in a ≤ cap-element ``collect_set`` — one shuffle on the
+    gram key, then the pair expansion is a map-side array transform
+    (≤ C(cap, 2) structs per gram). A first draft self-joined the
+    posting table on the gram key; the executed-plan audit showed the
+    posting subtree recomputed 4× (8 parquet scans, 26 shuffles) with
+    ReuseExchange never firing, so the bounded-array shape replaced it
+    (1 corpus scan, the gram-keyed exchange, two tiny aggregates). The
+    DuckDB oracle still uses the self-join formulation — the parity
+    gate is what proves the two shapes equivalent."""
     docs = _docs(spark, sf_dir).where(F.col("source").isNotNull())
     grams = (
         docs.select(
@@ -54,30 +67,33 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    kept = grams.join(
+    # (g, sorted posting list) for grams within the cap; one row per
+    # kept distinct gram. localCheckpoint: pairs and totals both consume
+    # it — at production scale this frame persists to a warehouse table
+    # per corpus epoch instead (the plans/copurchase.py convention).
+    posting = (
         grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_src"))
-        .where(F.col("n_src") <= SOURCE_CAP)
-        .select("g"),
-        "g",
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") <= SOURCE_CAP)
+        .localCheckpoint()
     )
-    totals = kept.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
+    totals = (
+        posting.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
     )
-    a, b = kept.alias("a"), kept.alias("b")
-    # hint("merge"): identical bucketed subtrees on both sides — the
-    # SMJ pin lets ReuseExchange collapse them to one scan+shingle pass
-    # (the embedding_near_dup_pairs / simhash precedent).
     pairs = (
-        a.join(
-            b.hint("merge"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.source") < F.col("b.source")),
+        posting.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs)),"
+                    " y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
     )
     return (

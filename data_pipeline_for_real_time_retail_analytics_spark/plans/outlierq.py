@@ -50,15 +50,20 @@ def q_robust_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
         .select("event_type", "value")
     )
+    # the ≤ n_event_types-row med/mad frames are localCheckpointed so the
+    # downstream joins embed their VALUES instead of re-deriving their
+    # whole events lineage — without this the final three-way join
+    # expands to 14 parquet scans of events (plan-audited); with it the
+    # query is the honest 3-scan minimum for exact two-level percentiles
     med = vals.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
-    )
+    ).localCheckpoint()
     dev = vals.join(F.broadcast(med), "event_type").select(
         "event_type", "value", F.abs(F.col("value") - F.col("med")).alias("d")
     )
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(d, 0.5)").alias("mad")
-    )
+    ).localCheckpoint()
     flagged = dev.join(F.broadcast(mad), "event_type").groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_values"),
         F.sum(

@@ -15,12 +15,25 @@ Composed from the engine's monitoring parts:
    token is boilerplate/spam arriving;
 3. cardinality sketch — per-source KMV vocabulary estimates
    (plans/kmvq.py): a collapsing vocabulary estimate is template text
-   flooding a source.
+   flooding a source;
+4. point anomalies — median/MAD robust outlier rates per event type
+   (plans/outlierq.py): the fat-finger/unit-bug gate whose baseline
+   outliers cannot corrupt (a z-score gate's can);
+5. duplication profile — the Jaccard-bin histogram of verified
+   near-dup pairs (plans/pairsimq.py) next to the cluster-size
+   histogram: piled-at-the-threshold mass means the dedup cut is
+   shaving a continuum, a giant cluster means template flooding;
+6. syndication — the cross-source shared-8-gram matrix
+   (plans/crossdupq.py): a source pair whose overlap rate sits far
+   above the corpus background is a mirror/wire relationship to
+   down-weight before training-mix math trusts the two as
+   independent.
 
-All three tiers are mergeable (cells add, bottom-k unions, counts
+The sketch tiers are mergeable (cells add, bottom-k unions, counts
 add), so per-day/per-source sketches roll up to any reporting grain
 without re-touching data — the property that makes this pass viable
-at 100 TB.
+at 100 TB; the dedup-profile tiers ride the pair materialization the
+curation stages compute anyway.
 
 Run:  python examples/corpus_monitoring_example.py [sf_dir]
 """
@@ -33,7 +46,14 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from data_pipeline_for_real_time_retail_analytics_spark.plans import cmsq, driftq, kmvq  # noqa: E402
+from data_pipeline_for_real_time_retail_analytics_spark.plans import (  # noqa: E402
+    cmsq,
+    crossdupq,
+    driftq,
+    kmvq,
+    outlierq,
+    pairsimq,
+)
 
 #: PSI rules of thumb in micro-units
 PSI_STABLE, PSI_SHIFTED = 100_000, 250_000
@@ -79,6 +99,27 @@ def main() -> None:
     for r in kmvq.q_kmv_distinct_tokens(spark, sf_dir).collect()[:5]:
         print(f"  {r.source:8s} est={r.est_distinct:>6d} "
               f"exact={r.exact_distinct:>6d}")
+
+    print("\n== robust outlier rates (median/MAD, 3-MAD gate) ==")
+    for r in outlierq.q_robust_outlier_events(spark, sf_dir).collect():
+        print(f"  {r.event_type:10s} median={r.median_value:>7.2f} "
+              f"mad={r.mad:>6.2f} outliers={r.n_outliers:>5d} "
+              f"({r.outlier_ppm}ppm of {r.n_values})")
+
+    print("\n== near-dup similarity profile (Jaccard bins) ==")
+    for r in pairsimq.q_pair_jaccard_histogram(spark, sf_dir).collect():
+        print(f"  [{r.bin_lo:.2f}, {r.bin_lo + 0.05:.2f}) "
+              f"pairs={r.n_pairs:>5d} "
+              f"range={r.min_jaccard:.4f}..{r.max_jaccard:.4f}")
+
+    print("\n== top cross-source 8-gram overlaps (syndication watch) ==")
+    top = sorted(
+        crossdupq.q_source_overlap_matrix(spark, sf_dir).collect(),
+        key=lambda r: -r.overlap_ppm,
+    )[:5]
+    for r in top:
+        print(f"  {r.source_a:8s} ~ {r.source_b:8s} "
+              f"shared={r.shared_grams:>4d} rate={r.overlap_ppm}ppm")
 
     spark.stop()
 

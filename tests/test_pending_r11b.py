@@ -229,3 +229,39 @@ def test_overlap_matrix_source_cap_bounds_the_fanout(spark, tmp_path):
         .parquet(f"{tmp_path}/documents.parquet")
     )
     assert crossdupq.q_source_overlap_matrix(spark, str(tmp_path)).count() == 0
+
+
+# ---------- plan-shape pins for the audited perf fixes ----------
+
+
+def _executed(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_overlap_matrix_plan_has_no_join_on_the_gram_key(spark):
+    """The bounded-posting rewrite: pair expansion is a map-side array
+    transform, so the executed plan must carry NO sort-merge or
+    cartesian join (the first-draft self-join recomputed the posting
+    subtree 4x — 8 parquet scans, 26 shuffles)."""
+    plan = _executed(crossdupq.q_source_overlap_matrix(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_outlier_plan_scans_events_at_most_twice(spark):
+    """The localCheckpointed med/mad frames keep the final three-way
+    join from re-deriving the events lineage (14 scans in the
+    pre-checkpoint formatted plan). Executed-plan count: the formatted
+    explain lists every scan twice (tree + details), so pin on the
+    executed tree."""
+    plan = _executed(outlierq.q_robust_outlier_events(spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_incann_plan_scans_embeddings_at_most_three_times(spark):
+    """Two batch branches + one corpus side — the minimum for the
+    union-batch shape; the corpus must not be re-scanned per branch."""
+    plan = _executed(incannq.q_incremental_ann_new_vecs(spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 3
