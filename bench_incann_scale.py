@@ -10,8 +10,9 @@ n_bits with the corpus (log2(n / target_occupancy)), exactly like the
 text twin's band parameterization (bench_incremental_index.py).
 
 This probe measures the deployment shape: the ingest batch is pinned
-to the BASE corpus's planted/novel derivation (constant ~110 vectors
-at sf0.1) while the standing corpus scales N× (vec_id offsets below
+to the BASE corpus's planted/novel derivation (constant 41 vectors at
+sf0.1 — 20 copies + 21 reversed, matching the emitted n_batch field)
+while the standing corpus scales N× (vec_id offsets below
 the batch's 10M/20M id bands, so no collision with the batch ids).
 Near-linear wall growth at N× corpus with a fixed batch is the
 evidence; the registered query itself derives its batch from the

@@ -164,9 +164,9 @@ HEAVY = [
     # aggregations over events), the Jaccard-bin histogram (one tiny
     # aggregation past the shared pair set), priority sampling (one
     # scan + TakeOrderedAndProject head), and the cross-source 8-gram
-    # matrix (distinct posting pass + cap-bounded pair join — the
-    # quadratic-fanout guard under test; copies replicate the 20-source
-    # overlap structure linearly)
+    # matrix (distinct posting pass + map-side pair expansion from the
+    # cap-bounded posting arrays — no gram-keyed join by design; copies
+    # replicate the 20-source overlap structure linearly)
     "robust_outlier_events",
     "pair_jaccard_histogram",
     "priority_sample_docs",

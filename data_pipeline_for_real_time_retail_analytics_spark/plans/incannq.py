@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import ann_topk_sign_lsh
 from ..sources import load_table
+from . import llm_oracles as LO
 
 #: near-dup admission threshold on the 6-dp rounded cosine
 DUP_THRESHOLD = 0.999
@@ -84,27 +85,20 @@ QUERIES = {
     "incremental_ann_new_vecs": q_incremental_ann_new_vecs,
 }
 
-# DuckDB mirror of similarity.sign_lsh_bucket over an aliased column
-_BUCKET = lambda col: " + ".join(  # noqa: E731
-    f"CASE WHEN {col}[{i + 1}] > 0 THEN CAST({1 << i} AS BIGINT) "
-    f"ELSE CAST(0 AS BIGINT) END"
-    for i in range(8)
-)
-
-
-def _dot(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, len({a}) + 1), "
-        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
-        f"(acc, v) -> acc + v)"
+# DuckDB mirror of similarity.sign_lsh_bucket over an ALIASED column —
+# llm_oracles._bucket_expr is the same definition with the column name
+# hardcoded to `embedding`; parameterizing it there would edit a module
+# inside every registered ANN oracle closure (a mass re-stale), so the
+# column-parameterized twin lives here until a rotation round adopts it
+def _bucket(col: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {col}[{i + 1}] > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for i in range(8)
     )
 
 
-_COSINE = (
-    f"({_dot('qv', 'cv')} / "
-    f"(sqrt({_dot('qv', 'qv')}) * sqrt({_dot('cv', 'cv')})))"
-)
+_COSINE = LO._cosine("qv", "cv")
 
 ORACLES: dict[str, str] = {
     "incremental_ann_new_vecs": f"""
@@ -116,9 +110,9 @@ ORACLES: dict[str, str] = {
                    list_reverse(embedding) AS qv
             FROM embeddings WHERE vec_id % {NOVEL_EVERY} = 0
         ),
-        q AS (SELECT query_id, qv, {_BUCKET('qv')} AS bucket FROM batch),
+        q AS (SELECT query_id, qv, {_bucket('qv')} AS bucket FROM batch),
         c AS (SELECT vec_id AS match_id, embedding AS cv,
-                     {_BUCKET('embedding')} AS bucket
+                     {_bucket('embedding')} AS bucket
               FROM embeddings),
         sims AS (
             SELECT query_id, match_id, bucket, {_COSINE} AS sim
