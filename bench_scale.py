@@ -171,6 +171,10 @@ HEAVY = [
     "pair_jaccard_histogram",
     "priority_sample_docs",
     "source_overlap_matrix",
+    # streaming KMV: per-source bottom-k state (≤ 20 × 256 BIGINTs) —
+    # the AvailableNow drive should be input-linear with fixed startup
+    # cost, like the other bounded-state streaming pairs
+    "stream_kmv_distinct_bigrams",
 ]
 
 #: id offset per generated copy. Must satisfy

@@ -33,6 +33,7 @@ from . import (
     phraseq,
     prioritysampleq,
     streamdriftq,
+    streamkmvq,
 )
 
 _MODULES = (
@@ -50,6 +51,7 @@ _MODULES = (
     prioritysampleq,
     incannq,
     crossdupq,
+    streamkmvq,
 )
 
 PENDING_QUERIES = {

@@ -1,0 +1,89 @@
+"""Streaming KMV sketch maintenance via ``applyInPandasWithState``.
+
+The bottom-k sketch's merge law — ``bottom_k(A ∪ B) =
+bottom_k(bottom_k(A) ∪ B)`` — is exactly the shape arbitrary-state
+streaming wants: per group the state is the sorted bottom-k distinct
+hash array (≤ k BIGINTs, bounded by construction), each micro-batch's
+hashes union in, and the post-merge truncation can never discard a
+hash that a later batch would have needed. The stream therefore never
+holds the vocabulary anywhere — strictly SMALLER state than the batch
+build's vocabulary-bounded distinct frame, the same inversion the
+streaming CMS twin documents (plans/streamcmsq.py).
+
+Built-in streaming aggregation cannot express this (a per-group
+sorted-truncate is not an associative SQL aggregate short of a
+collect_set whose state is the whole distinct set), so this is the
+custom-stateful tier (SURVEY §2.10/§2.11): the
+``applyInPandasWithState`` pattern of streaming/stateful.py applied to
+a mergeable sketch.
+
+Each invocation emits the group's full current sketch tagged with a
+monotone update counter; the last emission per group (max counter) is
+the final sketch, which the batch estimator tail consumes unchanged.
+Per-invocation memory is the micro-batch's (group, hash) row volume —
+bounded operationally by ``maxFilesPerTrigger`` on the source, the
+knob a production deployment sizes (the sketch state itself stays ≤ k
+rows regardless).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def kmv_sketch_stream(
+    hashed: DataFrame,
+    key_col: str = "source",
+    hash_col: str = "h",
+    k: int = 256,
+) -> DataFrame:
+    """Maintain a per-``key_col`` bottom-``k`` sketch over streaming
+    ``hash_col`` rows; emits (key, upd, rank, h) — the group's whole
+    current sketch per update, ``upd`` monotone per group."""
+    key_field = hashed.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField("upd", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("upd", T.LongType()),
+        ]
+    )
+
+    def _merge(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hs, upd = state.get if state.exists else ([], 0)
+        merged = set(hs)
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf[hash_col])
+        bottom = sorted(merged)[:k]
+        upd += 1
+        state.update((bottom, upd))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(bottom),
+                "upd": [upd] * len(bottom),
+                "rank": list(range(1, len(bottom) + 1)),
+                "h": bottom,
+            }
+        )
+
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        _merge,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -51,7 +51,7 @@ def test_pending_r11_aggregates_the_staged_pairs():
         "curation_funnel", "label_centroid_shift", "dup_cluster_sizes",
         "robust_outlier_events", "pair_jaccard_histogram",
         "priority_sample_docs", "incremental_ann_new_vecs",
-        "source_overlap_matrix",
+        "source_overlap_matrix", "stream_kmv_distinct_bigrams",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 

@@ -265,3 +265,63 @@ def test_incann_plan_scans_embeddings_at_most_three_times(spark):
     union-batch shape; the corpus must not be re-scanned per branch."""
     plan = _executed(incannq.q_incremental_ann_new_vecs(spark, SF_DIR))
     assert plan.count("Scan parquet") <= 3
+
+
+# ---------- streaming KMV ----------
+
+
+def test_stream_kmv_ran_multiple_batches_and_truncated(spark):
+    """The staged multi-file corpus at maxFilesPerTrigger=1 must drive
+    SEVERAL micro-batches (the cross-batch merge law is the point), and
+    per-source bigram vocabularies (634-740 at sf0.01) must exceed
+    k = 256 so the truncation + estimator regimes both fire; the
+    estimate stays inside a generous KMV error band (σ ≈ 6.3%)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import (
+        kmvq,
+        streamkmvq,
+    )
+
+    rows = streamkmvq.q_stream_kmv_distinct_bigrams(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r.n_kept == kmvq.K for r in rows)
+    assert all(r.exact_distinct > kmvq.K for r in rows)
+    assert all(abs(r.est_distinct / r.exact_distinct - 1) < 0.15 for r in rows)
+    # the memory sink left by the drain carries the monotone counter
+    ups = spark.table("stream_kmv_sketch").agg(F.max("upd")).collect()[0][0]
+    assert ups >= 3
+
+
+def test_stream_kmv_sketch_equals_the_batch_build(spark):
+    """Engine-side stream ≡ batch: the same sketch rebuilt with the
+    batch bottom-k operators over the same bigram hashes must agree
+    row-for-row (the streamdriftq discipline, beyond the shared-shape
+    oracle)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.kmv import (
+        bottom_k_hashes,
+        kmv_estimate,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import (
+        kmvq,
+        streamkmvq,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.plans.corpusbase import (
+        _docs,
+    )
+
+    streamed = sorted(
+        tuple(r)
+        for r in streamkmvq.q_stream_kmv_distinct_bigrams(spark, SF_DIR).collect()
+    )
+    hashed = streamkmvq._bigram_hashes(_docs(spark, SF_DIR)).distinct()
+    est = kmv_estimate(
+        bottom_k_hashes(hashed, ["source"], kmvq.K, kmvq.N_SALTS),
+        ["source"],
+        kmvq.K,
+    )
+    exact = hashed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    batch = sorted(
+        tuple(r) for r in est.join(exact, "source").orderBy("source").collect()
+    )
+    assert streamed == batch
