@@ -175,6 +175,21 @@ HEAVY = [
     # the AvailableNow drive should be input-linear with fixed startup
     # cost, like the other bounded-state streaming pairs
     "stream_kmv_distinct_bigrams",
+    # r11 fourth batch: the binned interval join (per-copy user offsets
+    # keep per-user temporal density constant, so candidates AND answer
+    # grow linearly — the deployment shape), BPE pair mining (one corpus
+    # token pass into a vocab-bounded aggregate; the tagged-copy vocab
+    # growth is the documented Heaps-law adversarial case), and the OLS
+    # trend (orders scan into a segments × days frame of constant size)
+    "click_error_interval",
+    "bpe_merge_candidates",
+    "revenue_trend_by_segment",
+    # r11 fifth batch: first-touch audience split (two user-keyed
+    # passes over distinct user-days) and the CUSUM changepoint scan
+    # (one events pass into a types × calendar-days window frame —
+    # state bounded by time, not volume)
+    "daily_new_vs_returning",
+    "event_count_cusum",
 ]
 
 #: id offset per generated copy. Must satisfy

@@ -20,8 +20,11 @@ from __future__ import annotations
 
 from . import (
     asofq,
+    audienceq,
     bloomdedupq,
+    bpeq,
     clusterstatq,
+    cusumq,
     crossdupq,
     embdriftq,
     funnelq,
@@ -32,8 +35,10 @@ from . import (
     pairsimq,
     phraseq,
     prioritysampleq,
+    rangejoinq,
     streamdriftq,
     streamkmvq,
+    trendq,
 )
 
 _MODULES = (
@@ -52,6 +57,11 @@ _MODULES = (
     incannq,
     crossdupq,
     streamkmvq,
+    rangejoinq,
+    bpeq,
+    trendq,
+    audienceq,
+    cusumq,
 )
 
 PENDING_QUERIES = {

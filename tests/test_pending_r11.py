@@ -34,7 +34,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 @pytest.fixture(scope="module")
 def ddb():
     con = par.make_views(
-        duckdb.connect(), ["events", "documents", "embeddings"], SF_DIR
+        duckdb.connect(),
+        ["events", "documents", "embeddings", "orders", "customer"],
+        SF_DIR,
     )
     yield con
     con.close()
@@ -52,6 +54,9 @@ def test_pending_r11_aggregates_the_staged_pairs():
         "robust_outlier_events", "pair_jaccard_histogram",
         "priority_sample_docs", "incremental_ann_new_vecs",
         "source_overlap_matrix", "stream_kmv_distinct_bigrams",
+        "click_error_interval", "bpe_merge_candidates",
+        "revenue_trend_by_segment", "daily_new_vs_returning",
+        "event_count_cusum",
     }
     _assert_pending_module_consistent(PENDING_QUERIES, PENDING_ORACLES)
 
