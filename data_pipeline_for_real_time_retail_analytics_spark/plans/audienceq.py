@@ -13,14 +13,16 @@ pinned by load_table; DuckDB casts the same naive timestamps), with
 first-touch defined as MIN(day) per user — deterministic on both
 engines.
 
-Scale shape: one events scan → distinct (user, day) (partial-
-aggregated, keyed on the user — the natural high-cardinality key, no
-hot groups); first-touch is a per-user MIN over that same frame
-(second pass over user-day rows, not raw events); the day-grain
-output aggregate shuffles user-day rows once more. Nothing is ever
-keyed on the (tiny, hot) day alone until the final
-days-sized aggregate. NULL user/ts rows are excluded up front (a
-data-contract violation the validation tier flags, not audience).
+Scale shape: two column-pruned events scans (user_id, ts only) — one
+per side of the user-keyed join: the distinct (user, day) frame and
+its per-user MIN first-touch rollup. The user-days frame is users ×
+active-days sized, so it is deliberately NOT materialized to collapse
+the second scan (the boilerplate_ngrams trade: recomputing a map-side
+pass beats materializing a corpus-scale intermediate); both shuffles
+key on the high-cardinality user, and nothing keys on the (tiny, hot)
+day alone until the final days-sized aggregate. NULL user/ts rows are
+excluded up front (a data-contract violation the validation tier
+flags, not audience).
 
 Reference scope: the reference's aggregation layer stops at grouped
 sums over one table (src/transformers/aggregations.py); first-touch
