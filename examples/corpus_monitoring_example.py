@@ -27,7 +27,15 @@ Composed from the engine's monitoring parts:
    (plans/crossdupq.py): a source pair whose overlap rate sits far
    above the corpus background is a mirror/wire relationship to
    down-weight before training-mix math trusts the two as
-   independent.
+   independent;
+7. level shifts — the CUSUM changepoint scan over densified daily
+   event counts (plans/cusumq.py): the fast detector for sustained
+   volume drops/floods (an outage's zero-count days enter the series
+   as real zeros);
+8. business-metric trend — the exact-OLS revenue slope per segment
+   (plans/trendq.py) next to the audience first-touch split
+   (plans/audienceq.py): whether the level is drifting, and whether
+   today's traffic is acquisition or retention.
 
 The sketch tiers are mergeable (cells add, bottom-k unions, counts
 add), so per-day/per-source sketches roll up to any reporting grain
@@ -47,12 +55,15 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from data_pipeline_for_real_time_retail_analytics_spark.plans import (  # noqa: E402
+    audienceq,
     cmsq,
     crossdupq,
+    cusumq,
     driftq,
     kmvq,
     outlierq,
     pairsimq,
+    trendq,
 )
 
 #: PSI rules of thumb in micro-units
@@ -120,6 +131,23 @@ def main() -> None:
     for r in top:
         print(f"  {r.source_a:8s} ~ {r.source_b:8s} "
               f"shared={r.shared_grams:>4d} rate={r.overlap_ppm}ppm")
+
+    print("\n== CUSUM changepoint scan (daily volumes, h = k) ==")
+    for r in cusumq.q_event_count_cusum(spark, sf_dir).collect():
+        alarm = (f"ALARM from {r.first_alarm_day} ({r.n_alarm_days}d)"
+                 if r.n_alarm_days else "quiet")
+        print(f"  {r.event_type:10s} k={r.slack_k:>4d} "
+              f"max_cusum={r.max_cusum:>5d} -> {alarm}")
+
+    print("\n== revenue trend by segment (exact OLS, cents/day) ==")
+    for r in trendq.q_revenue_trend_by_segment(spark, sf_dir).collect():
+        print(f"  {r.c_mktsegment:10s} days={r.n_days:>5d} "
+              f"slope={r.slope_cents_per_day:>10.2f}")
+
+    print("\n== audience first-touch split (first 5 days) ==")
+    for r in audienceq.q_daily_new_vs_returning(spark, sf_dir).collect()[:5]:
+        print(f"  {r.day} active={r.n_active_users:>4d} "
+              f"new={r.n_new_users:>4d} returning={r.n_returning_users:>4d}")
 
     spark.stop()
 

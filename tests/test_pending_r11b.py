@@ -325,3 +325,38 @@ def test_stream_kmv_sketch_equals_the_batch_build(spark):
         tuple(r) for r in est.join(exact, "source").orderBy("source").collect()
     )
     assert streamed == batch
+
+
+def test_stream_kmv_identical_under_rocksdb_state_store(spark):
+    """The r9 RocksDB discipline extended to the custom-state sketch:
+    the bottom-k arrays maintained by applyInPandasWithState under the
+    production RocksDB provider must yield the identical estimate table
+    (provider binds at stream start — flip the conf around the
+    drive)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.plans import (
+        streamkmvq,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, rocks)
+    try:
+        out = streamkmvq.q_stream_kmv_distinct_bigrams(
+            spark, SF_DIR
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    default = streamkmvq.q_stream_kmv_distinct_bigrams(
+        spark, SF_DIR
+    ).toPandas()
+    assert out.to_dict("records") == default.to_dict("records")
