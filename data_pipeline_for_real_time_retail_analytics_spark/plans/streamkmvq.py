@@ -60,7 +60,12 @@ from .streamq import _drain
 #: one batch and the cross-batch merge law would never fire; pinned in
 #: tests via the emitted monotone update counter). Bottom-k is
 #: order-insensitive, so the hash repartitioning cannot affect values.
-_N_STAGE_FILES = 6
+#: 3 files = 3 cross-batch merges per source: the minimum that
+#: genuinely exercises the law — measured at sf0.1, each micro-batch
+#: costs ~2.4 s of FIXED drive overhead (planning + 8 state-store
+#: commits + Python worker round-trip), so 6 files doubled the cell
+#: wall for no additional semantic coverage (21.0 → 13.5 s).
+_N_STAGE_FILES = 3
 _STAGED_MULTI: dict[tuple[str, str], str] = {}
 
 
