@@ -78,8 +78,14 @@ def interval_join_binned(
     Rows with a NULL key or NULL timestamp on either side never match
     (equi-join / comparison semantics — identical in DuckDB).
     """
-    if max_gap_seconds <= 0:
-        raise ValueError(f"max_gap_seconds must be > 0: {max_gap_seconds}")
+    w_us = int(round(max_gap_seconds * 1_000_000))
+    # guard the DERIVED width, not just the input: a sub-microsecond gap
+    # rounds to w_us = 0, and pmod(ts, 0)/div 0 yield NULL bins — every
+    # row would silently drop instead of erroring
+    if w_us <= 0:
+        raise ValueError(
+            f"max_gap_seconds must be at least 1 microsecond: {max_gap_seconds}"
+        )
     overlap = (set(left.columns) & set(right.columns)) - set(key_cols)
     if overlap:
         raise ValueError(
@@ -90,7 +96,6 @@ def interval_join_binned(
     if reserved:
         raise ValueError(f"reserved working names present: {sorted(reserved)}")
 
-    w_us = int(round(max_gap_seconds * 1_000_000))
     # floor division in pure integer ops (never a double division — an
     # epoch value above 2^53 µs would round): subtract the positive
     # remainder, then the truncating `div` is exact for any sign

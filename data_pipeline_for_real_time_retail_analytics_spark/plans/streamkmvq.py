@@ -60,11 +60,17 @@ from .streamq import _drain
 #: one batch and the cross-batch merge law would never fire; pinned in
 #: tests via the emitted monotone update counter). Bottom-k is
 #: order-insensitive, so the hash repartitioning cannot affect values.
-#: 3 files = 3 cross-batch merges per source: the minimum that
-#: genuinely exercises the law — measured at sf0.1, each micro-batch
-#: costs ~2.4 s of FIXED drive overhead (planning + 8 state-store
-#: commits + Python worker round-trip), so 6 files doubled the cell
-#: wall for no additional semantic coverage (21.0 → 13.5 s).
+#: 3 files = 3 state updates per source (1 init + 2 genuine
+#: cross-batch merges) — the minimum that exercises the law more than
+#: once; measured at sf0.1, each micro-batch costs ~2.4 s of FIXED
+#: drive overhead (planning + 8 state-store commits + Python worker
+#: round-trip), so 6 files doubled the cell wall for no additional
+#: semantic coverage (steady-state drive 14.5 → 7.3 s). NOTE: this
+#: helper deliberately does NOT reuse streamcmsq._stage_docs (which
+#: lacks the repartition) — streamcmsq.py backs the REGISTERED
+#: stream_cms_heavy_tokens query, and editing it to add an n_files
+#: parameter would re-stale that query's rotation closure for one
+#: line of sharing (the round-6 dedup.py precedent).
 _N_STAGE_FILES = 3
 _STAGED_MULTI: dict[tuple[str, str], str] = {}
 

@@ -141,8 +141,10 @@ def main() -> None:
 
     print("\n== revenue trend by segment (exact OLS, cents/day) ==")
     for r in trendq.q_revenue_trend_by_segment(spark, sf_dir).collect():
-        print(f"  {r.c_mktsegment:10s} days={r.n_days:>5d} "
-              f"slope={r.slope_cents_per_day:>10.2f}")
+        seg = r.c_mktsegment if r.c_mktsegment is not None else "(null)"
+        slope = (f"{r.slope_cents_per_day:>10.2f}"
+                 if r.slope_cents_per_day is not None else "   (1 day)")
+        print(f"  {seg:10s} days={r.n_days:>5d} slope={slope}")
 
     print("\n== audience first-touch split (first 5 days) ==")
     for r in audienceq.q_daily_new_vs_returning(spark, sf_dir).collect()[:5]:

@@ -134,6 +134,12 @@ def test_interval_join_guards(spark):
         interval_join_binned(
             df, r.withColumnRenamed("a", "b"), ["k"], "l_ts", "r_ts", 0
         )
+    # a sub-microsecond gap rounds to a zero bin width — must be a loud
+    # error, not NULL bins silently dropping every pair
+    with pytest.raises(ValueError, match="microsecond"):
+        interval_join_binned(
+            df, r.withColumnRenamed("a", "b"), ["k"], "l_ts", "r_ts", 1e-7
+        )
 
 
 # ---------- BPE merge mining ----------
