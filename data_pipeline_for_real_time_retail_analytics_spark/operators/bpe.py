@@ -78,3 +78,89 @@ def bpe_top_merges(
         .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+def _initial_symbols(tok: Column) -> Column:
+    """Character-level initial symbol sequence of ``tok``."""
+    return F.expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
+    )
+
+
+def _merge_pair(syms: Column, a: str, b: str) -> Column:
+    """One BPE merge applied to a symbol array: replace adjacent
+    (a, b) with a||b, greedy left-to-right, non-overlapping — the fold
+    never lets a just-created symbol re-merge within the same pass
+    (it compares SYMBOLS, and the merged symbol a||b ≠ a unless b is
+    empty, which initial char symbols never are)."""
+    a_lit, b_lit = F.lit(a), F.lit(b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a_lit)
+            & (x == b_lit),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(a_lit, b_lit)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge
+    list [(left_symbol, right_symbol, weighted_count), …] in learned
+    order.
+
+    The driver loop is over VOCAB-BOUNDED frames only (the production
+    BPE trainer shape — Sennrich et al. 2016 §3.2): each iteration is
+    one pair-count aggregate over distinct words (weighted by the word
+    frequencies computed once from the corpus) and a 1-row argmax
+    collect; the corpus itself is never re-read. The evolving symbol
+    column is localCheckpointed per iteration so lineage doesn't
+    accumulate one fold per merge (the pointer-jumping/PageRank
+    iterative discipline). Ties break (count DESC, pair ASC) —
+    deterministic across runs and engines.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0: {n_merges}")
+    vocab = (
+        word_frequencies(df, text_col)
+        .where(F.length("tok") >= 1)
+        .select("wt", _initial_symbols(F.col("tok")).alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            # guard: a word reduced to ONE symbol has no pairs, and
+            # sequence(1, 0) counts DOWN (the r4 word_shingles lesson;
+            # under ANSI the out-of-range syms[i] would even error)
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "wt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wt").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0].a, top[0].b, top[0].n
+        merges.append((a, b, int(n)))
+        vocab = vocab.select(
+            "wt", _merge_pair(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint()
+    return merges

@@ -438,3 +438,74 @@ def test_cusum_matches_python_recursion_on_real_data(spark):
         assert got[typ].slack_k == k
         assert got[typ].max_cusum == max(ss)
         assert got[typ].n_alarm_days == sum(1 for s in ss if s > k)
+
+
+# ---------- iterative BPE trainer ----------
+
+
+def _bpe_python(vocab_counts, n_merges):
+    """Literal Sennrich reference: symbol sequences, pair counts,
+    greedy left-to-right merge, (count DESC, pair ASC) ties."""
+    vocab = {tuple(w): c for w, c in vocab_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_matches_the_sennrich_reference(spark):
+    """The classic corpus {low:5, lower:2, newest:6, widest:3}: six
+    learned merges equal the literal reference algorithm, including
+    weighted counts and tie order."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (
+        bpe_learn,
+    )
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(" ".join([w] * c) for w, c in counts.items())
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = bpe_learn(docs, 6)
+    want = _bpe_python(counts, 6)
+    assert got == want
+    # the first merge of this corpus is famously 'es' (9 = newest 6 +
+    # widest 3); hard-pin it so the reference itself can't drift
+    assert got[0] == ("e", "s", 9)
+
+
+def test_bpe_learn_greedy_overlap_and_exhaustion(spark):
+    """'aaaa'×3: merge 1 is (a,a) COUNTED with overlap (3 positions per
+    word — the Sennrich get_stats semantics) but MERGED greedily
+    non-overlapping, so the vocab becomes 'aa aa' and merge 2 is
+    (aa,aa)=3; then every word is one symbol and the trainer stops
+    early, returning fewer merges than asked."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (
+        bpe_learn,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    got = bpe_learn(docs, 10)
+    assert got == [("a", "a", 9), ("aa", "aa", 3)]
