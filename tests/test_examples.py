@@ -194,3 +194,19 @@ def test_pipeline_alerting_example_runs(spark, sf_dir, capsys):
     assert "[CRITICAL" in out and "pipeline_failure" in out
     assert "data_quality_warning" in out and "long_running_task" in out
     assert "did not page: OK" in out
+
+
+def test_tokenizer_prep_example_runs(spark, sf_dir, capsys):
+    argv = sys.argv
+    sys.argv = ["tokenizer_prep_example.py", sf_dir, "4"]
+    try:
+        with _protect_session(spark):
+            runpy.run_path(
+                "examples/tokenizer_prep_example.py", run_name="__main__"
+            )
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "top merge candidates" in out
+    assert "learning 4 merges" in out
+    assert "compression:" in out
