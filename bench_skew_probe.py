@@ -84,12 +84,17 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # 32 concurrent tasks sharing the default 1g local-mode heap
+        # OOM on the hot-key interval join's ~9M-pair output; size the
+        # probe JVM for the machine (the container has 128 GiB)
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     import data_pipeline_for_real_time_retail_analytics_spark.plans.asofq as AQ
     import data_pipeline_for_real_time_retail_analytics_spark.plans.markovq as MK
+    import data_pipeline_for_real_time_retail_analytics_spark.plans.rangejoinq as RJ
     import data_pipeline_for_real_time_retail_analytics_spark.plans.sessionattrq as SA
 
     uniform, hot = make_events(spark, args.rows, args.hot_share)
@@ -103,6 +108,13 @@ def main() -> None:
         # r11-staged as-of merge sweep: same per-user window shape, so
         # the same bounded-straggler argument must hold under a bot key
         ("purchase_click_asof", AQ, AQ.q_purchase_click_asof),
+        # r11-staged binned interval join: a hot user grows the TRUE
+        # answer quadratically in its density (every in-window
+        # click×error pair is output), so walls are read NEXT TO the
+        # output-row counts below — the operator claim is only that
+        # cost tracks the hot key's own candidate volume, with bin
+        # width as the documented lever
+        ("click_error_interval", RJ, RJ.q_click_error_interval),
     )
 
     def run(label: str, qname: str) -> float:
@@ -131,6 +143,18 @@ def main() -> None:
         q: round(out["hot"][q] / out["uniform"][q], 2)
         for q in out["uniform"]
     }
+    # untimed output-row counts: attribute wall growth to answer growth
+    out_rows: dict[str, dict[str, int]] = {"uniform": {}, "hot": {}}
+    for qname, mod, fn in queries:
+        for label in ("uniform", "hot"):
+            orig = mod.load_table
+            try:
+                mod.load_table = (
+                    lambda spark, sf_dir, name, _ev=frames[label]: _ev
+                )
+                out_rows[label][qname] = fn(spark, "ignored").count()
+            finally:
+                mod.load_table = orig
     print(
         json.dumps(
             {
@@ -139,6 +163,7 @@ def main() -> None:
                 "hot_share": args.hot_share,
                 "wall_sec": out,
                 "hot_over_uniform": ratios,
+                "output_rows": out_rows,
             }
         )
     )
