@@ -23,6 +23,13 @@ means the bound holds, and the mitigation at 100 TB is upstream
 anyway (the join_key_skew diagnostic flags such keys for per-key
 sub-bucketing, e.g. sessionizing a bot user by day first).
 
+A second, purpose-built section probes the r11-staged binned interval
+join at EQUAL per-key temporal density with skewed key mass (the
+window-family frames are the wrong substrate for a coincidence join —
+see the inline comment): the design claim is that the (key, bin)
+composite join key re-shards a hot key across its own time range, so
+the hot/uniform wall ratio stays near 1 while outputs match.
+
 Usage: python bench_skew_probe.py [--rows 1000000] [--hot-share 0.3]
 Writes one JSON line: {"probe": "hot_key_skew", ...}.
 """
@@ -34,6 +41,7 @@ import json
 import os
 import sys
 import time
+from contextlib import contextmanager
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -94,8 +102,16 @@ def main() -> None:
 
     import data_pipeline_for_real_time_retail_analytics_spark.plans.asofq as AQ
     import data_pipeline_for_real_time_retail_analytics_spark.plans.markovq as MK
-    import data_pipeline_for_real_time_retail_analytics_spark.plans.rangejoinq as RJ
     import data_pipeline_for_real_time_retail_analytics_spark.plans.sessionattrq as SA
+
+    @contextmanager
+    def patched_loader(mod, frame):
+        orig = mod.load_table
+        mod.load_table = lambda spark, sf_dir, name, _ev=frame: _ev
+        try:
+            yield
+        finally:
+            mod.load_table = orig
 
     uniform, hot = make_events(spark, args.rows, args.hot_share)
     frames = {
@@ -108,26 +124,14 @@ def main() -> None:
         # r11-staged as-of merge sweep: same per-user window shape, so
         # the same bounded-straggler argument must hold under a bot key
         ("purchase_click_asof", AQ, AQ.q_purchase_click_asof),
-        # r11-staged binned interval join: a hot user grows the TRUE
-        # answer quadratically in its density (every in-window
-        # click×error pair is output), so walls are read NEXT TO the
-        # output-row counts below — the operator claim is only that
-        # cost tracks the hot key's own candidate volume, with bin
-        # width as the documented lever
-        ("click_error_interval", RJ, RJ.q_click_error_interval),
     )
 
     def run(label: str, qname: str) -> float:
-        ev = frames[label]
         mod, fn = {q: (m, f) for q, m, f in queries}[qname]
-        orig = mod.load_table
-        try:
-            mod.load_table = lambda spark, sf_dir, name: ev
+        with patched_loader(mod, frames[label]):
             t0 = time.perf_counter()
             fn(spark, "ignored").write.format("noop").mode("overwrite").save()
             return round(time.perf_counter() - t0, 3)
-        finally:
-            mod.load_table = orig
 
     for ev in frames.values():
         ev.count()  # materialize outside the timed region
@@ -143,18 +147,75 @@ def main() -> None:
         q: round(out["hot"][q] / out["uniform"][q], 2)
         for q in out["uniform"]
     }
-    # untimed output-row counts: attribute wall growth to answer growth
-    out_rows: dict[str, dict[str, int]] = {"uniform": {}, "hot": {}}
-    for qname, mod, fn in queries:
-        for label in ("uniform", "hot"):
-            orig = mod.load_table
-            try:
-                mod.load_table = (
-                    lambda spark, sf_dir, name, _ev=frames[label]: _ev
-                )
-                out_rows[label][qname] = fn(spark, "ignored").count()
-            finally:
-                mod.load_table = orig
+    # ---- binned interval join: key skew at EQUAL per-key density ----
+    # The window-family frames above are the wrong substrate for a
+    # coincidence join (uniform users there have one event type and
+    # ~14 h event spacing — an empty join by construction). The honest
+    # experiment holds per-user temporal density CONSTANT and skews
+    # only the key mass: uniform = n_rows/1000 users of 1000
+    # consecutive 5 s-spaced events each; hot = one user absorbing the
+    # first hot_share of rows at the SAME density. Binning composes the
+    # join key as (user, 60 s-bin), so the hot user re-shards across
+    # its own time range — the design claim this probe checks is ratio
+    # ≈ answer ratio (no single-task pile-up on the hot key).
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.rangejoin import (
+        interval_join_binned,
+    )
+
+    dense = spark.range(args.rows).select(
+        F.col("id").alias("event_id"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id") * 5)
+        ).alias("ts"),
+        # plain id%5 typing is safe HERE because the user key is
+        # div-based (id div 1000) — no mod-mod aliasing; every user
+        # gets all five types and clicks sit 15 s from the next error
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("view", "click", "purchase", "signup", "error")]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    hot_cut = int(args.rows * args.hot_share)
+    dense_frames = {
+        "uniform": dense.withColumn(
+            "user_id", (F.col("event_id") / 1000).cast("long")
+        ).localCheckpoint(),
+        "hot": dense.withColumn(
+            "user_id",
+            F.when(F.col("event_id") < hot_cut, F.lit(0)).otherwise(
+                (F.col("event_id") / 1000).cast("long")
+            ),
+        ).localCheckpoint(),
+    }
+
+    def run_interval(label: str) -> tuple[float, int]:
+        ev = dense_frames[label]
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        errors = ev.where(F.col("event_type") == "error").select(
+            "user_id", F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        joined = interval_join_binned(
+            clicks, errors, ["user_id"], "click_ts", "error_ts", 60,
+            gap_col="gap_us",
+        )
+        t0 = time.perf_counter()
+        joined.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 3)
+        return wall, joined.count()
+
+    interval_out: dict[str, dict[str, float]] = {}
+    for label in ("uniform", "hot"):
+        run_interval(label)  # warm-up
+    for label in ("hot", "uniform"):
+        wall, n_out = run_interval(label)
+        interval_out[label] = {"wall_sec": wall, "output_rows": n_out}
+
     print(
         json.dumps(
             {
@@ -163,7 +224,12 @@ def main() -> None:
                 "hot_share": args.hot_share,
                 "wall_sec": out,
                 "hot_over_uniform": ratios,
-                "output_rows": out_rows,
+                "interval_join_equal_density": interval_out,
+                "interval_hot_over_uniform": round(
+                    interval_out["hot"]["wall_sec"]
+                    / interval_out["uniform"]["wall_sec"],
+                    2,
+                ),
             }
         )
     )

@@ -1,6 +1,6 @@
-"""BPE merge-candidate mining — the first iteration of byte-pair
-encoding, distributed the way tokenizer training actually runs at
-corpus scale.
+"""BPE tokenizer training — candidate mining plus the full iterative
+merge loop, distributed the way production trainers run at corpus
+scale.
 
 Classic BPE (Sennrich et al. 2016) alternates (1) count all adjacent
 symbol pairs across the corpus, weighted by word frequency, and
@@ -10,14 +10,16 @@ word-frequency table FIRST (a vocab-bounded aggregate — Heaps' law
 keeps distinct words sub-linear in corpus size), and pair enumeration
 then runs over DISTINCT words only, weighted by their counts — never
 over raw corpus positions. Step (2)'s argmax is a top-k over the pair
-table. The iterative merge loop is a driver-side loop over these two
-bounded aggregates (n_merges × two small shuffles), exactly how
-production BPE trainers structure it; the repo stages iteration 1 as
-the driver-gated pair since each further iteration is the same plan
-shape over a rewritten vocab.
+table. ``bpe_learn`` runs the full loop as a driver-side iteration
+over these two bounded aggregates (n_merges × two small shuffles per
+merge); ``bpe_top_merges`` is iteration 1's candidate table, the
+driver-gated oracle pair (each further iteration is the same plan
+shape over a rewritten vocab).
 
 Both stages are integer counting on deterministic inputs — exact
-cross-engine (DuckDB mirrors with the same substr enumeration).
+cross-engine (DuckDB mirrors with the same substr enumeration), and
+``bpe_learn`` is pinned equal to the literal reference algorithm in
+tests.
 """
 
 from __future__ import annotations
@@ -55,12 +57,22 @@ def _char_pairs(tok: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    word_freqs: DataFrame | None = None,
+) -> DataFrame:
     """(pair, n_occurrences): adjacent-character-pair counts over the
     corpus, weighted by word frequency — BPE iteration 1's candidate
     table. A pair occurring twice inside one word counts twice per word
-    occurrence (the BPE multiplicity rule)."""
-    vocab = word_frequencies(df, text_col).where(F.length("tok") >= 2)
+    occurrence (the BPE multiplicity rule). Pass an already-computed
+    (tok, wt) frame as ``word_freqs`` to skip the corpus pass (callers
+    composing several tokenizer-prep stages should compute it once)."""
+    vocab = (
+        word_freqs
+        if word_freqs is not None
+        else word_frequencies(df, text_col)
+    ).where(F.length("tok") >= 2)
     return (
         vocab.select("wt", F.explode(_char_pairs(F.col("tok"))).alias("pair"))
         .groupBy("pair")
@@ -69,12 +81,15 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_top_merges(
-    df: DataFrame, k: int, text_col: str = "text"
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """The top-``k`` merge candidates by weighted pair count, total
     order (count desc, pair asc) so the cut is deterministic."""
     return (
-        bpe_pair_counts(df, text_col)
+        bpe_pair_counts(df, text_col, word_freqs=word_freqs)
         .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
         .limit(k)
     )
@@ -110,38 +125,52 @@ def _merge_pair(syms: Column, a: str, b: str) -> Column:
 
 
 def bpe_learn(
-    df: DataFrame, n_merges: int, text_col: str = "text"
-) -> list[tuple[str, str, int]]:
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    word_freqs: DataFrame | None = None,
+    return_final_vocab: bool = False,
+):
     """Learn ``n_merges`` BPE merges over the corpus; returns the merge
     list [(left_symbol, right_symbol, weighted_count), …] in learned
-    order.
+    order — or ``(merges, final_vocab)`` when ``return_final_vocab``
+    is set, where ``final_vocab`` is the (wt, syms) frame after all
+    merges (for compression audits / segmenter export, without
+    replaying the folds).
 
     The driver loop is over VOCAB-BOUNDED frames only (the production
     BPE trainer shape — Sennrich et al. 2016 §3.2): each iteration is
     one pair-count aggregate over distinct words (weighted by the word
-    frequencies computed once from the corpus) and a 1-row argmax
-    collect; the corpus itself is never re-read. The evolving symbol
-    column is localCheckpointed per iteration so lineage doesn't
-    accumulate one fold per merge (the pointer-jumping/PageRank
-    iterative discipline). Ties break (count DESC, pair ASC) —
-    deterministic across runs and engines.
+    frequencies computed once from the corpus — pass ``word_freqs`` to
+    skip even that pass) and a 1-row argmax collect; the corpus itself
+    is never re-read. Words reduced to ONE symbol can never merge
+    again, so they leave the iterated frame permanently (the fold and
+    checkpoint shrink monotonically) and rejoin only in the returned
+    final vocab. The evolving symbol column is localCheckpointed per
+    iteration so lineage doesn't accumulate one fold per merge (the
+    pointer-jumping/PageRank iterative discipline). Ties break
+    (count DESC, pair ASC) — deterministic across runs and engines.
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0: {n_merges}")
-    vocab = (
-        word_frequencies(df, text_col)
-        .where(F.length("tok") >= 1)
+    freqs = (
+        word_freqs if word_freqs is not None else word_frequencies(df, text_col)
+    )
+    syms0 = (
+        freqs.where(F.length("tok") >= 1)
         .select("wt", _initial_symbols(F.col("tok")).alias("syms"))
         .localCheckpoint()
     )
+    # a word at ONE symbol has no pairs — forever (sequence(1, 0) also
+    # counts DOWN, the r4 word_shingles lesson; under ANSI the
+    # out-of-range syms[i] would even error): park such rows outside
+    # the loop and iterate only the mergeable remainder
+    active = syms0.where(F.size("syms") >= 2)
+    finished: list[DataFrame] = [syms0.where(F.size("syms") < 2)]
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (
-            # guard: a word reduced to ONE symbol has no pairs, and
-            # sequence(1, 0) counts DOWN (the r4 word_shingles lesson;
-            # under ANSI the out-of-range syms[i] would even error)
-            vocab.where(F.size("syms") >= 2)
-            .select(
+            active.select(
                 "wt",
                 F.explode(
                     F.expr(
@@ -160,7 +189,14 @@ def bpe_learn(
             break
         a, b, n = top[0].a, top[0].b, top[0].n
         merges.append((a, b, int(n)))
-        vocab = vocab.select(
+        merged = active.select(
             "wt", _merge_pair(F.col("syms"), a, b).alias("syms")
         ).localCheckpoint()
-    return merges
+        finished.append(merged.where(F.size("syms") < 2))
+        active = merged.where(F.size("syms") >= 2)
+    if not return_final_vocab:
+        return merges
+    final = active
+    for part in finished:
+        final = final.unionByName(part)
+    return merges, final

@@ -29,8 +29,6 @@ from pyspark.sql import functions as F
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (  # noqa: E402
-    _initial_symbols,
-    _merge_pair,
     bpe_learn,
     bpe_top_merges,
     word_frequencies,
@@ -60,25 +58,27 @@ def main() -> None:
     print(f"== corpus: {n_words} word occurrences, "
           f"{n_distinct} distinct words ==")
 
+    # every stage below reuses the ONE corpus pass (the checkpointed
+    # word-frequency frame) — the discipline the module docstring
+    # promises
     print("\n== top merge candidates (iteration 1) ==")
-    for r in bpe_top_merges(docs, 8).collect():
+    for r in bpe_top_merges(docs, 8, word_freqs=vocab).collect():
         print(f"  {r.pair!r:6s} weighted count {r.n_occurrences}")
 
     print(f"\n== learning {n_merges} merges ==")
-    merges = bpe_learn(docs, n_merges)
+    merges, final_vocab = bpe_learn(
+        docs, n_merges, word_freqs=vocab, return_final_vocab=True
+    )
     for i, (a, b, n) in enumerate(merges):
         print(f"  {i + 1:2d}. {a!r} + {b!r} -> {a + b!r}  (count {n})")
 
     # audit: weighted symbols/token before vs after the learned merges
-    syms = vocab.select("wt", _initial_symbols(F.col("tok")).alias("syms"))
-    before = syms.agg(
-        F.sum(F.size("syms") * F.col("wt")).cast("long")
+    # — 'after' comes straight from the trainer's final symbol frame,
+    # no fold replay
+    before = vocab.agg(
+        F.sum(F.length("tok") * F.col("wt")).cast("long")
     ).collect()[0][0]
-    for a, b, _ in merges:
-        syms = syms.select(
-            "wt", _merge_pair(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
-    after = syms.agg(
+    after = final_vocab.agg(
         F.sum(F.size("syms") * F.col("wt")).cast("long")
     ).collect()[0][0]
     saved_pct = 100.0 * (before - after) / before if before else 0.0
