@@ -200,3 +200,62 @@ def bpe_learn(
     for part in finished:
         final = final.unionByName(part)
     return merges, final
+
+
+def _initial_symbols_col(tok: Column) -> Column:
+    """Character symbols of a token COLUMN (composable inside
+    higher-order lambdas, unlike the name-bound ``_initial_symbols``
+    expr). Guarded for the empty token (sequence(1, 0) counts DOWN —
+    the r4 lesson)."""
+    return F.when(
+        F.length(tok) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.substring(tok, i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "sym_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` into BPE subword symbols by replaying the
+    learned ``merges`` in rank order over each whitespace token —
+    the inference side of ``bpe_learn`` (segmenting text the trainer
+    never saw). Adds ``out_col`` = the per-document symbol sequence
+    (tokens flattened in order; NULL text → NULL).
+
+    The whole replay is ONE map-side projection — no shuffle, no
+    Python: n_merges nested folds inside a per-token ``transform``.
+    That composes an expression tree linear in n_merges, which is fine
+    for the few-dozen-merge regime this repo exercises; a
+    production-vocab segmenter (30k+ merges) replaces the replay with
+    a longest-match lookup against the trained vocab (broadcast), so
+    the operator refuses absurd replay depths loudly instead of
+    compiling a megabyte of codegen.
+    """
+    if len(merges) > 64:
+        raise ValueError(
+            f"replaying {len(merges)} merges inline is the wrong plan — "
+            "use a longest-match segmenter against the trained vocab for "
+            "production vocabulary sizes (docstring)"
+        )
+
+    def _apply_all(tok: Column) -> Column:
+        syms = _initial_symbols_col(tok)
+        for m in merges:
+            a, b = m[0], m[1]
+            syms = _merge_pair(syms, a, b)
+        return syms
+
+    text = F.col(text_col)
+    return df.withColumn(
+        out_col,
+        F.when(
+            text.isNotNull(),
+            F.flatten(F.transform(ws_tokens(text), _apply_all)),
+        ),
+    )

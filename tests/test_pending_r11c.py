@@ -509,3 +509,60 @@ def test_bpe_learn_greedy_overlap_and_exhaustion(spark):
     )
     got = bpe_learn(docs, 10)
     assert got == [("a", "a", 9), ("aa", "aa", 3)]
+
+
+def test_bpe_segment_reproduces_the_trainers_final_vocab(spark):
+    """Segmentation law: replaying the learned merges over the training
+    corpus reproduces the trainer's own final symbol frame for EVERY
+    distinct word (inference ≡ training end state), and an unseen word
+    segments with the same merges (only learned pairs apply)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (
+        bpe_learn,
+        bpe_segment,
+    )
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(" ".join([w] * c) for w, c in counts.items())
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges, final_vocab = bpe_learn(docs, 6, return_final_vocab=True)
+    # trainer end state, keyed by the word each syms row reassembles to
+    want = {
+        "".join(r.syms): list(r.syms) for r in final_vocab.collect()
+    }
+    words = spark.createDataFrame(
+        [(w,) for w in counts], "text string"
+    )
+    got = {
+        r.text: list(r.sym_tokens)
+        for r in bpe_segment(words, merges).collect()
+    }
+    assert got == want
+    unseen = spark.createDataFrame(
+        [("lowest",), (None,)], "text string"
+    )
+    seg = {r.text: r.sym_tokens for r in bpe_segment(unseen, merges).collect()}
+    # 'lowest' = low + est under this merge table ('lo','ow'→'low' and
+    # 'es','est' are all learned on this corpus) — recompute by hand
+    syms = list("lowest")
+    for a, b, _n in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    assert seg["lowest"] == syms
+    assert seg[None] is None
+
+
+def test_bpe_segment_refuses_production_scale_replay(spark):
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (
+        bpe_segment,
+    )
+
+    docs = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="longest-match"):
+        bpe_segment(docs, [("a", "b")] * 65)
