@@ -42,6 +42,10 @@ from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r10 import
     PENDING_ORACLES as PENDING_ORACLES_R10,
     PENDING_QUERIES as PENDING_QUERIES_R10,
 )
+from data_pipeline_for_real_time_retail_analytics_spark.plans.pending_r11 import (
+    PENDING_ORACLES as PENDING_ORACLES_R11,
+    PENDING_QUERIES as PENDING_QUERIES_R11,
+)
 from data_pipeline_for_real_time_retail_analytics_spark.plans import scaleops as SOP
 from data_pipeline_for_real_time_retail_analytics_spark.plans import showcase as S
 from data_pipeline_for_real_time_retail_analytics_spark.plans import streamq as SQ
@@ -62,51 +66,49 @@ def entry(spark: SparkSession) -> DataFrame:
 #: changed since their last green commit) fill the rest OLDEST-FIRST,
 #: and the overflow is recorded explicitly in ROTATION.json["deferred"]
 #: (every deferred query stays value-proven on the current tree by
-#: tests/test_oracle_parity.py). Composition this round (r10), after
-#: rolling the ledger with CORRECTNESS_r09.json @6c9daba:
-#:  * slots 1-21: the twenty-one r9-staged pairs (plans/pending_r10.py:
-#:    approx profile, HLL roll-up, CMS x3 incl. streaming, drift tier
-#:    x4, Hilbert pair, hard negatives, ANN recall ladder, PMI,
-#:    weighted PageRank, session attribution x2, chunk dedup, IVF-PQ,
-#:    dedup eval, co-purchase triangles) — never-green -> front by
-#:    rule;
-#:  * slots 22-35: the ENTIRE @978398a (r6) cohort — the registry's
-#:    oldest stale: the order-fulfilment analytics4 family plus the six
-#:    queries this round's own edits re-staled back onto that commit
-#:    (behavior.py gained the shared pair-support consumer, temporal.py
-#:    family via the asof.py tolerance parameter);
-#:  * slots 36-50: 15 of the stale @52353f3 (r8) — the plans/llm.py
-#:    closure family (dedup, textstats, quantization, CCNet, DSIR),
-#:    chosen so their r10 green lands on the post-closure-split tree
-#:    (this round split the shared CTE builders out of llm.py so a
-#:    similarity.py edit no longer re-stales them);
-#:  * deferred (ROTATION.json): the remaining @52353f3 overflow plus
-#:    the @6c9daba queries this round's closure-split / pair-sharing /
-#:    layout-guard edits re-staled — youngest cohort, deferred by the
-#:    oldest-first rule, each still value-proven on the current tree by
+#: tests/test_oracle_parity.py). Composition this round (r11), after
+#: rolling the ledger with CORRECTNESS_r10.json @94592b3:
+#:  * slots 1-20: the twenty r10-staged pairs (plans/pending_r11.py:
+#:    as-of join, Bloom pre-filter, lang×quality mix, phrase search,
+#:    length buckets, streaming drift, curation funnel, centroid
+#:    drift, dup-cluster sizes, robust outliers, Jaccard histogram,
+#:    DLT priority sampling, incremental ANN, cross-source overlap,
+#:    streaming KMV, interval join, BPE merge mining, OLS trend,
+#:    new-vs-returning, CUSUM) — never-green -> front by rule;
+#:  * slots 21-33: the ENTIRE remaining @52353f3 (r8) cohort — the
+#:    registry's oldest stale: search (BM25/hybrid), SQ8 quantization,
+#:    z-order pair, profiling windows, simhash/tfidf/token stats;
+#:  * slots 34-50: the 17 alphabetically-first of the stale @6c9daba
+#:    (r9) cohort — ANN variants, embedding clustering, containment,
+#:    splits, fingerprints (same-commit ties are free under the
+#:    youngest-first rule);
+#:  * deferred (ROTATION.json): the remaining @6c9daba overflow —
+#:    youngest stale cohort, deferred by the oldest-first rule, each
+#:    still value-proven on the current tree by
 #:    tests/test_oracle_parity.py every suite run.
 FRONT_50 = [
-    # slots 1-21: never-green r10 registrations (plans/pending_r10.py)
-    "approx_profile_orders", "sketch_rollup_events", "cms_heavy_tokens",
-    "cms_merged_heavy_tokens", "stream_cms_heavy_tokens",
-    "events_value_drift", "events_value_ks", "events_daily_drift",
-    "source_length_drift", "hilbert_values", "curve_locality",
-    "hard_negatives", "ann_eval_metrics", "pmi_collocations",
-    "part_pagerank_weighted", "session_first_touch",
-    "stream_session_first_touch", "chunk_dedup_docs", "ivfpq_topk",
-    "dedup_eval_metrics", "copurchase_triangles",
-    # slots 22-35: the full @978398a cohort (oldest stale)
-    "discounted_revenue", "forecast_revenue_delta", "important_parts",
-    "late_shipment_priority", "min_cost_supplier",
-    "promo_excess_suppliers", "shipping_priority", "waiting_suppliers",
-    "basket_pairs", "click_attribution", "cohort_retention",
-    "events_sliding", "salted_event_rollup", "user_sessions",
-    # slots 36-50: 15 of the stale @52353f3 cohort (llm.py closure)
-    "boilerplate_ngrams", "ccnet_buckets", "contaminated_docs",
-    "corpus_filter", "dedup_clusters", "dsir_selected",
-    "exact_dedup_docs", "language_id", "minhash_lsh_dupes",
-    "ngram_jaccard_pairs", "pq_topk_adc", "pq_words", "quality_score",
-    "repetition_ratio", "simhash_pairs",
+    # slots 1-20: never-green r11 registrations (plans/pending_r11.py)
+    "purchase_click_asof", "bloom_chunk_prefilter", "lang_quality_mix",
+    "phrase_search", "length_bucket_stats", "stream_events_value_drift",
+    "curation_funnel", "label_centroid_shift", "dup_cluster_sizes",
+    "robust_outlier_events", "pair_jaccard_histogram",
+    "priority_sample_docs", "incremental_ann_new_vecs",
+    "source_overlap_matrix", "stream_kmv_distinct_bigrams",
+    "click_error_interval", "bpe_merge_candidates",
+    "revenue_trend_by_segment", "daily_new_vs_returning",
+    "event_count_cusum",
+    # slots 21-33: the full remaining @52353f3 cohort (oldest stale)
+    "bm25_search", "boilerplate_removed_docs", "event_funnel",
+    "hybrid_search", "price_quantiles", "simhash_values",
+    "sq8_code_rows", "sq8_topk", "tfidf_top_terms", "token_entropy",
+    "token_stats", "zorder_values", "zordered_orders",
+    # slots 34-50: 17 of the stale @6c9daba cohort
+    "ann_ivf", "ann_multiprobe", "ann_multitable", "ann_sign_lsh",
+    "benford_profile", "chunked_docs", "cleaned_docs",
+    "cluster_safe_splits", "containment_dup_pairs", "cosine_topk",
+    "dedup_survivors", "doc_fingerprints", "dup_rate_by_source",
+    "embedding_clusters", "embedding_clusters_2level",
+    "embedding_near_dup", "incremental_dedup_new_docs",
 ]
 
 
@@ -123,6 +125,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # grouped by family/registration round; driver order is imposed
         # by FRONT_50 in queries() above
+        **PENDING_QUERIES_R11,
         **PENDING_QUERIES_R10,
         **PENDING_QUERIES_R9,
         **PENDING_QUERIES_R8,
@@ -247,6 +250,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # r11 registrations: the twenty r10-staged pairs (plans/pending_r11)
+        **PENDING_ORACLES_R11,
         # r10 registrations: the 21 r9-staged pairs (plans/pending_r10)
         **PENDING_ORACLES_R10,
         # r9 registrations: the nine r8-staged pairs (plans/pending_r9)
