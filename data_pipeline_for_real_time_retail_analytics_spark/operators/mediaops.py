@@ -17,12 +17,14 @@ round-6 dedup.py precedent).
   grid does not. Output payload is exactly ``target_w × target_h``
   bytes with metadata updated, NULL payload/meta → NULL row values.
 * ``audio_window_energy``: per-document RMS energy per fixed-size
-  sample window, interpreting payload bytes as unsigned 8-bit PCM —
-  codec-free by construction (raw PCM has no container format), so
-  this one is the honest REAL path, not a stand-in. Output is an
-  ``array<double>`` of per-window RMS values (exact: integer
-  sum-of-squares, one final sqrt per window) plus the window count —
-  the feature a silence/clipping audio filter consumes.
+  sample window, interpreting payload bytes as unsigned 8-bit PCM
+  CENTERED on the 128 midpoint (the u8 PCM convention — silence is
+  0x80, not 0x00) — codec-free by construction (raw PCM has no
+  container format), so this one is the honest REAL path, not a
+  stand-in. Output is an ``array<double>`` of per-window RMS values
+  (exact: integer sum-of-squares over centered samples, one final
+  sqrt per window) plus the window count — the feature a
+  silence/clipping audio filter consumes (constant 0x80 → RMS 0).
 
 Both stages stream Arrow batches through ``mapInPandas`` with
 self-contained closures (imports inside — cloudpickle ships them by
@@ -77,11 +79,23 @@ def resize_media(
         for pdf in batches:
             out_payload, out_meta = [], []
             for p, m in zip(pdf["payload"], pdf["meta"]):
-                if p is None or m is None:
+                w = None if m is None else m["width"]
+                h = None if m is None else m["height"]
+                if (
+                    p is None
+                    or m is None
+                    or w is None
+                    or h is None
+                    or int(w) <= 0
+                    or int(h) <= 0
+                ):
+                    # degenerate metadata (NULL/zero/negative dims) is a
+                    # per-row data defect: emit a NULL row like the
+                    # NULL-payload case instead of crashing the batch
                     out_payload.append(None)
                     out_meta.append(None)
                     continue
-                w, h = int(m["width"]), int(m["height"])
+                w, h = int(w), int(h)
                 grid = bytes(p).ljust(w * h, b"\x00")[: w * h]
                 # nearest-neighbor index map — the exact arithmetic a
                 # pixel resize performs on a decoded plane
@@ -117,9 +131,13 @@ def audio_window_energy(
     media: DataFrame, window_bytes: int = 256
 ) -> DataFrame:
     """Per-window RMS energy over the payload as unsigned 8-bit PCM:
-    ``sqrt(mean(sample²))`` per full window (a trailing partial window
-    is dropped — fixed-window semantics). NULL payload → NULL columns;
-    payloads shorter than one window → zero windows, empty array."""
+    ``sqrt(mean((sample - 128)²))`` per full window (a trailing partial
+    window is dropped — fixed-window semantics). Samples are CENTERED on
+    the u8 midpoint 128 before squaring, the standard unsigned-PCM
+    convention: true silence (constant 0x80) yields RMS 0, so the stat
+    is directly usable by a silence/clipping gate. NULL payload → NULL
+    columns; payloads shorter than one window → zero windows, empty
+    array."""
     if window_bytes <= 0:
         raise ValueError(f"window_bytes must be positive: {window_bytes}")
 
@@ -140,9 +158,13 @@ def audio_window_energy(
                 vals = []
                 for i in range(k):
                     w = b[i * window_bytes:(i + 1) * window_bytes]
-                    # exact integer sum of squares, ONE final sqrt
+                    # exact integer sum of squares over CENTERED
+                    # samples, ONE final sqrt
                     vals.append(
-                        math.sqrt(sum(s * s for s in w) / window_bytes)
+                        math.sqrt(
+                            sum((s - 128) * (s - 128) for s in w)
+                            / window_bytes
+                        )
                     )
                 n_windows.append(k)
                 rms.append(vals)

@@ -59,7 +59,24 @@ def priority_sample(
     Rows with a NULL id are excluded (no deterministic u exists for
     them); NULL/non-positive weights clamp to 1 so every surviving row
     keeps a nonzero inclusion probability.
+
+    The emitted/working column names (``weight``, ``priority``,
+    ``rank``, ``est_weight``, ``tau``, ``__h``) are reserved: an input
+    already carrying one would be silently overwritten (or break the
+    τ cross-join drop), so it is rejected loudly instead — the
+    rangejoin.py discipline. Rename or drop the clash upstream.
     """
+    reserved = {"weight", "priority", "rank", "est_weight", "tau", "__h"} & set(
+        df.columns
+    )
+    # weight_col == "weight" is the one legitimate overlap: the output
+    # "weight" column IS the (clamped) input weight
+    clash = reserved - ({"weight"} if weight_col == "weight" else set())
+    if clash:
+        raise ValueError(
+            "input columns clash with priority_sample's reserved output/"
+            f"working names: {sorted(clash)}; rename them upstream"
+        )
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),

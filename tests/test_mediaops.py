@@ -58,17 +58,42 @@ def test_resize_upsamples_by_repetition_and_pads_short_payloads(spark):
     assert got[3].payload is None and got[3].meta is None
 
 
-def test_audio_rms_matches_hand_math_and_drops_partial_windows(spark):
-    """[3,4]*2 with window 4 → one window RMS sqrt((9+16+9+16)/4);
-    a 6-byte payload at window 4 has exactly one full window; a 3-byte
-    payload has zero."""
+def test_resize_nulls_rows_with_degenerate_meta_instead_of_crashing(spark):
+    """Zero/negative/NULL width or height is a per-row data defect:
+    the row becomes NULL (like NULL payload/meta) and the rest of the
+    Arrow batch survives."""
     media = _media(
         spark,
         [
-            (1, bytes([3, 4, 3, 4]), ("audio/pcm", 0, 0)),
-            (2, bytes([1, 1, 1, 1, 9, 9]), ("audio/pcm", 0, 0)),
+            (1, bytes([1, 2]), ("image/fake", 0, 2)),      # zero width
+            (2, bytes([1, 2]), ("image/fake", 2, 0)),      # zero height
+            (3, bytes([1, 2]), ("image/fake", -2, 1)),     # negative
+            (4, bytes([1, 2]), ("image/fake", None, 2)),   # NULL width
+            (5, bytes([1, 2]), ("image/fake", 2, None)),   # NULL height
+            (6, bytes([0, 1, 2, 3]), ("image/fake", 2, 2)),  # healthy peer
+        ],
+    )
+    got = {r.doc_id: r for r in resize_media(media, 2, 2).collect()}
+    assert len(got) == 6
+    for bad in (1, 2, 3, 4, 5):
+        assert got[bad].payload is None and got[bad].meta is None
+    assert list(got[6].payload) == [0, 1, 2, 3]
+
+
+def test_audio_rms_matches_hand_math_and_drops_partial_windows(spark):
+    """Samples center on the u8 midpoint 128: [131,132]*2 with window 4
+    → one window RMS sqrt((9+16+9+16)/4); a 6-byte payload at window 4
+    has exactly one full window; a 3-byte payload has zero; constant
+    0x80 (true u8 silence) pins RMS exactly 0 — the property a
+    silence gate depends on."""
+    media = _media(
+        spark,
+        [
+            (1, bytes([131, 132, 131, 132]), ("audio/pcm", 0, 0)),
+            (2, bytes([129, 129, 129, 129, 9, 9]), ("audio/pcm", 0, 0)),
             (3, bytes([5, 5, 5]), ("audio/pcm", 0, 0)),
             (4, None, ("audio/pcm", 0, 0)),
+            (5, bytes([0x80] * 8), ("audio/pcm", 0, 0)),
         ],
     )
     got = {r.doc_id: r for r in audio_window_energy(media, 4).collect()}
@@ -77,6 +102,7 @@ def test_audio_rms_matches_hand_math_and_drops_partial_windows(spark):
     assert got[2].n_windows == 1 and got[2].window_rms == [1.0]
     assert got[3].n_windows == 0 and got[3].window_rms == []
     assert got[4].n_windows is None and got[4].window_rms is None
+    assert got[5].n_windows == 2 and got[5].window_rms == [0.0, 0.0]
 
 
 def test_media_stages_compose_over_the_real_table(spark):
@@ -93,7 +119,8 @@ def test_media_stages_compose_over_the_real_table(spark):
     for r in energy:
         if r.n_windows is not None:
             assert r.n_windows == 4  # 64 bytes / 16-byte windows
-            assert all(0.0 <= v <= 255.0 for v in r.window_rms)
+            # centered u8 samples bound |s-128| by 128, hence the RMS
+            assert all(0.0 <= v <= 128.0 for v in r.window_rms)
 
 
 def test_media_guards(spark):

@@ -156,6 +156,28 @@ def test_priority_sample_clamps_null_ids_and_weights(spark):
     assert all(r.weight == 1 for r in out)
 
 
+def test_priority_sample_rejects_reserved_column_clashes(spark):
+    """Inputs already carrying the emitted/working names would be
+    silently overwritten (or break the τ drop) — rejected loudly, the
+    rangejoin.py reserved-name discipline."""
+    import pytest
+
+    for clash in ("priority", "rank", "est_weight", "tau"):
+        df = spark.createDataFrame(
+            [(1, 10, 0)], f"id long, w long, {clash} long"
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            priority_sample(df, k=1, weight_col="w", id_col="id")
+    # the one legitimate overlap: weight_col == "weight" IS the output
+    df = spark.createDataFrame([(1, 10), (2, 3)], "id long, weight long")
+    out = priority_sample(df, k=2, weight_col="weight", id_col="id").collect()
+    assert {r.weight for r in out} == {10, 3}
+    # but a bystander "weight" column that is NOT the weight_col clashes
+    df2 = spark.createDataFrame([(1, 10, 0)], "id long, w long, weight long")
+    with pytest.raises(ValueError, match="reserved"):
+        priority_sample(df2, k=1, weight_col="w", id_col="id")
+
+
 # ---------- incremental ANN ----------
 
 
