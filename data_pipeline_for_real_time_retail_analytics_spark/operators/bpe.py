@@ -20,9 +20,17 @@ Both stages are integer counting on deterministic inputs — exact
 cross-engine (DuckDB mirrors with the same substr enumeration), and
 ``bpe_learn`` is pinned equal to the literal reference algorithm in
 tests.
+
+Inference has two forms: ``bpe_segment`` (zero-Python expression
+replay for small merge tables, single-pass rank-order semantics) and
+``bpe_segment_vocab`` (the production path — broadcast greedy
+longest-match against the trained symbol inventory, Arrow-batched);
+``bpe_segment`` delegates to the latter past ``_REPLAY_LIMIT`` rules.
 """
 
 from __future__ import annotations
+
+import pandas as pd  # deliberate Arrow surface: bpe_segment_vocab's UDF
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -216,32 +224,123 @@ def _initial_symbols_col(tok: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def bpe_vocab(
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+) -> frozenset[str]:
+    """The multi-character symbol inventory a merge table can produce:
+    each rule's concatenated product. Single characters are implicit
+    (they are the longest-match fallback, never looked up)."""
+    return frozenset(m[0] + m[1] for m in merges)
+
+
+def bpe_segment_vocab(
+    df: DataFrame,
+    vocab: frozenset[str] | set[str],
+    text_col: str = "text",
+    out_col: str = "sym_tokens",
+) -> DataFrame:
+    """Production-form BPE segmentation: greedy LONGEST-MATCH of each
+    whitespace token against the trained symbol inventory (broadcast to
+    every executor) — the inference shape production tokenizers deploy
+    when the merge table is tens of thousands of rules deep. Adds
+    ``out_col`` = the flattened per-document symbol sequence (NULL text
+    → NULL), the same output contract as ``bpe_segment``.
+
+    At each position the longest vocab prefix wins (ties impossible —
+    lengths differ); a position matching no multi-char symbol emits its
+    single character and advances one (unknown characters pass through
+    as themselves rather than an <unk> sentinel — lossless by
+    construction: concatenating the output symbols always reproduces
+    the token exactly, a pinned law).
+
+    Scale shape: the vocab ships ONCE per executor via a Spark
+    broadcast (not per-task closure capture); segmentation is a
+    map-side Arrow-batched pandas UDF — O(max_symbol_len) hash probes
+    per character, no shuffle, no driver involvement. This is the
+    deliberate Python surface of the tokenizer tier (frozenset probes
+    beat any literal-array ``array_contains`` plan once the vocab
+    passes a few hundred symbols); the expression-only replay in
+    ``bpe_segment`` remains the zero-Python path for small tables.
+
+    SEMANTICS — longest-match is NOT merge replay: on merge tables
+    whose later rules create material for earlier ones the two differ
+    (see ``bpe_segment``'s docstring), and longest-match can also pick
+    a longer symbol where replay's merge order would have split it.
+    On trainer-produced tables over their own corpus the two agree
+    (pinned in tests against ``bpe_learn``'s final vocab).
+    """
+    multi = frozenset(v for v in vocab if len(v) >= 2)
+    max_len = max((len(v) for v in multi), default=1)
+    bc = df.sparkSession.sparkContext.broadcast((multi, max_len))
+
+    @F.pandas_udf("array<string>")
+    def _segment(texts: pd.Series) -> pd.Series:
+        voc, mx = bc.value
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            syms: list[str] = []
+            # str.split() == split-on-\s+-after-trim == ws_tokens
+            for tok in t.split():
+                i, n = 0, len(tok)
+                while i < n:
+                    j = min(n, i + mx)
+                    while j - i >= 2 and tok[i:j] not in voc:
+                        j -= 1
+                    if j - i < 2:
+                        j = i + 1
+                    syms.append(tok[i:j])
+                    i = j
+            out.append(syms)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _segment(F.col(text_col)))
+
+
+#: Above this merge-table depth ``bpe_segment`` switches from inline
+#: expression replay to the broadcast longest-match segmenter: the
+#: replay's expression tree is linear in n_merges and stops being a
+#: sane plan long before production vocab sizes.
+_REPLAY_LIMIT = 64
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "sym_tokens",
 ) -> DataFrame:
-    """Tokenize ``text_col`` into BPE subword symbols by replaying the
-    learned ``merges`` in rank order over each whitespace token —
-    the inference side of ``bpe_learn`` (segmenting text the trainer
-    never saw). Adds ``out_col`` = the per-document symbol sequence
-    (tokens flattened in order; NULL text → NULL).
+    """Tokenize ``text_col`` into BPE subword symbols from the learned
+    ``merges`` — the inference side of ``bpe_learn`` (segmenting text
+    the trainer never saw). Adds ``out_col`` = the per-document symbol
+    sequence (tokens flattened in order; NULL text → NULL).
 
-    The whole replay is ONE map-side projection — no shuffle, no
-    Python: n_merges nested folds inside a per-token ``transform``.
-    That composes an expression tree linear in n_merges, which is fine
-    for the few-dozen-merge regime this repo exercises; a
-    production-vocab segmenter (30k+ merges) replaces the replay with
-    a longest-match lookup against the trained vocab (broadcast), so
-    the operator refuses absurd replay depths loudly instead of
-    compiling a megabyte of codegen.
+    SEMANTICS: the small-table path replays each merge rule exactly
+    once, in rank order — a SINGLE-PASS RANK-ORDER REPLAY, not
+    canonical min-rank BPE inference (Sennrich apply_bpe / HF
+    tokenizers re-scan for the lowest-rank applicable pair after every
+    merge). The two diverge on merge tables where a LATER rule's
+    product feeds an EARLIER rule: e.g. rules [1: (x, yz), 2: (y, z)]
+    on "xyz" — canonical applies rule 2 then revisits rule 1 → [xyz];
+    the replay has already passed rule 1 → [x, yz]. Tables produced by
+    ``bpe_learn`` on their own corpus never have that shape (a rule's
+    inputs exist before it is learned), which is why the trainer-
+    equivalence law holds; both semantics are pinned in tests.
+
+    The replay is ONE map-side projection — no shuffle, no Python:
+    n_merges nested folds inside a per-token ``transform``. The
+    expression tree is linear in n_merges, fine for few-dozen-merge
+    tables; past ``_REPLAY_LIMIT`` rules this delegates to the
+    production path, ``bpe_segment_vocab`` (broadcast greedy
+    longest-match over the merge-product inventory) — a documented
+    SEMANTIC switch, not just a plan switch (see above; the two agree
+    on trainer-consistent tables).
     """
-    if len(merges) > 64:
-        raise ValueError(
-            f"replaying {len(merges)} merges inline is the wrong plan — "
-            "use a longest-match segmenter against the trained vocab for "
-            "production vocabulary sizes (docstring)"
+    if len(merges) > _REPLAY_LIMIT:
+        return bpe_segment_vocab(
+            df, bpe_vocab(merges), text_col=text_col, out_col=out_col
         )
 
     def _apply_all(tok: Column) -> Column:

@@ -14,7 +14,12 @@ tokenizer build, end to end on the documents table.
    pinned reference-exact in tests/test_pending_r11c.py);
 4. the audit: how the learned merges compress the corpus — weighted
    symbols per token before vs after, the number a tokenizer team
-   watches while choosing vocabulary size.
+   watches while choosing vocabulary size;
+5. deployment: segmenting unseen text with the PRODUCTION inference
+   path (bpe_segment_vocab — the trained symbol inventory broadcast
+   once per executor, greedy longest-match per token; this is the
+   form that scales to 30k+ merge vocabularies, where the small-table
+   expression replay would compile an absurd plan).
 
 Run:  python examples/tokenizer_prep_example.py [sf_dir] [n_merges]
 """
@@ -30,7 +35,9 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (  # noqa: E402
     bpe_learn,
+    bpe_segment_vocab,
     bpe_top_merges,
+    bpe_vocab,
     word_frequencies,
 )
 from data_pipeline_for_real_time_retail_analytics_spark.sources import (  # noqa: E402
@@ -84,6 +91,16 @@ def main() -> None:
     saved_pct = 100.0 * (before - after) / before if before else 0.0
     print(f"\n== compression: {before} -> {after} weighted symbols "
           f"({saved_pct:.1f}% fewer) ==")
+
+    # deployment: segment UNSEEN text with the production inference
+    # path — the trained inventory broadcast, greedy longest-match
+    print("\n== segmenting unseen text (broadcast longest-match) ==")
+    unseen = spark.createDataFrame(
+        [(1, "the lowest newest offer"), (2, "wide widest low")],
+        "doc_id long, text string",
+    )
+    for r in bpe_segment_vocab(unseen, bpe_vocab(merges)).collect():
+        print(f"  {r.text!r} -> {list(r.sym_tokens)}")
 
     spark.stop()
 

@@ -1,0 +1,137 @@
+"""Pins for the production BPE segmenter (operators/bpe.py):
+``bpe_segment_vocab`` greedy longest-match semantics, its agreement
+with the expression replay on trainer-produced tables, the documented
+divergence between the two on adversarial tables, the losslessness
+law, and the broadcast/Arrow plumbing over the real documents table.
+"""
+
+import pytest
+
+from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (
+    bpe_learn,
+    bpe_segment,
+    bpe_segment_vocab,
+    bpe_vocab,
+)
+from data_pipeline_for_real_time_retail_analytics_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: the Sennrich classic corpus
+CLASSIC = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def _classic_docs(spark):
+    text = " ".join(" ".join([w] * c) for w, c in CLASSIC.items())
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def _py_longest_match(tok: str, vocab: frozenset, max_len: int) -> list:
+    """Independent pure-Python greedy longest-match reference."""
+    out, i = [], 0
+    while i < len(tok):
+        j = min(len(tok), i + max_len)
+        while j - i >= 2 and tok[i:j] not in vocab:
+            j -= 1
+        if j - i < 2:
+            j = i + 1
+        out.append(tok[i:j])
+        i = j
+    return out
+
+
+def test_vocab_is_exactly_the_merge_products():
+    merges = [("l", "o", 7), ("lo", "w", 7), ("e", "s", 9)]
+    assert bpe_vocab(merges) == {"lo", "low", "es"}
+    # 2-tuples (rank-only tables) work too
+    assert bpe_vocab([("a", "b")]) == {"ab"}
+
+
+def test_longest_match_agrees_with_replay_on_the_trainer_table(spark):
+    """On a table bpe_learn produced, over both the training words and
+    unseen text, the production longest-match path and the replay path
+    segment identically (the agreement the fallback switch relies on)."""
+    merges = bpe_learn(_classic_docs(spark), 6)
+    vocab = bpe_vocab(merges)
+    words = spark.createDataFrame(
+        [(w,) for w in list(CLASSIC) + ["lowest", "newlow", "wid", "z"]],
+        "text string",
+    )
+    replay = {
+        r.text: list(r.sym_tokens) for r in bpe_segment(words, merges).collect()
+    }
+    lm = {
+        r.text: list(r.sym_tokens)
+        for r in bpe_segment_vocab(words, vocab).collect()
+    }
+    assert replay == lm
+
+
+def test_longest_match_matches_the_python_reference_and_is_lossless(spark):
+    """Over the real documents table with a trained vocab: the UDF
+    output equals the independent per-token reference, every multi-char
+    symbol is in the vocab, and concatenating the symbols reproduces
+    the whitespace tokens exactly (losslessness — no <unk> collapse)."""
+    merges = bpe_learn(_classic_docs(spark), 6)
+    vocab = bpe_vocab(merges)
+    max_len = max(len(v) for v in vocab)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = bpe_segment_vocab(docs, vocab).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        if r.text is None:
+            assert r.sym_tokens is None
+            continue
+        want = [
+            s
+            for tok in r.text.split()
+            for s in _py_longest_match(tok, vocab, max_len)
+        ]
+        assert list(r.sym_tokens) == want
+        assert "".join(r.sym_tokens) == "".join(r.text.split())
+        for s in r.sym_tokens:
+            assert len(s) == 1 or s in vocab
+
+
+def test_longest_match_vs_replay_divergence_is_the_documented_one(spark):
+    """The adversarial table from the bpe_segment docstring: a later
+    rule's product feeds an earlier rule. Replay (single-pass
+    rank-order) leaves [x, yz]; longest-match finds the full product
+    [xyz] — both semantics pinned on their own path."""
+    docs = spark.createDataFrame([("xyz",)], "text string")
+    table = [("x", "yz"), ("y", "z")]
+    assert bpe_segment(docs, table).collect()[0].sym_tokens == ["x", "yz"]
+    assert bpe_segment_vocab(docs, bpe_vocab(table)).collect()[
+        0
+    ].sym_tokens == ["xyz"]
+
+
+def test_longest_match_prefers_the_longer_symbol(spark):
+    """'abc' with vocab {ab, abc}: longest wins; with {ab, bc}: the
+    greedy left-to-right scan takes 'ab' then passes 'c' through."""
+    docs = spark.createDataFrame([("abc",)], "text string")
+    assert bpe_segment_vocab(docs, {"ab", "abc"}).collect()[
+        0
+    ].sym_tokens == ["abc"]
+    assert bpe_segment_vocab(docs, {"ab", "bc"}).collect()[
+        0
+    ].sym_tokens == ["ab", "c"]
+
+
+def test_longest_match_edge_inputs(spark):
+    """NULL text → NULL; empty/whitespace-only text → empty array;
+    unknown characters pass through as single symbols; an empty vocab
+    degenerates to character segmentation."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "q7!")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.sym_tokens
+        for r in bpe_segment_vocab(docs, {"ab"}).collect()
+    }
+    assert got[1] is None
+    assert got[2] == [] and got[3] == []
+    assert got[4] == ["q", "7", "!"]
+    empty_vocab = bpe_segment_vocab(docs, set()).collect()
+    assert {r.doc_id: r.sym_tokens for r in empty_vocab}[4] == ["q", "7", "!"]

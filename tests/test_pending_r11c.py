@@ -558,11 +558,24 @@ def test_bpe_segment_reproduces_the_trainers_final_vocab(spark):
     assert seg[None] is None
 
 
-def test_bpe_segment_refuses_production_scale_replay(spark):
+def test_bpe_segment_delegates_production_scale_tables_to_longest_match(spark):
+    """Past the replay limit, bpe_segment routes to the broadcast
+    longest-match segmenter instead of compiling a 65-fold expression
+    tree — pinned via the semantic switch itself: a later-rank rule's
+    product feeding an earlier rule segments differently on the two
+    paths (see test_bpe_segmenter.py for the full semantics pins)."""
     from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (
         bpe_segment,
     )
 
-    docs = spark.createDataFrame([("x",)], "text string")
-    with pytest.raises(ValueError, match="longest-match"):
-        bpe_segment(docs, [("a", "b")] * 65)
+    docs = spark.createDataFrame([("xyz ab",)], "text string")
+    divergent = [("x", "yz"), ("y", "z")]
+    # small table: single-pass rank-order replay — rule 1 already passed
+    # when rule 2 creates "yz"
+    small = bpe_segment(docs, divergent).collect()[0].sym_tokens
+    assert small == ["x", "yz", "a", "b"]
+    # pad the same table past the limit with inert rules: the fallback
+    # longest-match path now matches the full product "xyz"
+    padded = divergent + [("q", str(i)) for i in range(63)]
+    big = bpe_segment(docs, padded).collect()[0].sym_tokens
+    assert big == ["xyz", "a", "b"]
