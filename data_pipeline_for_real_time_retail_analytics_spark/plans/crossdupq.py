@@ -16,19 +16,40 @@ curation_funnel's span-clean stage surfaces.
 
 Bounding discipline (the boilerplate_ngrams pattern): grams present in
 more than ``SOURCE_CAP`` distinct sources are excluded before the pair
-join — a ubiquitous gram carries no pairwise signal and is exactly the
-posting-list blowup a quadratic fanout dies on at corpus scale. The
-denominator uses the same kept-gram universe, so the ppm rate is a
-containment over one consistent vocabulary.
+expansion — a ubiquitous gram carries no pairwise signal and is
+exactly the posting-list blowup a quadratic fanout dies on at corpus
+scale. The denominator uses the same kept-gram universe, so the ppm
+rate is a containment over one consistent vocabulary.
 
-Scale shape: distinct (source, gram) is one partial-aggregated pass;
-the cap turns each gram's posting list into a bounded ≤ cap-element
-collect_set (one gram-keyed shuffle, never a self-join — see the
-query docstring for the measured pathology the first draft had), and
-the pair expansion is a map-side array transform emitting at most
-C(SOURCE_CAP, 2) structs per gram; per-source totals join back
-broadcast. At production source counts the gram shuffle key takes the
-md5-prefix treatment (operators/dedup.ngram_jaccard_pairs precedent).
+Two further keyspace bounds (r11, the operators/dedup.py
+``posting_df_cap`` discipline applied here):
+
+* **df ≥ 2 floor before materialization**: singleton grams (one
+  source) dominate a Heaps-law vocabulary but can never form a pair
+  and their denominator contribution is recoverable by subtraction
+  (``n_all − n_overcap``), so only multi-source grams are ever
+  CHECKPOINTED — the posting materialization is bounded by the
+  cross-source shared vocabulary, not the corpus vocabulary.
+* **md5-prefix shuffle key**: the gram text (≥ ~50 bytes at n = 8) is
+  only ever a grouping key, never output, so every shuffle ships the
+  first 16 hex chars of ``md5(gram)`` instead (64-bit keyspace,
+  portable — the DuckDB oracle hashes identically, so a collision is
+  THE SAME collision on both engines and parity holds by
+  construction; at 64 bits the collision probability is negligible
+  at any realistic vocabulary).
+
+Scale shape: distinct (source, gram-hash) is one partial-aggregated
+pass, checkpointed NARROW (source + 16-char key — at 90× that frame is
+21M rows where the old posting checkpoint carried the same rows PLUS
+gram text and array overhead); ONE gram-keyed aggregate produces
+(n_src, posting) with only n_src ≥ 2 rows materialized; pair expansion
+is a map-side array transform emitting at most C(SOURCE_CAP, 2)
+structs per gram (never a self-join — see the query docstring for the
+measured pathology the first draft had); per-source totals come from
+one source-keyed count minus the over-cap explode, joined back
+broadcast. On a cluster the dist/posting frames persist to warehouse
+tables per corpus epoch; in local mode their materialization is the
+measured cost floor (bench notes, r11).
 """
 
 from __future__ import annotations
@@ -52,38 +73,73 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No self-join: the SOURCE_CAP bound means each kept gram's posting
     list fits in a ≤ cap-element ``collect_set`` — one shuffle on the
-    gram key, then the pair expansion is a map-side array transform
-    (≤ C(cap, 2) structs per gram). A first draft self-joined the
-    posting table on the gram key; the executed-plan audit showed the
-    posting subtree recomputed 4× (8 parquet scans, 26 shuffles) with
-    ReuseExchange never firing, so the bounded-array shape replaced it
-    (1 corpus scan, the gram-keyed exchange, two tiny aggregates). The
-    DuckDB oracle still uses the self-join formulation — the parity
-    gate is what proves the two shapes equivalent."""
+    (hashed, 16-char) gram key, then the pair expansion is a map-side
+    array transform (≤ C(cap, 2) structs per gram). A first draft
+    self-joined the posting table on the gram key; the executed-plan
+    audit showed the posting subtree recomputed 4× (8 parquet scans,
+    26 shuffles) with ReuseExchange never firing, so the bounded-array
+    shape replaced it. The r11 df-floor revision stops the posting
+    CHECKPOINT from carrying singleton grams at all: the single
+    gram-keyed aggregate computes (n_src, srcs) and only n_src ≥ 2
+    rows — the cross-source shared vocabulary — are materialized; the
+    per-source denominator is recovered as (all distinct grams)
+    − (over-cap grams), both cheap counts. Alternative shapes were
+    MEASURED and rejected (bench notes, r11): recomputing the
+    enumeration per consumer instead of checkpointing the distinct
+    frame doubles the sf0.1 wall (5.1 vs 2.7 s median) for a 90× wall
+    inside host noise, and a GROUPING SETS single-pass variant was
+    3-8× worse at base. The DuckDB oracle still uses the self-join
+    formulation over the same hashed grams — the parity gate is what
+    proves the shapes equivalent."""
     docs = _docs(spark, sf_dir).where(F.col("source").isNotNull())
-    grams = (
+    # narrow the key before any shuffle: grams are only ever grouped
+    # on, never output — 16 hex chars of md5 (64 bits) ship instead of
+    # the ~50+ byte 8-gram text; the oracle hashes identically
+    dist = (
         docs.select(
             "source", F.explode(word_shingles(F.col("text"), N)).alias("g")
         )
+        .select("source", F.substring(F.md5("g"), 1, 16).alias("gh"))
         .distinct()
-    )
-    # (g, sorted posting list) for grams within the cap; one row per
-    # kept distinct gram. localCheckpoint: pairs and totals both consume
-    # it — at production scale this frame persists to a warehouse table
-    # per corpus epoch instead (the plans/copurchase.py convention).
-    posting = (
-        grams.groupBy("g")
-        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-        .where(F.size("srcs") <= SOURCE_CAP)
         .localCheckpoint()
     )
-    totals = (
-        posting.select(F.explode("srcs").alias("source"))
+    # ONE gram-keyed aggregate; the df ≥ 2 floor keeps singleton grams
+    # (the Heaps-law bulk of the vocabulary) out of the materialized
+    # frame — at production scale this frame persists to a warehouse
+    # table per corpus epoch instead (the plans/copurchase.py
+    # convention).
+    multi = (
+        dist.groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            F.sort_array(F.collect_set("source")).alias("srcs"),
+        )
+        .where(F.col("n_src") >= 2)
+        .localCheckpoint()
+    )
+    # denominator: kept (≤ cap) distinct grams per source, computed by
+    # subtraction so singleton grams never need a posting row
+    per_source_all = dist.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all")
+    )
+    over_per_source = (
+        multi.where(F.col("n_src") > SOURCE_CAP)
+        .select(F.explode("srcs").alias("source"))
         .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_over"))
+    )
+    totals = (
+        per_source_all.join(F.broadcast(over_per_source), "source", "left")
+        .select(
+            "source",
+            (F.col("n_all") - F.coalesce(F.col("n_over"), F.lit(0)))
+            .cast("long")
+            .alias("n_grams"),
+        )
     )
     pairs = (
-        posting.select(
+        multi.where(F.col("n_src") <= SOURCE_CAP)
+        .select(
             F.explode(
                 F.expr(
                     "flatten(transform(srcs, (x, i) ->"
@@ -135,7 +191,9 @@ ORACLES: dict[str, str] = {
             WHERE source IS NOT NULL
         ),
         grams AS (
-            SELECT DISTINCT source, g
+            -- the same 16-hex-char md5 prefix the Spark side shuffles
+            -- on: a collision is the SAME collision on both engines
+            SELECT DISTINCT source, substring(md5(g), 1, 16) AS g
             FROM (
                 SELECT source,
                        unnest(list_distinct(list_transform(
