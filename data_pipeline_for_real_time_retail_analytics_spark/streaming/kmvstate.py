@@ -24,6 +24,18 @@ Per-invocation memory is the micro-batch's (group, hash) row volume —
 bounded operationally by ``maxFilesPerTrigger`` on the source, the
 knob a production deployment sizes (the sketch state itself stays ≤ k
 rows regardless).
+
+Sharding (measured, bench_kmv_shards.py at 90×): state parallelism is
+bounded by DISTINCT KEYS, not partitions — raising
+``spark.sql.shuffle.partitions`` 8 → 32 over 20 source groups moved
+the drive only 484 → 465 s (group-bound). The production lever the
+merge law buys is KEY SALTING: state key = (source, pmod(hash(h), S))
+gives 20·S independent sketches whose union re-truncates to the exact
+unsharded sketch (verified bit-exact in the probe); S = 4 measured
+416 s (−14% vs the registered drive) on local[32], where every
+config shares the same 32 CPUs for the fixed Arrow/Python volume — on
+a real cluster the salt multiplies the state-apply stage's usable
+executors outright.
 """
 
 from __future__ import annotations
