@@ -6,6 +6,8 @@ law, and the broadcast/Arrow plumbing over the real documents table.
 """
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (
     bpe_learn,
@@ -135,3 +137,36 @@ def test_longest_match_edge_inputs(spark):
     assert got[4] == ["q", "7", "!"]
     empty_vocab = bpe_segment_vocab(docs, set()).collect()
     assert {r.doc_id: r.sym_tokens for r in empty_vocab}[4] == ["q", "7", "!"]
+
+
+_alpha = st.text(alphabet="abc", min_size=2, max_size=5)
+
+
+@given(
+    vocab=st.sets(_alpha, max_size=8),
+    texts=st.lists(
+        st.text(alphabet="abc ", max_size=24), min_size=1, max_size=4
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_longest_match_property_vs_python_reference(spark, vocab, texts):
+    """Under random small-alphabet vocabularies (maximal collision /
+    prefix-overlap pressure) the UDF equals the independent pure-Python
+    greedy reference and stays lossless on every row."""
+    max_len = max((len(v) for v in vocab), default=1)
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    for r in bpe_segment_vocab(docs, vocab).collect():
+        want = [
+            s
+            for tok in r.text.split()
+            for s in _py_longest_match(tok, frozenset(vocab), max_len)
+        ]
+        assert list(r.sym_tokens) == want
+        assert "".join(r.sym_tokens) == "".join(r.text.split())
