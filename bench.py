@@ -131,7 +131,11 @@ def main() -> None:
         # keep stderr quiet: per-stage progress bars for ~100 queries
         # overflow the driver's bounded output capture
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap for all 32
+        # threads — 8g degraded the 174-query x3 run's tail into a
+        # GC-bound steady state (simhash_values 2.7 s quiet -> 17 s
+        # in-session, measured r11); 16g keeps the tail honest
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # long benchmark session: let the ContextCleaner actually release
         # finished queries' broadcasts/shuffles (default GC cadence is 30
         # min — far longer than this run, so driver heap pressure builds
