@@ -270,6 +270,10 @@ def test_overlap_matrix_plan_has_no_join_on_the_gram_key(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+    # every consumer reads the eager checkpoints (dist / multi): a
+    # parquet scan in the FINAL plan would mean some branch re-derives
+    # the corpus lineage instead (the outlierq 14-scan pathology)
+    assert plan.count("Scan parquet") == 0
 
 
 def test_outlier_plan_scans_events_at_most_twice(spark):
