@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _PAYLOAD = "__asof_payload"
+_RTS = "__asof_rts"
 
 
 def asof_join_backward(
@@ -46,9 +47,28 @@ def asof_join_backward(
 
     The right payload travels as ONE struct so all carried columns come
     from the same matched row even if some of its fields are NULL.
+
+    Column contract (guarded loudly, the rangejoin.py discipline):
+    ``right_value_cols`` and ``matched_ts_col`` must not collide with
+    the left frame's columns (withColumn would silently clobber them),
+    and the working names (``__asof_side``/``__asof_payload``/
+    ``__asof_rts``) are reserved on both inputs.
     """
+    reserved = {_SIDE, _PAYLOAD, _RTS} & (
+        set(left.columns) | set(right.columns) | set(right_value_cols)
+    )
+    if reserved:
+        raise ValueError(f"reserved working names present: {sorted(reserved)}")
+    clobber = (set(right_value_cols) | ({matched_ts_col} - {None})) & set(
+        left.columns
+    )
+    if clobber:
+        raise ValueError(
+            "right_value_cols/matched_ts_col would overwrite left columns; "
+            f"rename these first: {sorted(clobber)}"
+        )
     payload = F.struct(
-        F.col(ts_col).alias("__asof_rts"),
+        F.col(ts_col).alias(_RTS),
         *[F.col(c) for c in right_value_cols],
     )
     r = right.select(
@@ -88,11 +108,11 @@ def asof_join_backward(
         # TIMESTAMP and TIMESTAMP_NTZ columns with no session-timezone
         # dependence — unlike unix_* conversions
         in_tol = (
-            F.col(ts_col) - F.col(_PAYLOAD)["__asof_rts"]
+            F.col(ts_col) - F.col(_PAYLOAD)[_RTS]
         ) <= F.make_dt_interval(secs=F.lit(float(tolerance_seconds)))
         out = out.withColumn(_PAYLOAD, F.when(in_tol, F.col(_PAYLOAD)))
     if matched_ts_col is not None:
-        out = out.withColumn(matched_ts_col, F.col(_PAYLOAD)["__asof_rts"])
+        out = out.withColumn(matched_ts_col, F.col(_PAYLOAD)[_RTS])
     for c in right_value_cols:
         out = out.withColumn(c, F.col(_PAYLOAD)[c])
     return out.drop(_PAYLOAD)

@@ -95,6 +95,14 @@ def interval_join_binned(
     reserved = {_L_US, _R_US, _BIN} & (set(left.columns) | set(right.columns))
     if reserved:
         raise ValueError(f"reserved working names present: {sorted(reserved)}")
+    if gap_col is not None and gap_col in (
+        set(left.columns) | set(right.columns)
+    ):
+        # same silent-overwrite class as the reserved working names —
+        # withColumn would clobber the caller's column
+        raise ValueError(
+            f"gap_col {gap_col!r} already exists on an input; pick a fresh name"
+        )
 
     # floor division in pure integer ops (never a double division — an
     # epoch value above 2^53 µs would round): subtract the positive

@@ -120,6 +120,38 @@ def test_asof_matched_ts_col_surfaces_the_match(spark):
     assert row.click_id == 7 and str(row.click_ts).startswith("2024-01-01 00:59")
 
 
+def test_asof_rejects_silent_column_clobbers(spark):
+    """A right value column (or matched_ts_col) sharing a name with a
+    left column would be silently overwritten by the payload unpack —
+    rejected loudly; reserved working names likewise (the rangejoin.py
+    discipline)."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 01:00:00", 5)],
+        "pid long, user_id long, ts string, click_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:59:00", 7)],
+        "user_id long, ts string, click_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match="overwrite"):
+        asof_join_backward(
+            left, right, key_cols=["user_id"], ts_col="ts",
+            right_value_cols=["click_id"],
+        )
+    with pytest.raises(ValueError, match="overwrite"):
+        asof_join_backward(
+            left.drop("click_id"), right, key_cols=["user_id"], ts_col="ts",
+            right_value_cols=["click_id"], matched_ts_col="pid",
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join_backward(
+            left.withColumnRenamed("click_id", "__asof_payload"), right,
+            key_cols=["user_id"], ts_col="ts", right_value_cols=["click_id"],
+        )
+
+
 # ---------- bloom pre-filter ----------
 
 

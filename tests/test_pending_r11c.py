@@ -140,6 +140,13 @@ def test_interval_join_guards(spark):
         interval_join_binned(
             df, r.withColumnRenamed("a", "b"), ["k"], "l_ts", "r_ts", 1e-7
         )
+    # a gap_col colliding with an input column would be silently
+    # clobbered by withColumn — rejected loudly instead
+    with pytest.raises(ValueError, match="gap_col"):
+        interval_join_binned(
+            df, r.withColumnRenamed("a", "b"), ["k"], "l_ts", "r_ts", 60,
+            gap_col="b",
+        )
 
 
 # ---------- BPE merge mining ----------
