@@ -269,6 +269,8 @@ def bpe_segment_vocab(
     On trainer-produced tables over their own corpus the two agree
     (pinned in tests against ``bpe_learn``'s final vocab).
     """
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
     multi = frozenset(v for v in vocab if len(v) >= 2)
     max_len = max((len(v) for v in multi), default=1)
     bc = df.sparkSession.sparkContext.broadcast((multi, max_len))
@@ -338,6 +340,8 @@ def bpe_segment(
     SEMANTIC switch, not just a plan switch (see above; the two agree
     on trainer-consistent tables).
     """
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
     if len(merges) > _REPLAY_LIMIT:
         return bpe_segment_vocab(
             df, bpe_vocab(merges), text_col=text_col, out_col=out_col

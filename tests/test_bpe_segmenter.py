@@ -120,6 +120,16 @@ def test_longest_match_prefers_the_longer_symbol(spark):
     ].sym_tokens == ["ab", "c"]
 
 
+def test_segmenters_reject_existing_out_col(spark):
+    """withColumn on an existing out_col would silently clobber it —
+    both inference paths refuse (the hilbert.py out_col discipline)."""
+    docs = spark.createDataFrame([("x", 1)], "text string, sym_tokens long")
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_segment_vocab(docs, {"ab"})
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_segment(docs, [("a", "b")])
+
+
 def test_longest_match_edge_inputs(spark):
     """NULL text → NULL; empty/whitespace-only text → empty array;
     unknown characters pass through as single symbols; an empty vocab
