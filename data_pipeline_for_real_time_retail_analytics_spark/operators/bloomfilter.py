@@ -53,9 +53,20 @@ def _positions(key: F.Column, m: int, k: int) -> F.Column:
     ])
 
 
+def _check_params(m: int, k: int) -> None:
+    """m < 1 makes the position hash a mod-by-zero (NULL positions,
+    silently empty filter); k < 1 makes EVERY probe a vacuous all-of-
+    zero-positions hit. Both are loud errors, not quiet corruption."""
+    if m < 1:
+        raise ValueError(f"bloom m (bits per row) must be >= 1: {m}")
+    if k < 1:
+        raise ValueError(f"bloom k (hash count) must be >= 1: {k}")
+
+
 def bloom_bits(keys: DataFrame, key_col: str, m: int, k: int = 3) -> DataFrame:
     """The filter: distinct ``(bit_row, bit_pos)`` set bits of the keys
     — ≤ ``k·m`` rows by construction, independent of corpus size."""
+    _check_params(m, k)
     return (
         keys.select(
             F.explode(_positions(F.col(key_col), m, k)).alias("__b")
@@ -73,6 +84,7 @@ def bloom_probe(
 
     ``bits`` is broadcast (bounded ≤ k·m rows); the probe side never
     shuffles at input grain — only its distinct keys do."""
+    _check_params(m, k)
     keys = probes.select(F.col(key_col)).distinct()
     probe_rows = keys.select(
         key_col,

@@ -205,6 +205,25 @@ def test_bloom_bits_bounded_by_k_times_m(spark):
     assert len(set((b.bit_row, b.bit_pos) for b in bits)) == len(bits)
 
 
+def test_bloom_rejects_degenerate_params(spark):
+    """m < 1 is a mod-by-zero (silently empty filter); k < 1 makes
+    every probe a vacuous hit — both loud errors."""
+    import pytest
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.bloomfilter import (
+        bloom_probe,
+    )
+
+    corpus = spark.createDataFrame([("a",)], "h string")
+    with pytest.raises(ValueError, match="m"):
+        bloom_bits(corpus, "h", m=0)
+    with pytest.raises(ValueError, match="k"):
+        bloom_bits(corpus, "h", m=8, k=0)
+    bits = bloom_bits(corpus, "h", m=8, k=2)
+    with pytest.raises(ValueError, match="k"):
+        bloom_probe(corpus, "h", bits, m=8, k=-1)
+
+
 # ---------- per-language quality quota ----------
 
 
