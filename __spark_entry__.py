@@ -66,49 +66,51 @@ def entry(spark: SparkSession) -> DataFrame:
 #: changed since their last green commit) fill the rest OLDEST-FIRST,
 #: and the overflow is recorded explicitly in ROTATION.json["deferred"]
 #: (every deferred query stays value-proven on the current tree by
-#: tests/test_oracle_parity.py). Composition this round (r11), after
-#: rolling the ledger with CORRECTNESS_r10.json @94592b3:
-#:  * slots 1-20: the twenty r10-staged pairs (plans/pending_r11.py:
-#:    as-of join, Bloom pre-filter, lang×quality mix, phrase search,
-#:    length buckets, streaming drift, curation funnel, centroid
-#:    drift, dup-cluster sizes, robust outliers, Jaccard histogram,
-#:    DLT priority sampling, incremental ANN, cross-source overlap,
-#:    streaming KMV, interval join, BPE merge mining, OLS trend,
-#:    new-vs-returning, CUSUM) — never-green -> front by rule;
-#:  * slots 21-33: the ENTIRE remaining @52353f3 (r8) cohort — the
-#:    registry's oldest stale: search (BM25/hybrid), SQ8 quantization,
-#:    z-order pair, profiling windows, simhash/tfidf/token stats;
-#:  * slots 34-50: the 17 alphabetically-first of the stale @6c9daba
-#:    (r9) cohort — ANN variants, embedding clustering, containment,
-#:    splits, fingerprints (same-commit ties are free under the
-#:    youngest-first rule);
-#:  * deferred (ROTATION.json): the remaining @6c9daba overflow —
-#:    youngest stale cohort, deferred by the oldest-first rule, each
-#:    still value-proven on the current tree by
-#:    tests/test_oracle_parity.py every suite run.
+#: tests/test_oracle_parity.py). Composition this round (r12 — the
+#: first pure freshness round: zero never-greens), after rolling the
+#: ledger with CORRECTNESS_r11.json @d31d35e:
+#:  * slots 1-20: the whole r11 deferred @6c9daba (r9) cohort — the
+#:    registry's oldest stale (sketches, sampling/mixtures, splits,
+#:    packing/export, semantic dedup, pagerank, maintenance,
+#:    multimodal, perplexity);
+#:  * slots 21-24: the four asof-re-staled @94592b3 (r10) temporal
+#:    dependents (attribution, sliding window, salted rollup,
+#:    sessions);
+#:  * slots 25-27: the three pairs re-staled by r12's OWN edits
+#:    (bpe.py min-rank mode + NBSP tokenization fix; asof.py clobber
+#:    guard; streamkmvq.py micro-batch fanout) — youngest stale, but
+#:    nothing spills so everything fronts;
+#:  * slots 28-46: the ENTIRE @978398a (r6) green cohort — the oldest
+#:    driver rows in the ledger, re-proven for freshness;
+#:  * slots 47-50: the 4 alphabetically-first @52353f3 (r8) greens;
+#:  * deferred (ROTATION.json): EMPTY — 27 obligations + 23 oldest
+#:    greens fit the window exactly.
 FRONT_50 = [
-    # slots 1-20: never-green r11 registrations (plans/pending_r11.py)
-    "purchase_click_asof", "bloom_chunk_prefilter", "lang_quality_mix",
-    "phrase_search", "length_bucket_stats", "stream_events_value_drift",
-    "curation_funnel", "label_centroid_shift", "dup_cluster_sizes",
-    "robust_outlier_events", "pair_jaccard_histogram",
-    "priority_sample_docs", "incremental_ann_new_vecs",
-    "source_overlap_matrix", "stream_kmv_distinct_bigrams",
-    "click_error_interval", "bpe_merge_candidates",
-    "revenue_trend_by_segment", "daily_new_vs_returning",
-    "event_count_cusum",
-    # slots 21-33: the full remaining @52353f3 cohort (oldest stale)
-    "bm25_search", "boilerplate_removed_docs", "event_funnel",
-    "hybrid_search", "price_quantiles", "simhash_values",
-    "sq8_code_rows", "sq8_topk", "tfidf_top_terms", "token_entropy",
-    "token_stats", "zorder_values", "zordered_orders",
-    # slots 34-50: 17 of the stale @6c9daba cohort
-    "ann_ivf", "ann_multiprobe", "ann_multitable", "ann_sign_lsh",
-    "benford_profile", "chunked_docs", "cleaned_docs",
-    "cluster_safe_splits", "containment_dup_pairs", "cosine_topk",
-    "dedup_survivors", "doc_fingerprints", "dup_rate_by_source",
-    "embedding_clusters", "embedding_clusters_2level",
-    "embedding_near_dup", "incremental_dedup_new_docs",
+    # slots 1-20: the r11 deferred @6c9daba cohort (oldest stale)
+    "kmv_distinct_tokens", "kmv_union_tokens", "lang_temperature_sample",
+    "lm_perplexity", "mixture_sample_docs", "multimodal_features",
+    "orders_agg_maintenance", "orders_snapshot_diff",
+    "orders_snapshot_summary", "packed_sequences", "part_pagerank",
+    "quality_quota_prune", "semantic_contamination", "semantic_dedup",
+    "semantic_dedup_2level", "semantic_dedup_stats", "shard_manifest",
+    "shuffled_shards", "stratified_sample_docs", "train_split_counts",
+    # slots 21-24: the asof-re-staled @94592b3 temporal cohort
+    "click_attribution", "events_sliding", "salted_event_rollup",
+    "user_sessions",
+    # slots 25-27: re-staled by r12's own edits
+    "bpe_merge_candidates", "purchase_click_asof",
+    "stream_kmv_distinct_bigrams",
+    # slots 28-46: the whole @978398a (r6) cohort — oldest greens
+    "bloom_pruned_fetch", "cdc_apply_changes", "cdc_log_probe",
+    "cdc_timestamp_probe", "compacted_corpus", "dim_customers",
+    "event_anomalies", "events_props_stats", "fact_orders",
+    "merge_upsert", "nation_revenue", "pricing_summary",
+    "profile_customer", "revenue_by_segment", "revenue_rollup",
+    "staging_orders", "stream_segment_hourly", "supplier_nation_profit",
+    "validation_orders",
+    # slots 47-50: 4 oldest @52353f3 greens (alphabetical tie-break)
+    "brand_stats", "customer_order_distribution",
+    "customers_without_orders", "event_dedup",
 ]
 
 

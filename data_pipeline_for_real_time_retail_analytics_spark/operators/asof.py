@@ -50,7 +50,8 @@ def asof_join_backward(
 
     Column contract (guarded loudly, the rangejoin.py discipline):
     ``right_value_cols`` and ``matched_ts_col`` must not collide with
-    the left frame's columns (withColumn would silently clobber them),
+    the left frame's columns, with each other, or repeat within
+    ``right_value_cols`` (withColumn would silently clobber them),
     and the working names (``__asof_side``/``__asof_payload``/
     ``__asof_rts``) are reserved on both inputs.
     """
@@ -67,6 +68,20 @@ def asof_join_backward(
             "right_value_cols/matched_ts_col would overwrite left columns; "
             f"rename these first: {sorted(clobber)}"
         )
+    # ... and not with each other: the value-col unpack loop runs after
+    # matched_ts_col is written, so an overlap (or a duplicate value
+    # col) would silently overwrite the matched-timestamp column — the
+    # same silent-clobber class the guard above exists for.
+    if matched_ts_col is not None and matched_ts_col in right_value_cols:
+        raise ValueError(
+            f"matched_ts_col {matched_ts_col!r} also listed in "
+            "right_value_cols; give the matched timestamp its own name"
+        )
+    if len(set(right_value_cols)) != len(right_value_cols):
+        dupes = sorted(
+            c for c in set(right_value_cols) if right_value_cols.count(c) > 1
+        )
+        raise ValueError(f"duplicate right_value_cols: {dupes}")
     payload = F.struct(
         F.col(ts_col).alias(_RTS),
         *[F.col(c) for c in right_value_cols],

@@ -30,12 +30,30 @@ longest-match against the trained symbol inventory, Arrow-batched);
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd  # deliberate Arrow surface: bpe_segment_vocab's UDF
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import ws_tokens
+
+#: Java's ``\s`` class, verbatim — ``ws_tokens`` splits with the JVM
+#: regex ``\s+``, which is ASCII-only ([ \t\n\x0B\f\r]). Python's
+#: ``str.split()`` splits on ALL Unicode whitespace (NBSP U+00A0,
+#: U+2000-U+200A, U+2028, ...), so a UDF using it would silently change
+#: tokenization on multilingual text relative to every ws_tokens
+#: consumer.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_ws_tokens(text: str) -> list[str]:
+    """Pure-Python twin of ``ws_tokens`` (trim = leading/trailing
+    SPACES only, exactly Spark's ``trim``; split = Java ``\\s+``).
+    Used by every Python inference path so UDF tokenization can never
+    drift from the expression paths on non-ASCII whitespace."""
+    return _JAVA_WS.split(text.strip(" "))
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -262,6 +280,21 @@ def bpe_segment_vocab(
     passes a few hundred symbols); the expression-only replay in
     ``bpe_segment`` remains the zero-Python path for small tables.
 
+    BROADCAST LIFETIME: each call creates one SparkContext broadcast
+    of the vocab that lives until the session ends (Spark has no safe
+    point to destroy it while the returned lazy DataFrame can still be
+    re-evaluated). Long-lived drivers segmenting in a loop should
+    build ONE segmented frame per vocabulary and reuse it rather than
+    re-calling this per batch; `spark.cleaner.periodicGC.interval`
+    (bench.py sets 45s) reclaims broadcasts whose Python handle has
+    been garbage-collected.
+
+    Tokenization matches ``ws_tokens`` EXACTLY, including on non-ASCII
+    whitespace: the UDF splits with Java's ``\\s`` class
+    (``_py_ws_tokens``), not Python ``str.split()``, which would also
+    split on NBSP/U+2000-U+200A/U+2028 and silently diverge from every
+    expression-path consumer (pinned in tests with NBSP text).
+
     SEMANTICS — longest-match is NOT merge replay: on merge tables
     whose later rules create material for earlier ones the two differ
     (see ``bpe_segment``'s docstring), and longest-match can also pick
@@ -284,8 +317,7 @@ def bpe_segment_vocab(
                 out.append(None)
                 continue
             syms: list[str] = []
-            # str.split() == split-on-\s+-after-trim == ws_tokens
-            for tok in t.split():
+            for tok in _py_ws_tokens(t):
                 i, n = 0, len(tok)
                 while i < n:
                     j = min(n, i + mx)
@@ -308,40 +340,115 @@ def bpe_segment_vocab(
 _REPLAY_LIMIT = 64
 
 
+def _bpe_segment_min_rank(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Canonical min-rank BPE inference (Sennrich ``apply_bpe`` / HF
+    tokenizers): per token, repeatedly find the LOWEST-RANK merge rule
+    whose pair is currently adjacent and apply it to every occurrence
+    (left-to-right, non-overlapping), re-scanning after each merge
+    until no rule applies. Unlike the single-pass replay this revisits
+    earlier rules when a later rule's product creates their input.
+
+    Same scale shape as ``bpe_segment_vocab``: the rank table ships
+    once per executor via broadcast; the scan is a map-side
+    Arrow-batched pandas UDF (no shuffle); tokenization is the exact
+    ``ws_tokens`` twin. Same broadcast-lifetime note applies.
+    """
+    ranks = {(m[0], m[1]): r for r, m in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+
+    @F.pandas_udf("array<string>")
+    def _segment(texts: pd.Series) -> pd.Series:
+        rk = bc.value
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            syms: list[str] = []
+            for tok in _py_ws_tokens(t):
+                cur = list(tok)
+                while len(cur) >= 2:
+                    best = None
+                    best_rank = None
+                    for i in range(len(cur) - 1):
+                        r = rk.get((cur[i], cur[i + 1]))
+                        if r is not None and (best_rank is None or r < best_rank):
+                            best, best_rank = (cur[i], cur[i + 1]), r
+                    if best is None:
+                        break
+                    a, b = best
+                    nxt: list[str] = []
+                    i = 0
+                    while i < len(cur):
+                        if (
+                            i < len(cur) - 1
+                            and cur[i] == a
+                            and cur[i + 1] == b
+                        ):
+                            nxt.append(a + b)
+                            i += 2
+                        else:
+                            nxt.append(cur[i])
+                            i += 1
+                    cur = nxt
+                syms.extend(cur)
+            out.append(syms)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _segment(F.col(text_col)))
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "sym_tokens",
+    mode: str = "replay",
 ) -> DataFrame:
     """Tokenize ``text_col`` into BPE subword symbols from the learned
     ``merges`` — the inference side of ``bpe_learn`` (segmenting text
     the trainer never saw). Adds ``out_col`` = the per-document symbol
     sequence (tokens flattened in order; NULL text → NULL).
 
-    SEMANTICS: the small-table path replays each merge rule exactly
-    once, in rank order — a SINGLE-PASS RANK-ORDER REPLAY, not
-    canonical min-rank BPE inference (Sennrich apply_bpe / HF
-    tokenizers re-scan for the lowest-rank applicable pair after every
-    merge). The two diverge on merge tables where a LATER rule's
-    product feeds an EARLIER rule: e.g. rules [1: (x, yz), 2: (y, z)]
-    on "xyz" — canonical applies rule 2 then revisits rule 1 → [xyz];
-    the replay has already passed rule 1 → [x, yz]. Tables produced by
-    ``bpe_learn`` on their own corpus never have that shape (a rule's
-    inputs exist before it is learned), which is why the trainer-
-    equivalence law holds; both semantics are pinned in tests.
+    SEMANTICS — two modes, both pinned in tests:
+
+    * ``mode="replay"`` (default): the small-table path replays each
+      merge rule exactly once, in rank order — a SINGLE-PASS
+      RANK-ORDER REPLAY, not canonical min-rank BPE inference. The two
+      diverge on merge tables where a LATER rule's product feeds an
+      EARLIER rule: e.g. rules [1: (x, yz), 2: (y, z)] on "xyz" —
+      canonical applies rule 2 then revisits rule 1 → [xyz]; the
+      replay has already passed rule 1 → [x, yz]. Tables produced by
+      ``bpe_learn`` on their own corpus never have that shape (a
+      rule's inputs exist before it is learned), which is why the
+      trainer-equivalence law holds.
+    * ``mode="min_rank"``: canonical Sennrich/HF ``apply_bpe``
+      semantics — after every merge, re-scan for the lowest-rank
+      applicable pair (``_bpe_segment_min_rank``; broadcast rank
+      table + Arrow-batched map-side UDF, no shuffle). Use this when
+      byte-for-byte agreement with an external tokenizer matters.
 
     The replay is ONE map-side projection — no shuffle, no Python:
     n_merges nested folds inside a per-token ``transform``. The
     expression tree is linear in n_merges, fine for few-dozen-merge
-    tables; past ``_REPLAY_LIMIT`` rules this delegates to the
+    tables; past ``_REPLAY_LIMIT`` rules replay mode delegates to the
     production path, ``bpe_segment_vocab`` (broadcast greedy
     longest-match over the merge-product inventory) — a documented
     SEMANTIC switch, not just a plan switch (see above; the two agree
-    on trainer-consistent tables).
+    on trainer-consistent tables). ``min_rank`` never switches — its
+    UDF cost is already independent of the table depth.
     """
     if out_col in df.columns:
         raise ValueError(f"output column {out_col!r} already exists")
+    if mode not in ("replay", "min_rank"):
+        raise ValueError(f"unknown mode {mode!r}: use 'replay' or 'min_rank'")
+    if mode == "min_rank":
+        return _bpe_segment_min_rank(df, merges, text_col, out_col)
     if len(merges) > _REPLAY_LIMIT:
         return bpe_segment_vocab(
             df, bpe_vocab(merges), text_col=text_col, out_col=out_col

@@ -106,9 +106,21 @@ def q_stream_kmv_distinct_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, _stage_docs_multi(spark, sf_dir), schema=DOCS_SCHEMA,
         max_files_per_trigger=1,
     )
+    # At maxFilesPerTrigger=1 each micro-batch is ONE parquet file =
+    # ONE input partition, so the md5-heavy shingle explode ran on a
+    # single core per batch (the plans/llm.py _docs 1-2-split lesson,
+    # streaming edition: the drain was ~9 s of serialized HOF+md5 where
+    # the same work fans out in the batch paths). Repartitioning the
+    # handful of doc rows BEFORE the explode costs one tiny shuffle and
+    # parallelizes the expensive projection; bottom-k is placement- and
+    # order-insensitive, so values are untouched (stream ≡ batch pins
+    # and the shared oracle prove it).
+    fanout = stream.repartition(
+        spark.sparkContext.defaultParallelism
+    )
     emissions = _drain(
         spark,
-        kmv_sketch_stream(_bigram_hashes(stream), key_col="source",
+        kmv_sketch_stream(_bigram_hashes(fanout), key_col="source",
                           hash_col="h", k=K),
         "stream_kmv_sketch",
         output_mode="update",

@@ -108,6 +108,101 @@ def test_longest_match_vs_replay_divergence_is_the_documented_one(spark):
     ].sym_tokens == ["xyz"]
 
 
+def test_min_rank_mode_is_canonical_on_the_divergence_table(spark):
+    """mode="min_rank" (Sennrich/HF apply_bpe) on the crafted two-rule
+    table: after rule 2 merges (y,z), the re-scan revisits rule 1 and
+    produces [xyz] — exactly where the single-pass replay stops at
+    [x, yz]. Both modes pinned side by side on the same input."""
+    docs = spark.createDataFrame([("xyz",)], "text string")
+    table = [("x", "yz"), ("y", "z")]
+    assert bpe_segment(docs, table, mode="replay").collect()[
+        0
+    ].sym_tokens == ["x", "yz"]
+    assert bpe_segment(docs, table, mode="min_rank").collect()[
+        0
+    ].sym_tokens == ["xyz"]
+    with pytest.raises(ValueError, match="unknown mode"):
+        bpe_segment(docs, table, mode="longest")
+
+
+def test_min_rank_agrees_with_replay_on_the_trainer_table(spark):
+    """On trainer-consistent tables (a rule's inputs exist before it is
+    learned) canonical min-rank and the single-pass replay coincide —
+    over training words, unseen words, NULL, and empty text. min_rank
+    applies the LOWEST rank first regardless of table order, so also
+    pin a rank-priority case replay can't distinguish."""
+    merges = bpe_learn(_classic_docs(spark), 6)
+    words = spark.createDataFrame(
+        [(w,) for w in list(CLASSIC) + ["lowest", "newlow", "wid", "z", ""]]
+        + [(None,)],
+        "text string",
+    )
+    replay = {
+        r.text: r.sym_tokens and list(r.sym_tokens)
+        for r in bpe_segment(words, merges).collect()
+    }
+    canon = {
+        r.text: r.sym_tokens and list(r.sym_tokens)
+        for r in bpe_segment(words, merges, mode="min_rank").collect()
+    }
+    assert replay == canon
+    # rank priority: both (a,b) and (b,c) match "abc"; rank 0 wins even
+    # though left-to-right scanning would find them in the same pass
+    docs = spark.createDataFrame([("abc",)], "text string")
+    assert bpe_segment(docs, [("b", "c"), ("a", "b")], mode="min_rank").collect()[
+        0
+    ].sym_tokens == ["a", "bc"]
+
+
+def test_python_paths_tokenize_non_ascii_whitespace_like_ws_tokens(spark):
+    """The r11 ADVICE divergence: Python str.split() splits on Unicode
+    whitespace (NBSP, thin spaces, U+2028) where ws_tokens' Java \\s+
+    is ASCII-only — so a UDF using it would tokenize multilingual text
+    differently from every expression-path consumer. Pin: on NBSP/thin-
+    space/line-separator text, both Python inference paths (vocab
+    longest-match with an empty vocab == character segmentation, and
+    min_rank with no applicable rule) equal the pure-expression
+    ws_tokens+char-split plan exactly."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (
+        _initial_symbols_col,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import (
+        ws_tokens,
+    )
+
+    texts = [
+        "a\u00a0b c",          # NBSP inside the first ws-token
+        "\u2009x\u2009",       # thin spaces at both ends (not trimmed)
+        "p\u2028q r",          # line separator inside a token
+        " a  b\t",            # ASCII-only control case
+        "\u00a0",              # lone NBSP: one single-char token
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    want = {
+        r.text: list(r.syms)
+        for r in docs.select(
+            "text",
+            F.flatten(
+                F.transform(ws_tokens(F.col("text")), _initial_symbols_col)
+            ).alias("syms"),
+        ).collect()
+    }
+    got_vocab = {
+        r.text: list(r.sym_tokens)
+        for r in bpe_segment_vocab(docs, set()).collect()
+    }
+    got_rank = {
+        r.text: list(r.sym_tokens)
+        for r in bpe_segment(docs, [("q", "q")], mode="min_rank").collect()
+    }
+    assert got_vocab == want
+    assert got_rank == want
+    # the trap itself: NBSP text where str.split() WOULD differ
+    assert got_vocab["a\u00a0b c"] == ["a", "\u00a0", "b", "c"]
+
+
 def test_longest_match_prefers_the_longer_symbol(spark):
     """'abc' with vocab {ab, abc}: longest wins; with {ab, bc}: the
     greedy left-to-right scan takes 'ab' then passes 'c' through."""
@@ -147,6 +242,53 @@ def test_longest_match_edge_inputs(spark):
     assert got[4] == ["q", "7", "!"]
     empty_vocab = bpe_segment_vocab(docs, set()).collect()
     assert {r.doc_id: r.sym_tokens for r in empty_vocab}[4] == ["q", "7", "!"]
+
+
+#: letters plus BOTH whitespace classes: ASCII (Java \s — split points)
+#: and non-ASCII Unicode whitespace (NOT split points for ws_tokens,
+#: but split points for Python str.split() — the r11 ADVICE trap)
+_WS_ALPHABET = "ab \t\n\r\x0b\f\u00a0\u2009\u3000"
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=_WS_ALPHABET, max_size=16), min_size=1, max_size=6
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_py_ws_tokens_law_vs_spark_expression(spark, texts):
+    """_py_ws_tokens (the Python twin every UDF inference path splits
+    with) must equal the ws_tokens expression on arbitrary mixes of
+    ASCII and non-ASCII whitespace — the law the r11 ADVICE fix rests
+    on, pinned under random pressure rather than only the crafted
+    NBSP cases."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.bpe import (
+        _py_ws_tokens,
+    )
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.textstats import (
+        ws_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: list(r.toks)
+        for r in docs.select(
+            "i", ws_tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_ws_tokens(t), repr(t)
 
 
 _alpha = st.text(alphabet="abc", min_size=2, max_size=5)

@@ -150,6 +150,20 @@ def test_asof_rejects_silent_column_clobbers(spark):
             left.withColumnRenamed("click_id", "__asof_payload"), right,
             key_cols=["user_id"], ts_col="ts", right_value_cols=["click_id"],
         )
+    # matched_ts_col colliding with a right_value_cols entry passed the
+    # left-side guard but still clobbered the matched-timestamp column
+    # in the unpack loop (r11 ADVICE) — now rejected, as are duplicate
+    # right_value_cols (last unpack silently wins otherwise)
+    with pytest.raises(ValueError, match="matched_ts_col"):
+        asof_join_backward(
+            left.drop("click_id"), right, key_cols=["user_id"], ts_col="ts",
+            right_value_cols=["click_id"], matched_ts_col="click_id",
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        asof_join_backward(
+            left.drop("click_id"), right, key_cols=["user_id"], ts_col="ts",
+            right_value_cols=["click_id", "click_id"],
+        )
 
 
 # ---------- bloom pre-filter ----------
