@@ -93,6 +93,20 @@ def _flag_suspects(
     )
 
 
+#: Run-level quality verdict: individual cells transiently spike ~2x on
+#: any single pass (measured: 2-5 scattered suspects per quiet run, a
+#: DIFFERENT set each run), so a handful of flags means isolated
+#: transients — judge those cells against BENCH_SPREAD.json. A large
+#: flagged FRACTION means the run itself was GC-bound or contended
+#: (r11's episode flagged 32/174 ≈ 18%) — discount the whole artifact.
+_INFLATED_FRACTION = 0.05
+
+
+def _run_verdict(n_suspect: int, n_cells: int) -> str:
+    frac = n_suspect / max(1, n_cells)
+    return "quiet" if frac <= _INFLATED_FRACTION else "inflated"
+
+
 def _warmup(spark: SparkSession) -> None:
     import pandas as pd  # noqa: F401
 
@@ -236,29 +250,14 @@ def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     ref = _spread_reference(sf)
     suspects = _flag_suspects(timings, ref) or []
-    if repeat > 1:
-        # a fresh median-of-N quiet run IS the new reference
-        with open(_SPREAD_PATH, "w", encoding="utf-8") as fh:
-            json.dump(
-                {
-                    "_comment": (
-                        "Quiet-host per-cell wall-time spread reference: "
-                        "[min, median, max] seconds over repeat timed "
-                        "executions, caches cleared per cell. bench.py "
-                        "single-run cells exceeding "
-                        f"{_SUSPECT_FACTOR}x the recorded max are flagged "
-                        "in suspect_cells (GC/noise indicator, not a plan "
-                        "regression). Refreshed automatically whenever "
-                        "bench.py runs with repeat > 1."
-                    ),
-                    "sf": sf,
-                    "repeat": repeat,
-                    "spread_min_med_max": spread,
-                },
-                fh,
-                indent=1,
-            )
-            fh.write("\n")
+    # NOTE: the spread reference is NOT refreshed here. In-session
+    # repeats are systematically FASTER per cell than the driver's
+    # fresh-process single pass (codegen/plan caches warm across
+    # repeats: measured 367 s median-of-3 vs 463 s single-pass on the
+    # same quiet host, r12), so a repeat-derived reference would flag
+    # ~10% of cells on every honest single run. Rebuild the reference
+    # with bench_spread_rebase.py (N fresh single-pass subprocesses —
+    # the exact protocol being judged).
 
     full = {
         "metric": "total_query_wall_time",
@@ -284,6 +283,15 @@ def main() -> None:
         "suspect_rule": (
             f"wall > {_SUSPECT_FACTOR}x spread max @ sf={sf} "
             "(BENCH_SPREAD.json)"
+            if ref is not None
+            else None
+        ),
+        # "quiet": any flags are isolated per-cell transients — judge
+        # those cells against the committed spread, trust the rest.
+        # "inflated": a large fraction flagged — the RUN is GC-bound or
+        # contended; discount its absolute numbers entirely.
+        "run_verdict": (
+            _run_verdict(len(suspects), len(timings))
             if ref is not None
             else None
         ),
@@ -317,6 +325,11 @@ def main() -> None:
                     suspects[:25] if ref is not None else None
                 ),
                 "n_suspect": len(suspects) if ref is not None else None,
+                "run_verdict": (
+                    _run_verdict(len(suspects), len(timings))
+                    if ref is not None
+                    else None
+                ),
                 "queries": dict(sorted(slowest[:k])),
                 "queries_are_slowest_k": k if k < len(timings) else None,
                 "detail": "BENCH_DETAIL.json",

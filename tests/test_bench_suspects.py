@@ -35,6 +35,18 @@ def test_flag_suspects_without_reference_is_none():
     assert bench._flag_suspects({"q1": 10.0}, None) is None
 
 
+def test_run_verdict_fraction_rule():
+    """A handful of flags = isolated per-cell transients (every quiet
+    single run shows 2-5, a different set each time — measured r12);
+    a large fraction = the run itself was GC-bound (r11's episode was
+    32/174 = 18%)."""
+    assert bench._run_verdict(0, 174) == "quiet"
+    assert bench._run_verdict(5, 174) == "quiet"       # 2.9%
+    assert bench._run_verdict(9, 174) == "inflated"    # 5.2%
+    assert bench._run_verdict(32, 174) == "inflated"   # the r11 episode
+    assert bench._run_verdict(0, 0) == "quiet"         # degenerate
+
+
 def test_committed_spread_reference_matches_the_registry():
     """BENCH_SPREAD.json must stay loadable, at the bench sf, and cover
     the registered surface — a spread that silently drifts from
@@ -44,6 +56,10 @@ def test_committed_spread_reference_matches_the_registry():
         ref = json.load(fh)
     assert ref["sf"] == 0.1
     assert ref["repeat"] >= 3
+    # the reference MUST come from the driver's protocol: fresh-process
+    # single-pass runs. In-session repeats are ~25% faster per cell
+    # (warm codegen/plan caches) and would mis-flag honest single runs.
+    assert ref["protocol"] == "fresh_process_single_pass"
     spread = ref["spread_min_med_max"]
     for name, (lo, med, hi) in spread.items():
         assert 0 <= lo <= med <= hi, name
