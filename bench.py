@@ -103,8 +103,20 @@ _INFLATED_FRACTION = 0.05
 
 
 def _run_verdict(n_suspect: int, n_cells: int) -> str:
+    """``n_cells`` must be the COMPARABLE count (timed >= 0 AND having
+    a reference row) — counting failed or reference-less cells in the
+    denominator would let a contended run self-report "quiet" because
+    un-judgeable cells diluted the fraction."""
     frac = n_suspect / max(1, n_cells)
     return "quiet" if frac <= _INFLATED_FRACTION else "inflated"
+
+
+def _n_comparable(
+    timings: dict[str, float], ref: dict[str, list[float]] | None
+) -> int:
+    if ref is None:
+        return 0
+    return sum(1 for name, t in timings.items() if t >= 0 and name in ref)
 
 
 def _warmup(spark: SparkSession) -> None:
@@ -250,6 +262,7 @@ def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     ref = _spread_reference(sf)
     suspects = _flag_suspects(timings, ref) or []
+    n_comparable = _n_comparable(timings, ref)
     # NOTE: the spread reference is NOT refreshed here. In-session
     # repeats are systematically FASTER per cell than the driver's
     # fresh-process single pass (codegen/plan caches warm across
@@ -264,7 +277,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_from_dir(SF_DIR),
+        "sf": sf,
         # per-query walls are UNAMORTIZED: the shared materializations
         # (corpusbase MinHash pairs, copurchase pair support) are
         # cleared outside every timed window, so each cell carries its
@@ -291,7 +304,7 @@ def main() -> None:
         # "inflated": a large fraction flagged — the RUN is GC-bound or
         # contended; discount its absolute numbers entirely.
         "run_verdict": (
-            _run_verdict(len(suspects), len(timings))
+            _run_verdict(len(suspects), n_comparable)
             if ref is not None
             else None
         ),
@@ -317,7 +330,7 @@ def main() -> None:
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "sf": _sf_from_dir(SF_DIR),
+                "sf": sf,
                 "n_queries": len(timings),
                 # non-empty = this run was GC-bound/contended; judge the
                 # flagged cells against BENCH_SPREAD.json, not this run
@@ -326,7 +339,7 @@ def main() -> None:
                 ),
                 "n_suspect": len(suspects) if ref is not None else None,
                 "run_verdict": (
-                    _run_verdict(len(suspects), len(timings))
+                    _run_verdict(len(suspects), n_comparable)
                     if ref is not None
                     else None
                 ),

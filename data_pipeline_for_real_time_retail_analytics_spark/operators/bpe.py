@@ -346,12 +346,27 @@ def _bpe_segment_min_rank(
     text_col: str,
     out_col: str,
 ) -> DataFrame:
-    """Canonical min-rank BPE inference (Sennrich ``apply_bpe`` / HF
-    tokenizers): per token, repeatedly find the LOWEST-RANK merge rule
-    whose pair is currently adjacent and apply it to every occurrence
-    (left-to-right, non-overlapping), re-scanning after each merge
-    until no rule applies. Unlike the single-pass replay this revisits
-    earlier rules when a later rule's product creates their input.
+    """Canonical min-rank BPE inference, Sennrich ``apply_bpe``
+    semantics: per token, repeatedly find the LOWEST-RANK merge rule
+    whose pair is currently adjacent and apply it to EVERY occurrence
+    (left-to-right, non-overlapping — one sweep per chosen rule),
+    re-scanning for the new lowest rank after each sweep until no rule
+    applies. Unlike the single-pass replay this revisits earlier rules
+    when a later rule's product creates their input.
+
+    PRECISION on "canonical": subword-nmt's apply_bpe sweeps ALL
+    occurrences of the chosen pair before re-scanning (this
+    implementation); HF tokenizers' priority queue merges ONE
+    occurrence at a time, re-evaluating ranks between single merges.
+    The two agree on trainer-consistent tables and on any table where
+    a sweep cannot create a lower-rank pair mid-token; they diverge on
+    adversarial tables where merging one occurrence creates material
+    for a LOWER-rank rule that the rest of the sweep then misses:
+    [(aa,a) rank 0, (a,a) rank 3] on "aaaa" — sweep merges both (a,a)
+    -> [aa, aa] (done); HF's queue merges one (a,a), sees the new
+    rank-0 (aa,a) -> [aaa, a]. Both behaviors are pinned in tests; use
+    the sweep as the Sennrich-reference semantic, not as a promise of
+    byte agreement with HF's queue on adversarial tables.
 
     Same scale shape as ``bpe_segment_vocab``: the rank table ships
     once per executor via broadcast; the scan is a map-side
@@ -427,11 +442,13 @@ def bpe_segment(
       ``bpe_learn`` on their own corpus never have that shape (a
       rule's inputs exist before it is learned), which is why the
       trainer-equivalence law holds.
-    * ``mode="min_rank"``: canonical Sennrich/HF ``apply_bpe``
-      semantics — after every merge, re-scan for the lowest-rank
-      applicable pair (``_bpe_segment_min_rank``; broadcast rank
-      table + Arrow-batched map-side UDF, no shuffle). Use this when
-      byte-for-byte agreement with an external tokenizer matters.
+    * ``mode="min_rank"``: canonical Sennrich ``apply_bpe`` semantics —
+      after every all-occurrence sweep of the chosen rule, re-scan for
+      the lowest-rank applicable pair (``_bpe_segment_min_rank``;
+      broadcast rank table + Arrow-batched map-side UDF, no shuffle).
+      Use this for agreement with subword-nmt; note HF tokenizers'
+      one-merge-at-a-time queue can differ on adversarial tables
+      (see ``_bpe_segment_min_rank``'s docstring — both pinned).
 
     The replay is ONE map-side projection — no shuffle, no Python:
     n_merges nested folds inside a per-token ``transform``. The

@@ -47,6 +47,26 @@ def test_run_verdict_fraction_rule():
     assert bench._run_verdict(0, 0) == "quiet"         # degenerate
 
 
+def test_run_verdict_denominator_is_the_comparable_count():
+    """Failed cells (-1) and cells without a reference row can never be
+    flagged, so counting them in the verdict denominator would let a
+    contended run dilute its flagged fraction to 'quiet'. The
+    comparable count excludes both."""
+    ref = {"q1": [1.0, 1.0, 1.0], "q2": [1.0, 1.0, 1.0]}
+    timings = {"q1": 5.0, "q2": 0.9, "q3": -1.0, "q4": 7.0}
+    # q3 failed, q4 has no reference row -> 2 comparable, 1 suspect
+    assert bench._n_comparable(timings, ref) == 2
+    assert bench._flag_suspects(timings, ref) == ["q1"]
+    # 1/2 = 50% comparable-flagged -> inflated; the diluted 1/4 = 25%
+    # would also be inflated here, but the 8-of-94-vs-174 shape from
+    # review is the real case: 8/94 = 8.5% inflated vs 8/174 = 4.6%
+    # fake-quiet
+    assert bench._run_verdict(1, 2) == "inflated"
+    assert bench._run_verdict(8, 94) == "inflated"
+    assert bench._run_verdict(8, 174) == "quiet"  # the dilution trap
+    assert bench._n_comparable(timings, None) == 0
+
+
 def test_committed_spread_reference_matches_the_registry():
     """BENCH_SPREAD.json must stay loadable, at the bench sf, and cover
     the registered surface — a spread that silently drifts from

@@ -154,6 +154,28 @@ def test_min_rank_agrees_with_replay_on_the_trainer_table(spark):
     ].sym_tokens == ["a", "bc"]
 
 
+def test_min_rank_is_the_sennrich_sweep_not_the_hf_queue(spark):
+    """min_rank merges ALL occurrences of the chosen pair per sweep
+    (subword-nmt apply_bpe). On the adversarial table
+    [(aa,a) rank 0, (a,a) rank 3] over 'aaaa' the sweep merges both
+    (a,a) occurrences before re-scanning -> [aa, aa]; HF tokenizers'
+    one-merge-at-a-time queue would instead produce [aaa, a] (the
+    first merge creates the rank-0 (aa,a) pair mid-token). The sweep
+    behavior is the documented contract — pinned so a refactor to
+    queue semantics is a deliberate, visible choice."""
+    docs = spark.createDataFrame([("aaaa",)], "text string")
+    table = [("aa", "a"), ("x", "x"), ("y", "y"), ("a", "a")]
+    assert bpe_segment(docs, table, mode="min_rank").collect()[
+        0
+    ].sym_tokens == ["aa", "aa"]
+    # and on a table where the sweep DOES feed the lower-rank rule
+    # across re-scans (not mid-sweep), the revisit happens: after the
+    # (a,a) sweep of "aaaa" -> [aa, aa], rule (aa,aa) applies
+    assert bpe_segment(
+        docs, [("aa", "aa"), ("a", "a")], mode="min_rank"
+    ).collect()[0].sym_tokens == ["aaaa"]
+
+
 def test_python_paths_tokenize_non_ascii_whitespace_like_ws_tokens(spark):
     """The r11 ADVICE divergence: Python str.split() splits on Unicode
     whitespace (NBSP, thin spaces, U+2028) where ws_tokens' Java \\s+
