@@ -111,10 +111,14 @@ def q_stream_kmv_distinct_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame
     # single core per batch (the plans/llm.py _docs 1-2-split lesson,
     # streaming edition: the drain was ~9 s of serialized HOF+md5 where
     # the same work fans out in the batch paths). Repartitioning the
-    # handful of doc rows BEFORE the explode costs one tiny shuffle and
+    # doc rows BEFORE the explode costs one shuffle of raw doc text and
     # parallelizes the expensive projection; bottom-k is placement- and
     # order-insensitive, so values are untouched (stream ≡ batch pins
-    # and the shared oracle prove it).
+    # and the shared oracle prove it). Measured: sf0.1 drain 7.4 → 3.9 s
+    # (interleaved A/B); 90× corpus drive 493.7 → 168.2 s (2.9×,
+    # sketches bit-identical across all 20 sources) — the lever GROWS
+    # with scale because staged files grow while still mapping to one
+    # input partition each.
     fanout = stream.repartition(
         spark.sparkContext.defaultParallelism
     )
