@@ -72,7 +72,17 @@ def q_stream_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 sample candidates by the STREAM-maintained CMS estimate —
     batch-equal by linearity, proven by the shared oracle."""
     stream = file_stream(spark, _stage_docs(spark, sf_dir), schema=DOCS_SCHEMA)
-    toks = stream.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+    # The staged corpus is 1-2 parquet files read in a single micro-
+    # batch, and each file maps to ONE input partition at stream read —
+    # so the ws_tokens explode + depth-way cell fanout ran on 1-2 cores
+    # (the plans/streamkmvq.py lesson, r12). Repartitioning the doc
+    # rows BEFORE the explode costs one shuffle of raw doc text and
+    # parallelizes the token/cell projection; CMS cell addition is
+    # linear (associative + commutative), so the drained cell matrix is
+    # bit-identical regardless of row placement — the shared batch
+    # oracle and the stream≡batch pin prove it.
+    fanout = stream.repartition(spark.sparkContext.defaultParallelism)
+    toks = fanout.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
     targets = F.explode(
         F.array(
             *[
