@@ -373,7 +373,14 @@ def _bpe_segment_min_rank(
     Arrow-batched pandas UDF (no shuffle); tokenization is the exact
     ``ws_tokens`` twin. Same broadcast-lifetime note applies.
     """
-    ranks = {(m[0], m[1]): r for r, m in enumerate(merges)}
+    # First occurrence wins on duplicate pairs, matching subword-nmt's
+    # reversed-enumerate table build (earlier entries overwrite later
+    # ones there; a plain dict comprehension would keep the LAST —
+    # i.e. highest — rank instead). bpe_learn never emits duplicates,
+    # so this only matters for hand-built tables.
+    ranks: dict[tuple[str, str], int] = {}
+    for r, m in enumerate(merges):
+        ranks.setdefault((m[0], m[1]), r)
     bc = df.sparkSession.sparkContext.broadcast(ranks)
 
     @F.pandas_udf("array<string>")

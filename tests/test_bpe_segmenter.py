@@ -176,6 +176,22 @@ def test_min_rank_is_the_sennrich_sweep_not_the_hf_queue(spark):
     ).collect()[0].sym_tokens == ["aaaa"]
 
 
+def test_min_rank_duplicate_pairs_take_the_first_rank(spark):
+    """subword-nmt builds its rank table with reversed(enumerate), so
+    on a malformed table that lists the SAME pair twice the FIRST
+    occurrence (lowest rank) wins. The r12 dict-comprehension build
+    silently kept the last — pinned here via a table where precedence
+    decides the output: on "abc", first-wins gives (a,b) rank 0 over
+    (b,c) rank 1 -> [ab, c]; last-wins would demote the duplicate
+    (a,b) to rank 2 and merge (b,c) first -> [a, bc]. bpe_learn never
+    emits duplicates; this is hand-built-table hygiene only."""
+    docs = spark.createDataFrame([("abc",)], "text string")
+    table = [("a", "b"), ("b", "c"), ("a", "b")]
+    assert bpe_segment(docs, table, mode="min_rank").collect()[
+        0
+    ].sym_tokens == ["ab", "c"]
+
+
 def test_python_paths_tokenize_non_ascii_whitespace_like_ws_tokens(spark):
     """The r11 ADVICE divergence: Python str.split() splits on Unicode
     whitespace (NBSP, thin spaces, U+2028) where ws_tokens' Java \\s+
