@@ -93,6 +93,54 @@ def _flag_suspects(
     )
 
 
+#: Advisory second tier: the hard rule compares against the spread MAX,
+#: but a max that was itself a transient makes the flag loose for that
+#: cell (r12: large_orders ran 2.12x vs r01 in the driver's inflated
+#: run yet escaped flagging because its recorded max of 3.36 s was a
+#: spike). Comparing against the spread MEDIAN is noisier, so this
+#: tier is ADVISORY ONLY — listed in the artifact, never counted in
+#: run_verdict.
+_ADVISORY_FACTOR = 1.5
+
+
+def _flag_advisory(
+    timings: dict[str, float],
+    ref: dict[str, list[float]] | None,
+    hard: list[str] | None,
+) -> list[str] | None:
+    """Cells whose wall exceeds _ADVISORY_FACTOR x the recorded
+    quiet-host MEDIAN without tripping the hard (max-based) rule.
+    None when no comparable reference exists."""
+    if ref is None:
+        return None
+    hard_set = set(hard or ())
+    return sorted(
+        name
+        for name, t in timings.items()
+        if t >= 0
+        and name in ref
+        and name not in hard_set
+        and t > _ADVISORY_FACTOR * ref[name][1]
+    )
+
+
+#: The driver keeps only a 2000-byte stdout tail, so the summary line
+#: caps suspect_cells; the cap must be VISIBLE or a truncated list next
+#: to a bigger n_suspect invites misreading (r12 verdict: 25 listed vs
+#: n_suspect=35).
+_SUSPECT_LINE_CAP = 25
+
+
+def _truncate_suspects(
+    suspects: list[str] | None,
+) -> tuple[list[str] | None, bool | None]:
+    """(line-sized suspect list, truncated marker); (None, None) when
+    there is no comparable reference."""
+    if suspects is None:
+        return None, None
+    return suspects[:_SUSPECT_LINE_CAP], len(suspects) > _SUSPECT_LINE_CAP
+
+
 #: Run-level quality verdict: individual cells transiently spike ~2x on
 #: any single pass (measured: 2-5 scattered suspects per quiet run, a
 #: DIFFERENT set each run), so a handful of flags means isolated
@@ -262,6 +310,7 @@ def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     ref = _spread_reference(sf)
     suspects = _flag_suspects(timings, ref) or []
+    advisory = _flag_advisory(timings, ref, suspects)
     n_comparable = _n_comparable(timings, ref)
     # NOTE: the spread reference is NOT refreshed here. In-session
     # repeats are systematically FASTER per cell than the driver's
@@ -299,6 +348,16 @@ def main() -> None:
             if ref is not None
             else None
         ),
+        # advisory tier (never counted in run_verdict): cells over
+        # 1.5x their spread MEDIAN that the max-based rule missed —
+        # catches cells whose recorded max was itself a transient
+        "advisory_cells": advisory,
+        "advisory_rule": (
+            f"wall > {_ADVISORY_FACTOR}x spread median @ sf={sf} "
+            "(advisory only, excluded from run_verdict)"
+            if ref is not None
+            else None
+        ),
         # "quiet": any flags are isolated per-cell transients — judge
         # those cells against the committed spread, trust the rest.
         # "inflated": a large fraction flagged — the RUN is GC-bound or
@@ -323,6 +382,9 @@ def main() -> None:
     # Final line: total + the slowest queries, shrunk until the line is
     # guaranteed to fit the capture buffer intact.
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    line_suspects, suspects_truncated = _truncate_suspects(
+        suspects if ref is not None else None
+    )
     k = len(slowest)
     while k > 0:
         line = json.dumps(
@@ -334,10 +396,14 @@ def main() -> None:
                 "n_queries": len(timings),
                 # non-empty = this run was GC-bound/contended; judge the
                 # flagged cells against BENCH_SPREAD.json, not this run
-                "suspect_cells": (
-                    suspects[:25] if ref is not None else None
-                ),
+                "suspect_cells": line_suspects,
+                # True = the list above is capped; the FULL list is in
+                # BENCH_DETAIL.json — do not read the cap as the count
+                "suspects_truncated": suspects_truncated,
                 "n_suspect": len(suspects) if ref is not None else None,
+                "n_advisory": (
+                    len(advisory) if advisory is not None else None
+                ),
                 "run_verdict": (
                     _run_verdict(len(suspects), n_comparable)
                     if ref is not None

@@ -35,6 +35,52 @@ def test_flag_suspects_without_reference_is_none():
     assert bench._flag_suspects({"q1": 10.0}, None) is None
 
 
+def test_flag_advisory_median_tier():
+    """r12 verdict ask: a cell whose recorded spread MAX is itself a
+    transient escapes the hard rule (large_orders at 2.12x vs r01 slid
+    under 1.3 x a 3.36 s spike). The advisory tier flags wall > 1.5x
+    the spread MEDIAN — but only cells the hard rule missed, and it
+    never feeds run_verdict."""
+    ref = {
+        # noisy max: median 1.0 but a 3.0 s transient max — the hard
+        # rule needs > 3.9, advisory fires at > 1.5
+        "q1": [0.9, 1.0, 3.0],
+        # tight spread: hard rule fires first and OWNS the cell
+        "q2": [1.0, 1.0, 1.1],
+        "q3": [1.0, 1.0, 1.0],
+    }
+    timings = {
+        "q1": 2.1,    # escapes hard (< 3.9), advisory (> 1.5)
+        "q2": 5.0,    # hard suspect -> excluded from advisory
+        "q3": 1.2,    # under both tiers
+        "q4": 99.0,   # no reference row -> never flagged
+        "q5": -1.0,   # failure sentinel -> never flagged
+    }
+    hard = bench._flag_suspects(timings, ref)
+    assert hard == ["q2"]
+    assert bench._flag_advisory(timings, ref, hard) == ["q1"]
+    # exact boundary is NOT advisory (strictly-greater rule)
+    assert bench._flag_advisory({"q3": 1.5}, ref, []) == []
+    # no comparable reference -> None, matching the hard tier
+    assert bench._flag_advisory(timings, None, None) is None
+
+
+def test_truncate_suspects_marks_the_cap():
+    """The summary line caps suspect_cells at 25; the marker must say
+    so, or a capped list next to n_suspect=35 reads as a contradiction
+    (the r12 artifact did exactly this)."""
+    many = [f"q{i:03d}" for i in range(35)]
+    capped, truncated = bench._truncate_suspects(many)
+    assert capped == many[:25] and truncated is True
+    few, untrunc = bench._truncate_suspects(["q1"])
+    assert few == ["q1"] and untrunc is False
+    # exactly at the cap is NOT truncated
+    at_cap, marker = bench._truncate_suspects(many[:25])
+    assert at_cap == many[:25] and marker is False
+    # no comparable reference propagates as (None, None)
+    assert bench._truncate_suspects(None) == (None, None)
+
+
 def test_run_verdict_fraction_rule():
     """A handful of flags = isolated per-cell transients (every quiet
     single run shows 2-5, a different set each time — measured r12);
@@ -88,8 +134,11 @@ def test_committed_spread_reference_matches_the_registry():
 
     missing = set(entry.queries()) - set(spread)
     assert not missing, (
-        "registered queries without a spread row (re-run bench.py with "
-        f"SPARK_GRAFT_BENCH_REPEAT=3 on a quiet host): {sorted(missing)}"
+        "registered queries without a spread row (rebuild the spread "
+        "with `python bench_spread_rebase.py [n_runs]` on a quiet host "
+        "— bench.py itself never writes BENCH_SPREAD.json, and "
+        "in-session repeats violate the fresh_process_single_pass "
+        f"protocol): {sorted(missing)}"
     )
 
 
