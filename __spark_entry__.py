@@ -66,51 +66,45 @@ def entry(spark: SparkSession) -> DataFrame:
 #: changed since their last green commit) fill the rest OLDEST-FIRST,
 #: and the overflow is recorded explicitly in ROTATION.json["deferred"]
 #: (every deferred query stays value-proven on the current tree by
-#: tests/test_oracle_parity.py). Composition this round (r12 — the
-#: first pure freshness round: zero never-greens), after rolling the
-#: ledger with CORRECTNESS_r11.json @d31d35e:
-#:  * slots 1-20: the whole r11 deferred @6c9daba (r9) cohort — the
-#:    registry's oldest stale (sketches, sampling/mixtures, splits,
-#:    packing/export, semantic dedup, pagerank, maintenance,
-#:    multimodal, perplexity);
-#:  * slots 21-24: the four asof-re-staled @94592b3 (r10) temporal
-#:    dependents (attribution, sliding window, salted rollup,
-#:    sessions);
-#:  * slots 25-27: the three pairs re-staled by r12's OWN edits
-#:    (bpe.py min-rank mode + NBSP tokenization fix; asof.py clobber
-#:    guard; streamkmvq.py micro-batch fanout) — youngest stale, but
-#:    nothing spills so everything fronts;
-#:  * slots 28-46: the ENTIRE @978398a (r6) green cohort — the oldest
-#:    driver rows in the ledger, re-proven for freshness;
-#:  * slots 47-50: the 4 alphabetically-first @52353f3 (r8) greens;
-#:  * deferred (ROTATION.json): EMPTY — 27 obligations + 23 oldest
+#: tests/test_oracle_parity.py). Composition this round (r13 — second
+#: pure freshness round: zero never-greens), after rolling the ledger
+#: with CORRECTNESS_r12.json @f7f3c89:
+#:  * slots 1-3: the three pairs re-staled by r13's OWN edits
+#:    (streamcmsq.py stream-read fanout fix; bpe.py duplicate-pair
+#:    first-rank precedence, which sits in the bpeq and streamkmvq
+#:    closures) — youngest stale, but nothing spills so everything
+#:    fronts;
+#:  * slots 4-21: the ENTIRE @52353f3 (r8) green cohort — the oldest
+#:    driver rows left in the ledger;
+#:  * slots 22-34: the ENTIRE @6c9daba (r9) green cohort;
+#:  * slots 35-50: the 16 alphabetically-first @94592b3 (r10) greens;
+#:  * deferred (ROTATION.json): EMPTY — 3 obligations + 47 oldest
 #:    greens fit the window exactly.
 FRONT_50 = [
-    # slots 1-20: the r11 deferred @6c9daba cohort (oldest stale)
-    "kmv_distinct_tokens", "kmv_union_tokens", "lang_temperature_sample",
-    "lm_perplexity", "mixture_sample_docs", "multimodal_features",
-    "orders_agg_maintenance", "orders_snapshot_diff",
-    "orders_snapshot_summary", "packed_sequences", "part_pagerank",
-    "quality_quota_prune", "semantic_contamination", "semantic_dedup",
-    "semantic_dedup_2level", "semantic_dedup_stats", "shard_manifest",
-    "shuffled_shards", "stratified_sample_docs", "train_split_counts",
-    # slots 21-24: the asof-re-staled @94592b3 temporal cohort
-    "click_attribution", "events_sliding", "salted_event_rollup",
-    "user_sessions",
-    # slots 25-27: re-staled by r12's own edits
-    "bpe_merge_candidates", "purchase_click_asof",
+    # slots 1-3: re-staled by r13's own edits
+    "stream_cms_heavy_tokens", "bpe_merge_candidates",
     "stream_kmv_distinct_bigrams",
-    # slots 28-46: the whole @978398a (r6) cohort — oldest greens
-    "bloom_pruned_fetch", "cdc_apply_changes", "cdc_log_probe",
-    "cdc_timestamp_probe", "compacted_corpus", "dim_customers",
-    "event_anomalies", "events_props_stats", "fact_orders",
-    "merge_upsert", "nation_revenue", "pricing_summary",
-    "profile_customer", "revenue_by_segment", "revenue_rollup",
-    "staging_orders", "stream_segment_hourly", "supplier_nation_profit",
-    "validation_orders",
-    # slots 47-50: 4 oldest @52353f3 greens (alphabetical tie-break)
-    "brand_stats", "customer_order_distribution",
-    "customers_without_orders", "event_dedup",
+    # slots 4-21: the whole @52353f3 (r8) cohort — oldest greens
+    "events_hourly", "fk_orphan_orders", "incremental_scan",
+    "lang_median_tokens", "large_orders", "order_priority_counts",
+    "promo_revenue", "returned_revenue_by_customer", "scd2_user_history",
+    "small_quantity_revenue", "stream_click_purchases",
+    "stream_click_purchases_outer", "stream_events_hourly",
+    "stream_user_sessions", "top_customers", "top_suppliers",
+    "user_value_interpolation", "whole_row_dups_lineitem",
+    # slots 22-34: the whole @6c9daba (r9) cohort
+    "customer_rfm", "customer_running_spend", "event_transitions",
+    "events_cube", "events_hourly_dense", "fuzzy_customer_pairs",
+    "idle_customer_balance", "join_key_skew", "market_share",
+    "segment_year_pivot", "supplier_diversity", "volume_shipping",
+    "zonemap_pruned_orders",
+    # slots 35-50: 16 oldest @94592b3 greens (alphabetical tie-break)
+    "ann_eval_metrics", "approx_profile_orders", "basket_pairs",
+    "boilerplate_ngrams", "ccnet_buckets", "chunk_dedup_docs",
+    "cms_heavy_tokens", "cms_merged_heavy_tokens", "cohort_retention",
+    "contaminated_docs", "copurchase_triangles", "corpus_filter",
+    "curve_locality", "dedup_clusters", "dedup_eval_metrics",
+    "discounted_revenue",
 ]
 
 
