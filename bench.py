@@ -229,6 +229,34 @@ def _warmup(spark: SparkSession) -> None:
         )
         q.awaitTermination()
         q.stop()
+        # ... and once through the MEMORY sink + keyed stateful agg —
+        # the _drain pattern every stream_* cell uses. The noop-sink
+        # warmup above does not touch the memory-sink table path
+        # (per-batch collect into a LocalTableScan), so whichever
+        # stream cell ran FIRST paid that init inside its timed window
+        # (r13: the rotation made stream_cms_heavy_tokens slot 1 and
+        # its cell absorbed the cost the r12-order run had hidden in
+        # stream_kmv's cell).
+        ckpt2 = tempfile.mkdtemp(prefix="bench_warm_ckpt2_")
+        try:
+            q2 = (
+                spark.readStream.schema("id long")
+                .parquet(src)
+                .groupBy(F.expr("id % 7").alias("k"))
+                .count()
+                .writeStream.format("memory")
+                .queryName("bench_warm_mem")
+                .option("checkpointLocation", ckpt2)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination()
+            q2.stop()
+            spark.table("bench_warm_mem").collect()
+            spark.catalog.dropTempView("bench_warm_mem")
+        finally:
+            shutil.rmtree(ckpt2, ignore_errors=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
