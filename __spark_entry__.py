@@ -66,45 +66,47 @@ def entry(spark: SparkSession) -> DataFrame:
 #: changed since their last green commit) fill the rest OLDEST-FIRST,
 #: and the overflow is recorded explicitly in ROTATION.json["deferred"]
 #: (every deferred query stays value-proven on the current tree by
-#: tests/test_oracle_parity.py). Composition this round (r13 — second
-#: pure freshness round: zero never-greens), after rolling the ledger
-#: with CORRECTNESS_r12.json @f7f3c89:
-#:  * slots 1-3: the three pairs re-staled by r13's OWN edits
-#:    (streamcmsq.py stream-read fanout fix; bpe.py duplicate-pair
-#:    first-rank precedence, which sits in the bpeq and streamkmvq
-#:    closures) — youngest stale, but nothing spills so everything
-#:    fronts;
-#:  * slots 4-21: the ENTIRE @52353f3 (r8) green cohort — the oldest
-#:    driver rows left in the ledger;
-#:  * slots 22-34: the ENTIRE @6c9daba (r9) green cohort;
-#:  * slots 35-50: the 16 alphabetically-first @94592b3 (r10) greens;
-#:  * deferred (ROTATION.json): EMPTY — 3 obligations + 47 oldest
-#:    greens fit the window exactly.
+#: tests/test_oracle_parity.py). Composition this round (r13 — the
+#: first OPTIMIZATION round), recomputed mechanically with
+#: ``python rotation_front.py --write`` after the round's operator
+#: edits (dedup.py / pagerank.py / annevalq.py / streamcmsq.py /
+#: bpe.py and their closures) re-staled 77 queries:
+#:  * slots 1-27: every re-staled @94592b3 (r10) green — the oldest
+#:    obligations;
+#:  * slots 28-50: the 23 alphabetically-first re-staled @d31d35e
+#:    (r11) greens;
+#:  * deferred (ROTATION.json): the remaining 27 obligations (8
+#:    @d31d35e + 19 @f7f3c89 — youngest-first deferral holds; each
+#:    stays value-proven by the 174-pair parity suite on this tree).
+#:    The non-stale @52353f3/@6c9daba cohorts lose their slots this
+#:    round: with obligations spilling, no slot may hold an
+#:    already-proven query (guard rule 3).
 FRONT_50 = [
-    # slots 1-3: re-staled by r13's own edits
-    "stream_cms_heavy_tokens", "bpe_merge_candidates",
-    "stream_kmv_distinct_bigrams",
-    # slots 4-21: the whole @52353f3 (r8) cohort — oldest greens
-    "events_hourly", "fk_orphan_orders", "incremental_scan",
-    "lang_median_tokens", "large_orders", "order_priority_counts",
-    "promo_revenue", "returned_revenue_by_customer", "scd2_user_history",
-    "small_quantity_revenue", "stream_click_purchases",
-    "stream_click_purchases_outer", "stream_events_hourly",
-    "stream_user_sessions", "top_customers", "top_suppliers",
-    "user_value_interpolation", "whole_row_dups_lineitem",
-    # slots 22-34: the whole @6c9daba (r9) cohort
-    "customer_rfm", "customer_running_spend", "event_transitions",
-    "events_cube", "events_hourly_dense", "fuzzy_customer_pairs",
-    "idle_customer_balance", "join_key_skew", "market_share",
-    "segment_year_pivot", "supplier_diversity", "volume_shipping",
-    "zonemap_pruned_orders",
-    # slots 35-50: 16 oldest @94592b3 greens (alphabetical tie-break)
-    "ann_eval_metrics", "approx_profile_orders", "basket_pairs",
-    "boilerplate_ngrams", "ccnet_buckets", "chunk_dedup_docs",
-    "cms_heavy_tokens", "cms_merged_heavy_tokens", "cohort_retention",
-    "contaminated_docs", "copurchase_triangles", "corpus_filter",
-    "curve_locality", "dedup_clusters", "dedup_eval_metrics",
-    "discounted_revenue",
+    "ann_eval_metrics", "basket_pairs",
+    "boilerplate_ngrams", "ccnet_buckets",
+    "cms_heavy_tokens", "cms_merged_heavy_tokens",
+    "cohort_retention", "contaminated_docs",
+    "copurchase_triangles", "corpus_filter",
+    "dedup_clusters", "dedup_eval_metrics",
+    "dsir_selected", "exact_dedup_docs",
+    "hard_negatives", "ivfpq_topk",
+    "language_id", "minhash_lsh_dupes",
+    "ngram_jaccard_pairs", "part_pagerank_weighted",
+    "pmi_collocations", "pq_topk_adc",
+    "pq_words", "quality_score",
+    "repetition_ratio", "simhash_pairs",
+    "stream_cms_heavy_tokens", "ann_ivf",
+    "ann_multiprobe", "ann_multitable",
+    "ann_sign_lsh", "benford_profile",
+    "boilerplate_removed_docs", "chunked_docs",
+    "cleaned_docs", "cluster_safe_splits",
+    "containment_dup_pairs", "cosine_topk",
+    "curation_funnel", "dedup_survivors",
+    "doc_fingerprints", "dup_cluster_sizes",
+    "dup_rate_by_source", "embedding_clusters",
+    "embedding_clusters_2level", "embedding_near_dup",
+    "incremental_dedup_new_docs", "label_centroid_shift",
+    "lang_quality_mix", "length_bucket_stats",
 ]
 
 

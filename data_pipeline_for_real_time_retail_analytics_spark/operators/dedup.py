@@ -81,10 +81,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def with_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, shingles, n_shingles) for docs with at least one shingle."""
+    """(id, shingles, n_shingles) for docs with at least one shingle.
+
+    The row filter is the CHEAP equivalent predicate ``size(tokens) >=
+    n`` (a doc has a shingle iff it has at least n tokens), applied
+    BEFORE the shingle projection: filtering on ``size(shingles) > 0``
+    after it made Catalyst push the predicate through the projection by
+    substitution, re-evaluating the whole interpreted shingle HOF tree
+    once per row in the Filter on top of the Project's own evaluation —
+    measured 6.5x the projection-only wall at sf0.1 (r13)."""
     return (
-        df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
-        .where(F.size("shingles") > 0)
+        df.where(F.size(ws_tokens(F.col(text_col))) >= n)
+        .select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
         .withColumn("n_shingles", F.size("shingles"))
     )
 
@@ -257,9 +265,11 @@ def ngram_jaccard_pairs(
             id_col=id_col,
         )
     extra = [block_col]
+    # cheap-predicate filter BEFORE the shingle projection — see
+    # with_shingles (avoids re-evaluating the shingle HOF in the Filter)
     sh = (
-        df.select(id_col, *extra, word_shingles(F.col(text_col), n).alias("shingles"))
-        .where(F.size("shingles") > 0)
+        df.where(F.size(ws_tokens(F.col(text_col))) >= n)
+        .select(id_col, *extra, word_shingles(F.col(text_col), n).alias("shingles"))
         .withColumn("n_shingles", F.size("shingles"))
     )
     # join on a 64-bit md5 prefix of each shingle, not the raw string:
@@ -427,6 +437,41 @@ def _exact_jaccard_verify(cand: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _verify_then_dedup(cand: DataFrame, threshold: float) -> DataFrame:
+    """Verify exact Jaccard BEFORE the cross-band pair dedup, so the
+    dedup shuffle carries (doc_a, doc_b, jaccard) — ~20 bytes/row —
+    instead of both shingle arrays (guide: project before the
+    exchange). Three pieces, all value-preserving:
+
+    * a CHEAP size-ratio prefilter: jaccard = c/(n_a+n_b-c) with
+      c ≤ min(n_a, n_b) and n_a+n_b-c ≥ max(n_a, n_b), so
+      jaccard ≤ min/max — rows failing min/max ≥ threshold cannot pass
+      and die on the map side for two integer ops, no array work;
+    * the exact jaccard moves INTO the pair aggregation (first() over
+      band-collision rows, which all agree) — evaluated exactly once
+      per collision row in the partial aggregate's input projection. A
+      plain select-then-where evaluated the array_intersect TWICE per
+      row (Catalyst pushes the filter through the projection by
+      substitution — the with_shingles lesson);
+    * the threshold filter sits ABOVE the aggregate, where pushdown
+      cannot duplicate it (predicates on aggregate outputs stay put).
+
+    dedup-then-verify and verify-then-dedup yield identical rows
+    because jaccard is a function of the pair."""
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        cand.where(
+            F.least(F.col("n_a"), F.col("n_b"))
+            / F.greatest(F.col("n_a"), F.col("n_b"))
+            >= threshold
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first(F.round(jac, 4)).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_perm: int = 12,
@@ -510,24 +555,23 @@ def minhash_lsh_pairs(
         return _exact_jaccard_verify(cand, threshold)
     a = banded.alias("a")
     b = banded.hint("merge").alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("a.n_shingles").alias("n_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("b.n_shingles").alias("n_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a.shingles").alias("sh_a"),
+        F.col("a.n_shingles").alias("n_a"),
+        F.col("b.shingles").alias("sh_b"),
+        F.col("b.n_shingles").alias("n_b"),
     )
-    return _exact_jaccard_verify(cand, threshold)
+    # verify each band collision map-side, THEN dedup the slim
+    # (doc_a, doc_b, jaccard) rows — the cross-band dedup shuffle no
+    # longer carries shingle arrays (guide §2.3)
+    return _verify_then_dedup(cand, threshold)
 
 
 def minhash_lsh_pairs_between(
@@ -555,27 +599,33 @@ def minhash_lsh_pairs_between(
     cb = _banded_signatures(corpus_df, num_perm, bands, n, text_col, id_col)
     c = cb.alias("c")
     b = nb.alias("b")
-    cand = (
-        c.join(
-            b,
-            (F.col("c.band_id") == F.col("b.band_id"))
-            & (F.col("c.band_key") == F.col("b.band_key")),
-        )
-        .select(
-            F.col(f"c.{id_col}").alias("corpus_id"),
-            F.col(f"b.{id_col}").alias("new_id"),
-            F.col("c.shingles").alias("sh_a"),
-            F.col("c.n_shingles").alias("n_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("b.n_shingles").alias("n_b"),
-        )
-        .dropDuplicates(["corpus_id", "new_id"])
+    cand = c.join(
+        b,
+        (F.col("c.band_id") == F.col("b.band_id"))
+        & (F.col("c.band_key") == F.col("b.band_key")),
+    ).select(
+        F.col(f"c.{id_col}").alias("corpus_id"),
+        F.col(f"b.{id_col}").alias("new_id"),
+        F.col("c.shingles").alias("sh_a"),
+        F.col("c.n_shingles").alias("n_a"),
+        F.col("b.shingles").alias("sh_b"),
+        F.col("b.n_shingles").alias("n_b"),
     )
+    # verify-before-dedup, as in minhash_lsh_pairs (_verify_then_dedup):
+    # size-ratio prefilter, jaccard computed once inside the pair
+    # aggregation, threshold filter above the aggregate — the cross-band
+    # dedup shuffle carries slim (corpus_id, new_id, jaccard) rows
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
     return (
-        cand.select("corpus_id", "new_id", F.round(jac, 4).alias("jaccard"))
-        .where(F.round(jac, 4) >= threshold)
+        cand.where(
+            F.least(F.col("n_a"), F.col("n_b"))
+            / F.greatest(F.col("n_a"), F.col("n_b"))
+            >= threshold
+        )
+        .groupBy("corpus_id", "new_id")
+        .agg(F.first(F.round(jac, 4)).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -757,63 +807,79 @@ def dedup_clusters(
     from one extra node-keyed join per round. `localCheckpoint`
     truncates lineage so round N doesn't replay rounds 1..N-1.
 
-    Correctness at the fixpoint (no label changed; one count action per
+    Correctness at the fixpoint (no label changed; one scalar action per
     round): labels only decrease and always name a node of the same
     component, and stability under neighbor-min over symmetric edges
     forces l(u) = l(v) across every edge, so the constant label is the
     component minimum.
+
+    Round shape (r13 optimization, values identical): the edge set is
+    augmented with one SELF-LOOP per node, so the neighbor-min
+    aggregation alone yields least(own label, neighborhood min) — the
+    separate labels-to-neighbor_min left join of the pre-r13 loop is
+    gone (one join and its two exchanges per round removed). The edge
+    table is hash-partitioned on the per-round join key (dst) before
+    its one-time materialization, and localCheckpoint preserves that
+    partitioning, so no round re-shuffles the edges. Convergence is
+    detected by the exact decimal sum of labels: labels are
+    non-increasing, so the sum is strictly decreasing until the
+    fixpoint and constant at it — one tiny scalar aggregate per round
+    against the checkpointed labels, replacing the label!=prev count
+    (which needed prev carried through the round).
     """
-    edges = (
+    base = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
+    )
+    nodes = base.select(F.col("src").alias("id")).distinct()
+    # self-loops make the neighborhood of u include u itself, folding
+    # the old least(label, nbr_label) into the single min aggregate
+    edges = (
+        base.unionByName(
+            nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        )
+        .repartition("dst")
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     converged = False
     for _ in range(max_iterations):
-        neighbor_min = (
+        mid = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("label").alias("mid"))
         )
-        stepped = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.col("label").alias("prev"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("mid"),
-        )
-        # pointer jump: follow the just-updated label one more hop
-        parent = stepped.select(
-            F.col("id").alias("pid"), F.col("mid").alias("plabel")
-        )
+        # pointer jump: follow the just-updated label one more hop.
+        # The parent side is the SAME aggregation subtree keyed on its
+        # own grouping column, so it adds no exchange of its own.
+        m = mid.alias("m")
+        p = mid.alias("p")
         jumped = (
-            stepped.join(parent, stepped.mid == parent.pid, "left")
+            m.join(p, F.col("m.mid") == F.col("p.src"), "left")
             .select(
-                "id",
-                "prev",
+                F.col("m.src").alias("id"),
                 F.least(
-                    F.col("mid"), F.coalesce(F.col("plabel"), F.col("mid"))
+                    F.col("m.mid"),
+                    F.coalesce(F.col("p.mid"), F.col("m.mid")),
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = jumped.where(F.col("label") != F.col("prev")).count()
-        labels = jumped.select("id", "label")
-        if changed == 0:
+        new_sum = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = jumped
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         logger.warning(
             "dedup_clusters exited after %d rounds without a proven "

@@ -25,11 +25,13 @@ co-purchase edges every node has outdeg ≥ 1 anyway.
 
 Spark-first shapes (100 TB): each iteration is ONE shuffle — an
 edge-join on src (contributions) partial-aggregated on dst; the rank
-frame is node-grain. ``localCheckpoint`` per iteration truncates the
-lineage (the dedup pointer-jumping precedent: an unrolled 3-deep join
-chain re-executes everything upstream on every action otherwise). A
-fixed iteration count is the production norm for ranking (convergence
-to a tolerance is a driver-side loop on the same body).
+frame is node-grain. The edge table is materialized once
+(``localCheckpoint``), hash-partitioned on src so no iteration
+re-shuffles it; the iteration chain itself is linear (rank_i feeds
+only rank_{i+1}), so the single final action executes every iteration
+exactly once with no per-iteration barrier. A fixed iteration count is
+the production norm for ranking (convergence to a tolerance is a
+driver-side loop on the same body).
 
 Reference parity: the reference has no graph surface (its
 transformation layer is dbt-declared scaffolding); beyond-reference
@@ -79,13 +81,16 @@ def pagerank_fixed(
 
     p'(u) = (15·SCALE) DIV 100  +  (85 · Σ_{v→u} (p(v) DIV outdeg(v))) DIV 100
     """
-    # checkpoint the EDGES first, then derive nodes/outdeg from the
-    # checkpointed frame: deriving them from the raw lineage first made
-    # each of the three materializations re-execute the whole upstream
-    # mining subtree (3× the pair-mining cost per cell — measured on
+    # checkpoint the EDGES first — hash-partitioned on src, the key of
+    # every iteration's join, so no iteration re-shuffles the edge
+    # table (localCheckpoint preserves the repartition's output
+    # partitioning) — then derive nodes/outdeg from the checkpointed
+    # frame: deriving them from the raw lineage first made each of the
+    # three materializations re-execute the whole upstream mining
+    # subtree (3× the pair-mining cost per cell — measured on
     # part_pagerank_weighted, whose edges come straight from lineitem)
     if materialize:
-        edges = edges.localCheckpoint()
+        edges = edges.repartition("src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -99,6 +104,16 @@ def pagerank_fixed(
     # the restart term is a compile-time integer: (15·SCALE) DIV 100
     base_units = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
     rank = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_units"))
+    # NO per-iteration checkpoint (r13): with edges/nodes/outdeg
+    # materialized, the unrolled chain is LINEAR — each rank_i is
+    # referenced exactly once, by rank_{i+1} — so the single final
+    # action executes every iteration exactly once and a per-iteration
+    # barrier bought nothing but job-scheduling overhead (measured: the
+    # part_pagerank cell ran 38 driver jobs, wall dominated by the
+    # eager checkpoints' stage round-trips). Deep unrolls (10+ fixed
+    # iterations) should re-introduce a checkpoint every few rounds to
+    # bound plan depth; at the registry's 3 iterations the chain is
+    # shallow.
     for _ in range(iterations):
         contrib = (
             edges.join(rank.withColumnRenamed("node", "src"), "src")
@@ -121,8 +136,6 @@ def pagerank_fixed(
             .cast("long")
             .alias("rank_units"),
         )
-        if materialize:
-            rank = rank.localCheckpoint()
     return rank
 
 
@@ -153,15 +166,16 @@ def pagerank_weighted_fixed(
     side by computing the plain product in HUGEINT.
 
     Same per-iteration shape and lineage discipline as the unweighted
-    form: one edge-join shuffle, partial-aggregated on dst,
-    localCheckpoint per step.
+    form: one edge-join shuffle, partial-aggregated on dst, inputs
+    materialized once, no per-iteration barrier.
     """
     w = F.col(weight_col)
     # same ordering discipline as pagerank_fixed: edges checkpoint
-    # FIRST so the nodes/out-weight materializations read it instead of
-    # re-executing the mining lineage
+    # FIRST (src-partitioned — every iteration joins on src) so the
+    # nodes/out-weight materializations read it instead of re-executing
+    # the mining lineage
     if materialize:
-        edges = edges.localCheckpoint()
+        edges = edges.repartition("src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -200,6 +214,6 @@ def pagerank_weighted_fixed(
             .cast("long")
             .alias("rank_units"),
         )
-        if materialize:
-            rank = rank.localCheckpoint()
+        # no per-iteration checkpoint — see pagerank_fixed (linear
+        # chain, one action, 3 shallow iterations)
     return rank

@@ -26,8 +26,10 @@ subqueries), so every count is value-checked.
 
 Scale: all sides are the established broadcast-rank shapes; the
 intersections join at top-k grain (≤ 5·|Q| rows each side) and the
-metric aggregates to three rows. truth/approx frames are
-localCheckpointed — each feeds two aggregates (the shared-frames rule).
+metric aggregates to three rows. The truth frame is localCheckpointed
+(it feeds all three variants' hit joins plus the count aggregate); the
+per-variant hits join feeds ONE fused aggregate, so it needs no
+materialization of its own.
 """
 
 from __future__ import annotations
@@ -52,7 +54,12 @@ PPM = 1_000_000
 
 
 def _metric_row(truth: DataFrame, approx: DataFrame, variant: str) -> DataFrame:
-    hits = truth.join(approx, ["query_id", "match_id"]).localCheckpoint()
+    # ONE aggregation pass over the hits join computes n_hits and the
+    # reciprocal-rank sum together (r13: the two-aggregate shape needed
+    # the join eagerly localCheckpointed per variant — 3 barrier jobs a
+    # cell — because each aggregate re-executed it; fused, the join is
+    # referenced once and the whole cell collapses into a single query)
+    hits = truth.join(approx, ["query_id", "match_id"])
     counts = (
         truth.groupBy()
         .agg(
@@ -61,21 +68,20 @@ def _metric_row(truth: DataFrame, approx: DataFrame, variant: str) -> DataFrame:
         )
         .crossJoin(
             hits.groupBy().agg(
-                F.count(F.lit(1)).cast("long").alias("n_hits")
-            )
-        )
-        .crossJoin(
-            hits.where(F.col("true_rank") == 1)
-            .select(
-                F.floor(F.lit(PPM) / F.col("approx_rank"))
+                F.count(F.lit(1)).cast("long").alias("n_hits"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("true_rank") == 1,
+                            F.floor(
+                                F.lit(PPM) / F.col("approx_rank")
+                            ).cast("long"),
+                        )
+                    ),
+                    F.lit(0),
+                )
                 .cast("long")
-                .alias("rr")
-            )
-            .groupBy()
-            .agg(
-                F.coalesce(F.sum("rr"), F.lit(0))
-                .cast("long")
-                .alias("sum_rr")
+                .alias("sum_rr"),
             )
         )
     )
