@@ -94,33 +94,49 @@ def remove_boilerplate_spans(
         .select("doc_id", "p")
         .distinct()
     )
-    covered = matched.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias("q"),
-    ).distinct()
-    toks = tokd.select(
-        "doc_id", F.posexplode("w").alias("q0", "tok")
-    ).select("doc_id", (F.col("q0") + 1).alias("q"), "tok")
-    kept = toks.join(covered.hint("merge"), ["doc_id", "q"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("q", "tok"))),
-                lambda s: s["tok"],
+    # Covered positions roll up to DOC grain (collect_set dedupes the
+    # overlapping spans), and survivors come from an ARRAY filter on
+    # the token array itself — positions not in the covered set, in
+    # native order (r13, guide §2.4). The pre-r13 shape exploded every
+    # corpus token to (doc, position) rows, anti-joined at token grain,
+    # then re-shuffled every surviving token through a collect_list +
+    # array_sort rebuild — two corpus-token-sized exchanges and their
+    # sorts, all to recover an order the token array already had. The
+    # covered-set rows are bounded by documents WITH flagged spans, so
+    # the only remaining token-grain work is the one map-side filter.
+    # Values are identical: same covered-position set, same survivor
+    # positions, same single-space reassembly; a fully-covered doc
+    # still yields clean_text = ''.
+    cov = (
+        matched.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (n - 1))).alias(
+                "q"
             ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("q").alias("__cov"))
     )
     return (
-        tokd.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
+        tokd.join(cov.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            F.size("w").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("__cov"), F.lit(0)).cast("long").alias(
                 "n_removed"
             ),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.array_join(
+                F.filter(
+                    "w",
+                    lambda tok, i: ~F.array_contains(
+                        F.coalesce(
+                            F.col("__cov"),
+                            F.array().cast("array<int>"),
+                        ),
+                        i + 1,
+                    ),
+                ),
+                " ",
+            ).alias("clean_text"),
         )
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine
+from .similarity import dot, l2_norm
 
 __all__ = ["assign_embedding_clusters"]
 
@@ -37,11 +37,29 @@ def assign_embedding_clusters(
     ``centroids`` must expose (cid, cv) as produced by
     ``similarity.ivf_centroids[_trained]``. Output: (id, cluster,
     centroid_sim) with the similarity rounded to 6 places.
+
+    Norms are precomputed per ROW on each side before the broadcast
+    join (r13, guide §1.2 per-task work): the naive per-pair
+    ``cosine(v, cv)`` re-folds BOTH operands' norms on every one of the
+    n·k joined rows — 3 interpreted array folds per pair — where one
+    fold per input row suffices. ``dot/(vn·cn)`` is the identical
+    expression tree (same doubles, same multiply/divide order), so
+    every csim is bit-identical to the naive form and the argmax/oracle
+    contract is untouched.
     """
-    sims = corpus.join(F.broadcast(centroids), how="cross").select(
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    )
+    cents = centroids.select("cid", "cv", l2_norm(F.col("cv")).alias("__cn"))
+    sims = c.join(F.broadcast(cents), how="cross").select(
         F.col(id_col),
         F.col("cid"),
-        cosine(F.col(vec_col), F.col("cv")).alias("csim"),
+        (
+            dot(F.col(vec_col), F.col("cv"))
+            / (F.col("__vn") * F.col("__cn"))
+        ).alias("csim"),
     )
     best = sims.groupBy(id_col).agg(
         F.max(F.struct("csim", "cid")).alias("best")

@@ -82,6 +82,8 @@ def blocked_fuzzy_pairs(
         "id",
         "txt",
     )
+    if max_dist == 1:
+        return _deletion_neighborhood_pairs(guarded, max_dist)
     a = guarded.select(
         "__blk", F.col("id").alias("id_a"), F.col("txt").alias("text_a")
     )
@@ -92,6 +94,79 @@ def blocked_fuzzy_pairs(
         a.join(b, "__blk")
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.levenshtein("text_a", "text_b") <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            "text_a",
+            "text_b",
+            F.levenshtein("text_a", "text_b").cast("int").alias("dist"),
+        )
+    )
+
+
+def _deletion_neighborhood_pairs(
+    guarded: DataFrame, max_dist: int
+) -> DataFrame:
+    """``max_dist == 1`` fast path (r13, guide §3.2 — shrink the join
+    before shuffling it): the FastSS / deletion-neighborhood candidate
+    join. Two strings within one edit of each other MUST share a key in
+    ``{s} ∪ {s with one char deleted}``:
+
+    * equality — both carry ``s`` itself;
+    * substitution at i — both carry s-del-i;
+    * insertion/deletion — the longer string's deletion at the edit
+      position IS the shorter string.
+
+    So the blocked all-pairs join (Σ|block|² candidate rows, each
+    paying an O(len²) levenshtein DP) becomes an equi-join on
+    (block, deletion-key): candidates are key collisions only, and the
+    exact DP runs per CANDIDATE, not per pair. Sharing a key is
+    necessary but not sufficient (two different deletions can collide
+    at distance 2), so the exact threshold filter still verifies every
+    emitted pair — the result set is identical to the all-pairs form
+    by construction. The max_block guard still rides the input frame
+    (out-of-contract blocks fail loudly before any key work runs).
+
+    At 100 TB this is the difference between a per-block quadratic and
+    explode-by-(len+1) linear work — the same bounded-candidates
+    discipline as the MinHash band join in operators/dedup.py.
+    """
+    # {txt} ∪ all single-char deletions; array_distinct because a
+    # repeated character yields the same variant twice, and an empty
+    # string has no deletions (sequence(1, 0) would run DESCENDING —
+    # guard it out rather than generate [1, 0])
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("txt")),
+        lambda i: F.concat(
+            F.substring(F.col("txt"), F.lit(1), i - 1),
+            F.substring(F.col("txt"), i + 1, F.length("txt")),
+        ),
+    )
+    keys = F.array_distinct(
+        F.concat(
+            F.array(F.col("txt")),
+            F.when(F.length("txt") > 0, dels).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+    )
+    kd = guarded.select(
+        "__blk", "id", "txt", F.explode(keys).alias("__k")
+    )
+    a = kd.select(
+        "__blk", "__k", F.col("id").alias("id_a"), F.col("txt").alias("text_a")
+    )
+    b = kd.select(
+        "__blk", "__k", F.col("id").alias("id_b"), F.col("txt").alias("text_b")
+    )
+    cand = (
+        a.join(b, ["__blk", "__k"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.where(F.levenshtein("text_a", "text_b") <= max_dist)
         .select(
             "id_a",
             "id_b",

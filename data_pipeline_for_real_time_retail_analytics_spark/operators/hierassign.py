@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine
+from .similarity import cosine, dot, l2_norm
 
 __all__ = ["two_level_codebook", "assign_two_level"]
 
@@ -83,28 +83,58 @@ def assign_two_level(
     # unless two seed vectors are bit-identical, which a codebook
     # builder must not produce anyway (dead duplicate cell)
     coarse = codebook.where(F.col("cid") == F.col("coarse_cid")).select(
-        F.col("cid").alias("gcid"), F.col("cv").alias("gcv")
+        F.col("cid").alias("gcid"),
+        F.col("cv").alias("gcv"),
+        l2_norm(F.col("cv")).alias("__gn"),
     )
-    stage1 = corpus.join(F.broadcast(coarse), how="cross").select(
+    # per-ROW norm precompute (r13): each vector's norm is folded once
+    # and reused across BOTH stages' candidate rows (k₁ coarse + fine-
+    # group pairs), instead of 2 norm folds per pair. dot/(vn·cn) is
+    # the identical expression tree to cosine() — same doubles, same
+    # multiply/divide order — so every gsim/csim is bit-identical and
+    # the struct-max argmax is unchanged.
+    stage1 = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    ).join(F.broadcast(coarse), how="cross").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__vn"),
         F.struct(
-            cosine(F.col(vec_col), F.col("gcv")).alias("gsim"),
+            (
+                dot(F.col(vec_col), F.col("gcv"))
+                / (F.col("__vn") * F.col("__gn"))
+            ).alias("gsim"),
             F.col("gcid").alias("gcid"),
         ).alias("cand"),
     )
     routed = (
         stage1.groupBy(id_col)
-        .agg(F.max("cand").alias("best"), F.first(vec_col).alias(vec_col))
-        .select(id_col, vec_col, F.col("best.gcid").alias("gcid"))
+        .agg(
+            F.max("cand").alias("best"),
+            F.first(vec_col).alias(vec_col),
+            F.first("__vn").alias("__vn"),
+        )
+        .select(id_col, vec_col, "__vn", F.col("best.gcid").alias("gcid"))
     )
     stage2 = routed.join(
-        F.broadcast(codebook.select("cid", "cv", F.col("coarse_cid").alias("gcid"))),
+        F.broadcast(
+            codebook.select(
+                "cid",
+                "cv",
+                F.col("coarse_cid").alias("gcid"),
+                l2_norm(F.col("cv")).alias("__cn"),
+            )
+        ),
         "gcid",
     ).select(
         F.col(id_col),
         F.struct(
-            cosine(F.col(vec_col), F.col("cv")).alias("csim"),
+            (
+                dot(F.col(vec_col), F.col("cv"))
+                / (F.col("__vn") * F.col("__cn"))
+            ).alias("csim"),
             F.col("cid").alias("cid"),
         ).alias("cand"),
     )

@@ -35,8 +35,12 @@ full family should materialize ``semdedup_member`` once and pass it in
 MinHash pair cache in plans/llm.py). At 100 TB the codebook comes from
 ``similarity.ivf_centroids_trained`` on a sample with k sized so n/k
 stays a few thousand (k ≈ n/5k keeps every cluster's pair block in one
-task); skewed clusters are handled by raising k, not by salting (a
-semantic cluster must stay co-partitioned to be pruned correctly).
+task); oversized clusters are handled by raising k first. When k is
+deliberately SMALL relative to the cluster's cores (a fixed demo
+codebook), ``semdedup_prune(n_salts=S)`` splits each cluster's pair
+block S ways deterministically — the join-based dominance rule needs
+only the pair SET, which salting preserves exactly, so this is safe
+parallelism, not an approximation (r13, guide §2.5).
 
 Reference parity: the reference pipeline (hrik21/…retail-analytics)
 has no embedding curation at all — this is part of the mandated
@@ -50,7 +54,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .embcluster import assign_embedding_clusters
-from .similarity import cosine
+from .similarity import dot, l2_norm
 
 __all__ = [
     "semdedup_member",
@@ -121,6 +125,7 @@ def semdedup_prune(
     vec_col: str = "embedding",
     keep: str = "central",
     member: DataFrame | None = None,
+    n_salts: int = 1,
 ) -> DataFrame:
     """Survivor set of the within-cluster semantic prune.
 
@@ -136,22 +141,42 @@ def semdedup_prune(
     rounded value is what both engines (and a re-run on different
     partitionings) agree on exactly, so the survivor set is stable
     under plan changes; raw last-ulp drift must not flip who survives.
+
+    ``n_salts`` (r13, guide §2.5): with k clusters and P cores, the
+    cluster-keyed self-join fills at most k tasks — when k < P most of
+    the cluster idles while each cluster's quadratic pair block runs
+    on one core. ``n_salts = S`` splits each block S ways: the a-side gets
+    a deterministic salt ``pmod(xxhash64(id), S)``, the b-side is
+    replicated S ways, and the join key becomes (cluster, salt) — the
+    pair SET is unchanged (each (a, b) matches exactly at b's replica
+    s = a's salt), so results are identical. Callers that size k ≥
+    cores (the 100 TB contract) keep the default S=1; callers with a
+    small fixed codebook derive S from parallelism/k
+    (plans/semdedupq.py).
     """
     if keep not in ("central", "edge"):
         raise ValueError(f"keep must be 'central' or 'edge', got {keep!r}")
     member = _resolve_member(corpus, centroids, id_col, vec_col, member)
 
+    # per-ROW norm precompute (r13): the pair predicate below otherwise
+    # re-folds both operands' norms on every candidate pair — 3
+    # interpreted array folds per pair where cluster-block pair counts
+    # are quadratic. dot/(a_n·b_n) is the identical expression tree
+    # (same doubles, same multiply/divide order as cosine()), so the
+    # dominance set is bit-identical.
     a = member.select(
         F.col("cluster"),
         F.col(id_col).alias("a_id"),
         F.col("centroid_sim").alias("a_sim"),
         F.col(vec_col).alias("av"),
+        l2_norm(F.col(vec_col)).alias("a_n"),
     )
     b = member.select(
         F.col("cluster"),
         F.col(id_col).alias("b_id"),
         F.col("centroid_sim").alias("b_sim"),
         F.col(vec_col).alias("bv"),
+        l2_norm(F.col(vec_col)).alias("b_n"),
     )
     if keep == "central":
         outranks = (F.col("b_sim") > F.col("a_sim")) | (
@@ -164,9 +189,30 @@ def semdedup_prune(
     # equi-join on cluster first (hash-partitioned, cluster-size-bounded
     # candidate blocks); the rank and cosine predicates filter inside
     # each block — never a cartesian across clusters.
+    join_keys = ["cluster"]
+    if n_salts > 1:
+        a = a.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("a_id")), F.lit(n_salts))
+        )
+        b = b.withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long")
+                )
+            ),
+        )
+        join_keys = ["cluster", "__salt"]
     dominated = (
-        a.join(b, on="cluster", how="inner")
-        .where(outranks & (cosine(F.col("av"), F.col("bv")) >= F.lit(threshold)))
+        a.join(b, on=join_keys, how="inner")
+        .where(
+            outranks
+            & (
+                dot(F.col("av"), F.col("bv"))
+                / (F.col("a_n") * F.col("b_n"))
+                >= F.lit(threshold)
+            )
+        )
         .select(F.col("a_id").alias(id_col))
         .distinct()
     )
@@ -184,6 +230,7 @@ def semdedup_cluster_stats(
     vec_col: str = "embedding",
     keep: str = "central",
     member: DataFrame | None = None,
+    n_salts: int = 1,
 ) -> DataFrame:
     """(cluster, n_members, n_kept, n_pruned) — the per-cluster prune
     accounting a curation run logs to decide whether ``threshold`` (or
@@ -194,7 +241,7 @@ def semdedup_cluster_stats(
     member = _resolve_member(corpus, centroids, id_col, vec_col, member)
     kept = semdedup_prune(
         threshold=threshold, id_col=id_col, vec_col=vec_col, keep=keep,
-        member=member,
+        member=member, n_salts=n_salts,
     )
     members = member.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members")

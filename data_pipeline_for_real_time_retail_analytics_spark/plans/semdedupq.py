@@ -73,11 +73,24 @@ def _member(spark: SparkSession, sf_dir: str, flavor: str = "flat") -> DataFrame
     return m
 
 
+def _n_salts(spark: SparkSession) -> int:
+    """Salt count for the prune's cluster self-join (r13, guide §2.5):
+    the demo codebook is a FIXED 16 clusters, so on a P-core cluster
+    the join fills at most 16 tasks; ceil(P / k) salts restore full
+    parallelism. Derived from the session, not hard-coded, so the
+    bench's lower-core drives and a production cluster each get the
+    right value (S=1 whenever k >= P — no replication cost)."""
+    par = spark.sparkContext.defaultParallelism
+    return max(1, -(-par // N_CLUSTERS))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivors of the within-cluster semantic prune, keep='central'
     (operators/semdedup.py:semdedup_prune)."""
     return semdedup_prune(
-        threshold=THRESHOLD, member=_member(spark, sf_dir)
+        threshold=THRESHOLD,
+        member=_member(spark, sf_dir),
+        n_salts=_n_salts(spark),
     ).orderBy("vec_id")
 
 
@@ -85,7 +98,9 @@ def q_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster (members, kept, pruned) accounting of the same prune
     (operators/semdedup.py:semdedup_cluster_stats)."""
     return semdedup_cluster_stats(
-        threshold=THRESHOLD, member=_member(spark, sf_dir)
+        threshold=THRESHOLD,
+        member=_member(spark, sf_dir),
+        n_salts=_n_salts(spark),
     ).orderBy("cluster")
 
 
@@ -110,7 +125,9 @@ def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding the same bounded within-cluster prune. Proves the two
     operators' shared member contract end to end under the oracle."""
     return semdedup_prune(
-        threshold=THRESHOLD, member=_member(spark, sf_dir, flavor="2level")
+        threshold=THRESHOLD,
+        member=_member(spark, sf_dir, flavor="2level"),
+        n_salts=_n_salts(spark),
     ).orderBy("vec_id")
 
 

@@ -87,3 +87,36 @@ def test_computed_block_expression(spark):
     pairs = {(r.id_a, r.id_b) for r in out}
     assert (1, 2) in pairs        # same 'smi' block, dist 1
     assert (1, 3) not in pairs    # 'smy' block differs — by design
+
+
+def test_deletion_neighborhood_equals_all_pairs(spark):
+    """r13 fast path: at max_dist=1 the operator takes the FastSS
+    deletion-neighborhood candidate join. Pin it against the all-pairs
+    formulation (max_dist=2 filtered down to dist<=1 — same quadratic
+    join, same exact DP) on strings that exercise every edit kind:
+    equality, substitution, insertion/deletion at every position,
+    repeated characters (duplicate deletion variants), empty strings,
+    and multi-byte unicode."""
+    rows = [
+        (1, "abc"), (2, "abc"),        # equality
+        (3, "abd"),                    # substitution (vs abc)
+        (4, "abcd"), (5, "bcd"),       # deletion at ends
+        (6, "aabc"),                   # insertion with repeat
+        (7, ""), (8, ""), (9, "a"),    # empties: lev=0 and lev=1
+        (10, "aaaa"), (11, "aaa"),     # all-repeat
+        (12, "héllo"), (13, "hállo"),  # multi-byte substitution
+        (14, "xyz"),                   # far from everything
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"]).withColumn(
+        "blk", F.lit(0)
+    )
+    fast = blocked_fuzzy_pairs(
+        df, id_col="id", text_col="name", block_col="blk", max_dist=1
+    )
+    slow = blocked_fuzzy_pairs(
+        df, id_col="id", text_col="name", block_col="blk", max_dist=2
+    ).where(F.col("dist") <= 1)
+    fr = sorted(tuple(r) for r in fast.collect())
+    sr = sorted(tuple(r) for r in slow.collect())
+    assert fr == sr
+    assert len(fr) > 0
