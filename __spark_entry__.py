@@ -82,31 +82,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #:    round: with obligations spilling, no slot may hold an
 #:    already-proven query (guard rule 3).
 FRONT_50 = [
-    "fuzzy_customer_pairs", "ann_eval_metrics",
-    "basket_pairs", "boilerplate_ngrams",
-    "ccnet_buckets", "cms_heavy_tokens",
-    "cms_merged_heavy_tokens", "cohort_retention",
-    "contaminated_docs", "copurchase_triangles",
-    "corpus_filter", "dedup_clusters",
-    "dedup_eval_metrics", "dsir_selected",
-    "exact_dedup_docs", "hard_negatives",
-    "ivfpq_topk", "language_id",
-    "minhash_lsh_dupes", "ngram_jaccard_pairs",
-    "part_pagerank_weighted", "pmi_collocations",
-    "pq_topk_adc", "pq_words",
-    "quality_score", "repetition_ratio",
-    "simhash_pairs", "stream_cms_heavy_tokens",
-    "ann_ivf", "ann_multiprobe",
-    "ann_multitable", "ann_sign_lsh",
-    "benford_profile", "boilerplate_removed_docs",
+    "stream_click_purchases_outer", "fuzzy_customer_pairs",
+    "ann_eval_metrics", "basket_pairs",
+    "boilerplate_ngrams", "ccnet_buckets",
+    "cms_heavy_tokens", "cms_merged_heavy_tokens",
+    "cohort_retention", "contaminated_docs",
+    "copurchase_triangles", "corpus_filter",
+    "dedup_clusters", "dedup_eval_metrics",
+    "dsir_selected", "exact_dedup_docs",
+    "hard_negatives", "ivfpq_topk",
+    "language_id", "minhash_lsh_dupes",
+    "ngram_jaccard_pairs", "part_pagerank_weighted",
+    "pmi_collocations", "pq_topk_adc",
+    "pq_words", "quality_score",
+    "repetition_ratio", "simhash_pairs",
+    "stream_cms_heavy_tokens", "ann_ivf",
+    "ann_multiprobe", "ann_multitable",
+    "ann_sign_lsh", "benford_profile",
+    "bm25_search", "boilerplate_removed_docs",
     "chunked_docs", "cleaned_docs",
     "cluster_safe_splits", "containment_dup_pairs",
     "cosine_topk", "curation_funnel",
     "dedup_survivors", "doc_fingerprints",
     "dup_cluster_sizes", "dup_rate_by_source",
     "embedding_clusters", "embedding_clusters_2level",
-    "embedding_near_dup", "incremental_dedup_new_docs",
-    "label_centroid_shift", "lang_quality_mix",
+    "embedding_near_dup", "hybrid_search",
 ]
 
 

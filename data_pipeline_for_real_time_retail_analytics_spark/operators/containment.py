@@ -26,11 +26,12 @@ in B is by definition also in B's rare set, so the rare-rare join
 loses nothing against "A's rare shingles ∩ all of B".
 
 Spark-first shapes (100 TB): one shingle explode (map-side), one
-df aggregation, one df-capped self-equi-join pinned to sort-merge
-(``hint("merge")`` — the r7 MinHash band-join lesson: an AQE broadcast
-of a derived frame re-executes its subtree and serializes it through
-the driver), partial-aggregated pair counts. The shared rare-shingle
-frame feeds three consumers (per-doc sizes + both join sides) →
+df aggregation, then df-capped POSTING LISTS — each rare shingle's
+≤ df_cap docs collect into one bounded array and the pair expansion
+is a map-side array transform (the plans/crossdupq.py shape; before
+r13 this was a rare⋈rare sort-merge self-join — two more exchanges
+plus their sorts for the identical pair multiset). The shared posting
+frame feeds two consumers (per-doc rare sizes + the pair expansion) →
 ``localCheckpoint`` per the shared-frames rule; at production scale
 that materialization goes to storage instead.
 
@@ -65,22 +66,53 @@ def containment_pairs(
     claim). Documents with no rare shingle cannot be contained.
 
     ``materialize=False`` skips the localCheckpoint for callers that
-    persist the rare-shingle frame themselves.
+    persist the rare-shingle posting frame themselves.
     """
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(dfreq.where(F.col("df") <= df_cap), "s").select("doc", "s")
+    # Posting lists instead of a self-join (r13, guide §2.4 — the
+    # plans/crossdupq.py capped-postings shape): each rare shingle's
+    # ≤ df_cap distinct docs (word_shingles is array_distinct, so
+    # (doc, s) is unique) collect into ONE bounded array, and the pair
+    # expansion becomes a map-side array transform — the two
+    # exchanges + sorts of the rare-frame sort-merge self-join are
+    # gone, and n_contained_rare is recovered from the same posting
+    # frame instead of a separate shuffle of the occurrence rows. The
+    # df aggregation stays a separate COUNT pass (never collect lists
+    # for over-cap shingles — a background shingle's posting list is
+    # unbounded at corpus scale).
+    posts = (
+        sh.join(dfreq.where(F.col("df") <= df_cap), "s")
+        .groupBy("s")
+        .agg(F.collect_list("doc").alias("docs"))
+    )
     if materialize:
-        rare = rare.localCheckpoint()
-    n_rare = rare.groupBy("doc").agg(F.count(F.lit(1)).alias("n_contained_rare"))
-    a = rare.select(F.col("doc").alias("contained_id"), "s")
-    b = rare.select(F.col("doc").alias("container_id"), "s")
+        posts = posts.localCheckpoint()
+    n_rare = (
+        posts.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_contained_rare"))
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "docs",
+                lambda a: F.transform(
+                    F.col("docs"),
+                    lambda b: F.struct(
+                        a.alias("contained_id"), b.alias("container_id")
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["contained_id"] != p["container_id"],
+    )
     shared = (
-        a.join(b.hint("merge"), "s")
-        .where(F.col("contained_id") != F.col("container_id"))
+        posts.select(F.explode(pair_arr).alias("p"))
+        .select("p.contained_id", "p.container_id")
         .groupBy("contained_id", "container_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

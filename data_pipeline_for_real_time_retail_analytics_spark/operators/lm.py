@@ -94,23 +94,30 @@ def score_bigram_lm(
     with ≥ 2 tokens; low-entropy boilerplate scores near 0, token-salad
     scores near log2(V).
 
-    One corpus explode trains, a second scores; the two count tables
-    join in on (w1, w2) and (w1). The 1-row vocab aggregate broadcasts.
+    One corpus explode trains, a second scores; the count tables fold
+    into one distinct-bigram logp lookup that the scoring stream
+    equi-joins once. The 1-row vocab aggregate broadcasts.
     """
     bigram_counts, context_counts, vocab_size = train_bigram_lm(
         df, text_col, id_col
     )
-    scored = (
-        doc_bigrams(df, text_col, id_col)
-        .join(bigram_counts, ["w1", "w2"], "left")
-        .join(context_counts, ["w1"], "left")
-        .join(F.broadcast(vocab_size), how="cross")
-    )
-    # training corpus == scoring corpus, so c1 is never NULL here; c12
-    # defaults through the smoothing mass for the general (held-out) case
+    # Fold the probability model to DISTINCT-bigram grain before it
+    # ever meets the occurrence stream (r13, guide §2.3 — aggregate
+    # before you shuffle): logp depends only on (c12, c1, v), so it is
+    # computed once per distinct bigram in a small counts-table join,
+    # and the occurrence stream pays ONE equi-join against that lookup.
+    # The pre-r13 shape joined the occurrence table on (w1, w2) and
+    # then re-shuffled the full joined occurrence stream AGAIN on (w1)
+    # for the context counts — a second corpus-grain exchange carrying
+    # text keys. Every scored bigram comes from the SAME corpus the
+    # model was trained on (this function trains internally), so the
+    # scoring stream is a subset of the lookup's key set by
+    # construction and the inner join loses nothing; the logp double
+    # is the identical expression on identical inputs, so each
+    # quantized micro-unit BIGINT is bit-identical.
     logp = F.log2(
-        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(float(k)))
-        / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+        (F.col("c12").cast("double") + F.lit(float(k)))
+        / (F.col("c1").cast("double")
            + F.lit(float(k)) * F.col("v").cast("double"))
     )
     # quantize each bigram's logp to an exact micro-unit BIGINT BEFORE
@@ -120,13 +127,24 @@ def score_bigram_lm(
     # order — a latent flake at a 0.5e-6 rounding boundary. Both
     # engines compute the same logp double per bigram, the quantized
     # integers agree exactly, and integer addition is associative.
-    logp_micro = F.round(logp * F.lit(1_000_000.0), 0).cast("long")
+    lookup = (
+        bigram_counts.join(context_counts, ["w1"])
+        .join(F.broadcast(vocab_size), how="cross")
+        .select(
+            "w1",
+            "w2",
+            F.round(logp * F.lit(1_000_000.0), 0)
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    scored = doc_bigrams(df, text_col, id_col).join(lookup, ["w1", "w2"])
     return (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(
-                -(F.sum(logp_micro).cast("double") / F.lit(1_000_000.0))
+                -(F.sum("logp_micro").cast("double") / F.lit(1_000_000.0))
                 / F.count(F.lit(1)),
                 6,
             ).alias("nll_bits"),

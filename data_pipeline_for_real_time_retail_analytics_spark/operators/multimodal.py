@@ -92,6 +92,13 @@ def extract_features(media: DataFrame) -> DataFrame:
     partition — the payload bytes cross the JVM↔Python boundary once,
     columnar, and the output schema is fixed up front. Swap
     `fake_decode_stats` for a real codec and nothing else changes.
+
+    Only the columns the function touches cross the boundary (guide
+    §4.1, r13): ``meta`` is flattened to plain ``width``/``height``
+    int columns BEFORE the map — the struct column otherwise
+    materializes one Python dict per row in pandas (and ships the
+    unused ``media_type`` string with it); a NULL meta flattens to
+    NULL width/height, preserving the failed-fetch contract.
     """
 
     # NOTE: the closure must be self-contained (imports inside, no module
@@ -116,14 +123,18 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [s[0] for s in stats],
                     "payload_sha256": [s[1] for s in stats],
-                    "width": [None if m is None else m["width"]
-                              for m in pdf["meta"]],
-                    "height": [None if m is None else m["height"]
-                               for m in pdf["meta"]],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
                 }
             )
 
-    return media.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+    slim = media.select(
+        "doc_id",
+        "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return slim.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine, sign_lsh_bucket
+from .similarity import dot, l2_norm, sign_lsh_bucket
 
 __all__ = ["semantic_contamination_pairs", "contaminated_train_ids"]
 
@@ -44,14 +44,20 @@ def semantic_contamination_pairs(
     t = train.select(
         F.col(id_col).alias("train_id"),
         F.col(vec_col).alias("tv"),
+        l2_norm(F.col(vec_col)).alias("tn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     e = evalset.select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("ev"),
+        l2_norm(F.col(vec_col)).alias("en"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
-    sim = F.round(cosine(F.col("ev"), F.col("tv")), 6)
+    # per-row norms folded before the bucket join (r13); dot/(en·tn) is
+    # cosine()'s identical expression tree — bit-identical rounded sims
+    sim = F.round(
+        dot(F.col("ev"), F.col("tv")) / (F.col("en") * F.col("tn")), 6
+    )
     return (
         e.join(t, "bucket")
         .select("eval_id", "train_id", sim.alias("cosine_sim"))

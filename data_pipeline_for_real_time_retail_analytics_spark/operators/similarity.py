@@ -61,14 +61,30 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per query vector (cosine),
     excluding self-matches. The query side is broadcast — never shuffle
-    the corpus for a lookup workload."""
+    the corpus for a lookup workload.
+
+    Norms are folded once per INPUT row on each side (r13, guide §1.2):
+    the per-pair ``cosine(qv, cv)`` re-folded both operands' norms on
+    every one of the |Q|·n joined rows; ``dot/(qn·cn)`` is the identical
+    expression tree (same doubles, same multiply/divide order), so every
+    sim — and the rank/round-6 surface — is bit-identical."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
     sim = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
     return (
@@ -108,18 +124,25 @@ def ann_topk_sign_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
+    # per-row norms folded before the join (r13): dot/(qn·cn) is the
+    # identical expression tree to cosine() — bit-identical sims
     sim = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("match_id"))
         .select(
-            "query_id", "match_id", "bucket", cosine(F.col("qv"), F.col("cv")).alias("sim")
+            "query_id",
+            "match_id",
+            "bucket",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
@@ -151,17 +174,24 @@ def ann_topk_sign_lsh_multiprobe(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
         F.explode(probes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
+    # per-row norms folded before the join (r13): bit-identical sims
     sim = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
     return (
@@ -224,11 +254,17 @@ def ann_topk_sign_lsh_multitable(
         )
     ).alias("tb")
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), tbl
-    ).select("query_id", "qv", "tb.tbl", "tb.bucket")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+        tbl,
+    ).select("query_id", "qv", "qn", "tb.tbl", "tb.bucket")
     c = corpus.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"), tbl
-    ).select("match_id", "cv", "tb.tbl", "tb.bucket")
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+        tbl,
+    ).select("match_id", "cv", "cn", "tb.tbl", "tb.bucket")
     sim = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("match_id"))
@@ -237,8 +273,14 @@ def ann_topk_sign_lsh_multitable(
         # times, but the dedup shuffle then carries one double per
         # candidate instead of both embedding arrays — and first(sim)
         # partial-aggregates map-side (the simhash first(hamming)
-        # pattern; value-deterministic since duplicates carry equal sim)
-        .select("query_id", "match_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        # pattern; value-deterministic since duplicates carry equal sim).
+        # r13: norms fold once per (vector, table) row before the join —
+        # dot/(qn·cn) is cosine()'s identical expression tree
+        .select(
+            "query_id",
+            "match_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
         .groupBy("query_id", "match_id")
         .agg(F.first("sim").alias("sim"))
     )
@@ -328,10 +370,20 @@ def _assign_cells(
     base = df.select(
         F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
     )
-    sims = base.join(F.broadcast(centroids), how="cross").select(
+    # per-row norm precompute (r13): one fold per vector and one per
+    # centroid instead of two folds per (vector, centroid) pair;
+    # dot/(vn·cn) is cosine()'s identical expression tree, so csim —
+    # and the argmax/rank — is bit-identical
+    cents = centroids.select("cid", "cv", l2_norm(F.col("cv")).alias("__cn"))
+    sims = base.withColumn("__vn", l2_norm(F.col(vec_alias))).join(
+        F.broadcast(cents), how="cross"
+    ).select(
         id_alias,
         "cid",
-        cosine(F.col(vec_alias), F.col("cv")).alias("csim"),
+        (
+            dot(F.col(vec_alias), F.col("cv"))
+            / (F.col("__vn") * F.col("__cn"))
+        ).alias("csim"),
     )
     if n_probe == 1:
         # argmax via struct-max: partial-aggregates map-side, so the
@@ -376,13 +428,20 @@ def ann_topk_ivf(
         cents = ivf_centroids_trained(corpus, n_cells, train_iters, id_col, vec_col)
     else:
         cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
-    corpus_cells = _assign_cells(corpus, cents, "match_id", "cv2", 1, id_col, vec_col)
-    query_cells = _assign_cells(queries, cents, "query_id", "qv", n_probe, id_col, vec_col)
+    corpus_cells = _assign_cells(
+        corpus, cents, "match_id", "cv2", 1, id_col, vec_col
+    ).withColumn("cn2", l2_norm(F.col("cv2")))
+    query_cells = _assign_cells(
+        queries, cents, "query_id", "qv", n_probe, id_col, vec_col
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    # per-row norms before the cell join (r13): bit-identical sims
     sim = (
         corpus_cells.join(query_cells, "cell")
         .where(F.col("query_id") != F.col("match_id"))
         .select(
-            "query_id", "match_id", cosine(F.col("qv"), F.col("cv2")).alias("sim")
+            "query_id",
+            "match_id",
+            (dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2"))).alias("sim"),
         )
         # a vector probed via 2 cells can pair with the same match twice
         .dropDuplicates(["query_id", "match_id"])
@@ -408,10 +467,14 @@ def embedding_near_dup_pairs(
     v = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("n"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     a, b = v.alias("a"), v.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    # per-row norms ride the shared bucketed subtree (one fold per row,
+    # r13); dot/(a.n·b.n) is cosine()'s identical expression tree —
+    # bit-identical sims, so the threshold set is unchanged
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     # hint("merge"): the self-join's two sides are the SAME bucketed
     # subtree; left to AQE a broadcast choice at small SF serializes one
     # copy through the driver and recomputes the shared subtree twice,

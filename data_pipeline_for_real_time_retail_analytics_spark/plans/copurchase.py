@@ -54,22 +54,39 @@ def pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(pa, pb, support)`` for every distinct co-ordered part pair
     (pa < pb canonical), computed once per (application, sf_dir).
 
-    support = number of distinct orders containing both parts. The
-    per-order self-join is bounded by basket size (≤ ~7 lineitems per
-    order in TPC-H-shaped data), then partial-aggregates on the pair
-    key — one shuffle on okey, one on (pa, pb)."""
+    support = number of distinct orders containing both parts. One
+    shuffle on okey collects each order's DISTINCT part set into a
+    basket array (``collect_set`` — bounded by basket size, ≤ ~7
+    lineitems per order in TPC-H-shaped data); the canonical pa < pb
+    pairs are then a map-side transform over the sorted array, and the
+    pair aggregation is the second and last shuffle. (Before r13 this
+    was distinct → okey-keyed self-join → pair aggregation — four
+    exchanges and a joined theta filter for the identical pair
+    multiset; guide §2.4.)"""
     key = _cache_key(spark, sf_dir)
     df = _SUPPORT.get(key)
     if df is None:
         li = load_table(spark, sf_dir, "lineitem")
         baskets = li.select(
             F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-        ).distinct()
-        a = baskets.select("okey", F.col("part").alias("pa"))
-        b = baskets.select("okey", F.col("part").alias("pb"))
+        ).groupBy("okey").agg(F.array_sort(F.collect_set("part")).alias("parts"))
+        # ordered pairs (arr[i], arr[j]) with i < j: the sorted array
+        # makes pa < pb by construction, matching the self-join's
+        # numeric theta filter exactly
+        pair_arr = F.flatten(
+            F.transform(
+                "parts",
+                lambda pa, i: F.transform(
+                    F.slice(
+                        F.col("parts"), i + 2, F.size(F.col("parts"))
+                    ),
+                    lambda pb: F.struct(pa.alias("pa"), pb.alias("pb")),
+                ),
+            )
+        )
         df = (
-            a.join(b, "okey")
-            .where(F.col("pa") < F.col("pb"))
+            baskets.select(F.explode(pair_arr).alias("p"))
+            .select("p.pa", "p.pb")
             .groupBy("pa", "pb")
             .agg(F.count(F.lit(1)).alias("support"))
             .localCheckpoint()

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine, plant_dup_vectors
+from ..operators.similarity import dot, l2_norm, plant_dup_vectors
 from .corpusbase import ID_OFFSET, PLANT_EVERY_VECS, _embs
 from .llm_oracles import _cosine
 
@@ -48,11 +48,18 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = _embs(spark, sf_dir).where(
         F.col("vec_id") % PLANT_EVERY_VECS == 0
     )
+    # per-row norm precompute (r13, guide §1.2): one fold per input row
+    # instead of two per joined pair; dot/(qn·cn) is cosine()'s
+    # identical expression tree — bit-identical sims
     q = anchors.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
     c = planted.select(
-        F.col("vec_id").alias("match_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
     )
     sims = c.join(
         F.broadcast(q),
@@ -61,7 +68,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "match_id",
-        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
     return (

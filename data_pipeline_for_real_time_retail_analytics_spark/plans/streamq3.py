@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,8 +117,20 @@ def q_stream_click_purchases_outer(
     outdir = tempfile.mkdtemp(prefix="streamq3_out_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        clicks.write.mode("overwrite").parquet(ldir)
-        purchases.write.mode("overwrite").parquet(rdir)
+        # the two staging writes are independent jobs — submit both and
+        # let the scheduler back-fill (guide §2.6 overlap-independent-
+        # jobs); actions are only sequential when the driver calls them
+        # sequentially
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [
+                pool.submit(
+                    clicks.write.mode("overwrite").parquet, ldir
+                ),
+                pool.submit(
+                    purchases.write.mode("overwrite").parquet, rdir
+                ),
+            ]:
+                f.result()
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
         )
@@ -152,17 +165,25 @@ def q_stream_click_purchases_outer(
         # empty corpus would then write zero sentinel rows and the
         # watermark would never advance)
         sent_ts = F.to_timestamp(F.lit(_SENTINEL_TS))
-        spark.range(1).select(
+        sent_click = spark.range(1).select(
             F.lit(-1).cast("long").alias("click_id"),
             F.lit(_SENTINEL_CLICK_USER).cast("long").alias("user_id"),
             sent_ts.alias("click_ts"),
-        ).write.mode("append").parquet(ldir)
-        spark.range(1).select(
+        )
+        sent_purch = spark.range(1).select(
             F.lit(-1).cast("long").alias("purchase_id"),
             F.lit(_SENTINEL_PURCHASE_USER).cast("long").alias("user_id"),
             sent_ts.alias("purchase_ts"),
             F.lit(0.0).alias("purchase_value"),
-        ).write.mode("append").parquet(rdir)
+        )
+        # same overlap for the two single-row sentinel appends: each is
+        # a full write job whose cost is scheduling, not data
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [
+                pool.submit(sent_click.write.mode("append").parquet, ldir),
+                pool.submit(sent_purch.write.mode("append").parquet, rdir),
+            ]:
+                f.result()
         drive()  # phase 2: NULL-row completions flush
         out = (
             spark.read.parquet(outdir)

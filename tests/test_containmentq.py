@@ -76,9 +76,12 @@ def test_df_cap_excludes_common_shingles(spark):
     assert contained_ids.isdisjoint(set(range(10)))
 
 
-def test_rare_join_is_sort_merge(spark, sf_dir):
-    """The self-join must hold its sort-merge pin (the r7 MinHash
-    band-join lesson): no broadcast exchange on the pair join."""
+def test_pair_expansion_is_postings_not_self_join(spark, sf_dir):
+    """r13 shape pin: the pair candidates come from a map-side explode
+    of the df-capped posting arrays, NOT from a rare⋈rare self-join.
+    Downstream of the posting localCheckpoint the plan must hold
+    exactly ONE join — the n_contained_rare attach — plus the pair
+    Generate; a reappearing self-join would double the joins."""
     from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
         plant_near_dups,
     )
@@ -86,4 +89,9 @@ def test_rare_join_is_sort_merge(spark, sf_dir):
 
     planted = plant_near_dups(_docs(spark, sf_dir), every=25)
     plan = containment_pairs(planted)._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan
+    assert "Generate explode" in plan
+    n_joins = sum(plan.count(j) for j in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+    ))
+    assert n_joins == 1, plan
