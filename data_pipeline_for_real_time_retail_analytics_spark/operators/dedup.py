@@ -663,12 +663,18 @@ def simhash_table(
     ``bits`` longs per document, not one row per token — the scalable form.
     """
     extra = extra_cols or []
+    # md5 lands in its OWN projection alias so both 32-bit halves slice
+    # the same digest — CollapseProject keeps non-cheap aliases
+    # referenced twice un-inlined (the _banded_signatures precedent), so
+    # md5 runs once per token instead of once per half (r13, guide §1.2)
     tok = df.select(
         F.col(id_col), *extra, F.explode(ws_tokens(F.col(text_col))).alias("t")
-    ).withColumn("h1", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"))
+    ).withColumn("m", F.md5("t")).withColumn(
+        "h1", F.conv(F.substring("m", 1, 8), 16, 10).cast("long")
+    )
     if bits > 32:
         tok = tok.withColumn(
-            "h2", F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long")
+            "h2", F.conv(F.substring("m", 9, 8), 16, 10).cast("long")
         )
 
     def _bit(i: int) -> Column:

@@ -143,3 +143,33 @@ def test_prune_self_join_is_cluster_equi_join(spark, prune_inputs):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_prune_identical_to_unsalted(spark, prune_inputs):
+    """r13 salting pin: n_salts splits each cluster's pair block
+    deterministically without changing the pair SET, so the survivor
+    set and the per-cluster stats must be IDENTICAL at any salt count
+    (the bench's local[32] sessions derive S=2 from the fixed 16-cell
+    codebook; the oracle drives at <=16 cores run S=1 — this is the
+    value pin that covers the S>1 path)."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.semdedup import (
+        semdedup_cluster_stats,
+    )
+
+    embs, cents = prune_inputs
+    for keep in ("central", "edge"):
+        a = semdedup_prune(
+            embs, cents, threshold=semdedupq.THRESHOLD, keep=keep, n_salts=1
+        ).orderBy("vec_id").collect()
+        b = semdedup_prune(
+            embs, cents, threshold=semdedupq.THRESHOLD, keep=keep, n_salts=5
+        ).orderBy("vec_id").collect()
+        assert a == b
+        assert len(a) > 0
+    sa = semdedup_cluster_stats(
+        embs, cents, threshold=semdedupq.THRESHOLD, n_salts=1
+    ).orderBy("cluster").collect()
+    sb = semdedup_cluster_stats(
+        embs, cents, threshold=semdedupq.THRESHOLD, n_salts=5
+    ).orderBy("cluster").collect()
+    assert sa == sb
