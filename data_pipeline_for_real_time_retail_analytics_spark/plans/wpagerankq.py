@@ -40,7 +40,24 @@ _BASE_UNITS = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
 def weighted_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed co-purchase edges (src, dst, w): both directions of
     every distinct same-order part pair, weighted by the pair's combined
-    ordered quantity in centi-units summed over their shared orders."""
+    ordered quantity in centi-units summed over their shared orders.
+
+    Shape (r13, guide §2.4 — the pair_support rewrite applied to the
+    weighted miner, which had kept the old okey self-join): ONE
+    repartition on okey feeds both order-grain aggregations
+    partition-locally (hashpartitioning(okey) satisfies the (okey,
+    part) clustering, so neither groupBy re-shuffles), each order's
+    (part, cqty) items collect into a part-sorted array (parts are
+    DISTINCT per order after the first aggregation, so the struct sort
+    is a total order on part), and the canonical pa < pb pairs with
+    their qa + qb weights are a map-side array transform — the basket
+    self-join, its two okey exchanges and its sorts are gone. The pair
+    multiset is identical to the self-join's (sorted array ⇒ pa < pb by
+    construction, numeric order = the theta filter's; per-order weight
+    contribution qa + qb unchanged), so the BIGINT pair sums match
+    bit-for-bit — pinned against the self-join formulation on real
+    lineitem data (tests/test_wpagerank.py) and value-proven by the
+    unchanged self-join-shaped DuckDB oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
         li.select(
@@ -50,16 +67,36 @@ def weighted_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cqty"),
         )
+        .repartition("okey")
         .groupBy("okey", "part")
         .agg(F.sum("cqty").alias("cqty"))
+        .groupBy("okey")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("part", "cqty"))).alias(
+                "items"
+            )
+        )
     )
-    a = baskets.select("okey", F.col("part").alias("pa"), F.col("cqty").alias("qa"))
-    b = baskets.select("okey", F.col("part").alias("pb"), F.col("cqty").alias("qb"))
+    # ordered pairs (items[i], items[j]) with i < j over the part-sorted
+    # array: pa < pb by construction, one struct row per co-ordered pair
+    pair_arr = F.flatten(
+        F.transform(
+            "items",
+            lambda it_a, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda it_b: F.struct(
+                    it_a["part"].alias("pa"),
+                    it_b["part"].alias("pb"),
+                    (it_a["cqty"] + it_b["cqty"]).alias("pw"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "okey")
-        .where(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.pa", "p.pb", "p.pw")
         .groupBy("pa", "pb")
-        .agg(F.sum(F.col("qa") + F.col("qb")).alias("w"))
+        .agg(F.sum("pw").alias("w"))
     )
     fwd = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), "w")
     rev = pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
