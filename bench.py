@@ -26,6 +26,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from data_pipeline_for_real_time_retail_analytics_spark.plans import (  # noqa: E402
     copurchase as _copurchase,
     corpusbase as _corpusbase,
+    semdedupq as _semdedupq,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,14 +35,29 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 def _clear_shared_caches() -> None:
     """Reset the per-application shared materializations (MinHash pair
-    set, corpus stats, co-purchase pair support) OUTSIDE every timed
-    window. Without this, whichever consumer runs first pays the
-    materialization and the rest time a cache hit (the r9 advice's
-    0.093 s minhash_lsh_dupes cell) — per-query walls must each carry
-    their full cost to stay interpretable. Production pipelines keep
-    the amortization; the bench deliberately forgoes it."""
+    set, corpus stats, co-purchase pair support, semdedup member
+    assignment) OUTSIDE every timed window. Without this, whichever
+    consumer runs first pays the materialization and the rest time a
+    cache hit (the r9 advice's 0.093 s minhash_lsh_dupes cell) —
+    per-query walls must each carry their full cost to stay
+    interpretable. Production pipelines keep the amortization; the
+    bench deliberately forgoes it.
+
+    DELIBERATELY NOT cleared: the streaming cells' staged input dirs
+    (plans/streamq._STAGED, streamcmsq._STAGED,
+    streamkmvq._STAGED_MULTI). Staging exists only because the raw
+    testdata is TIMESTAMP(NANOS)/single-file parquet the streaming file
+    source cannot ingest as-is — a test-harness input-format shim, not
+    part of any query's computation (production input is already
+    µs-parquet/Delta and streams directly). Clearing it would time a
+    re-copy of the input table inside whichever stream cell runs first;
+    the amortization is the analogue of not re-generating
+    /root/testdata per cell. Every stream cell still computes its full
+    streaming execution (drive, state, sink drain) from those inputs
+    each time."""
     _corpusbase.clear_caches()
     _copurchase.clear_caches()
+    _semdedupq.clear_caches()
 
 
 def _sf_from_dir(path: str) -> float:
@@ -301,7 +317,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name, fn in entrymod.queries().items():
+    # FIXED alphabetical execution order, decoupled from queries()'s
+    # registration order (r14, VERDICT r13 ask #7): registration order
+    # is the rotation ledger's correctness-window order and ROLLS every
+    # round, which moved different cells into the early JIT/GC ramp and
+    # position-confounded cross-round per-cell history (r13:
+    # boilerplate_ngrams 5.1 → 9.2 s with NO code change, proven an
+    # order effect by interleaved A/B). Same cells, same per-cell
+    # protocol, same totals semantics — only the loop order is pinned.
+    for name, fn in sorted(entrymod.queries().items()):
         samples: list[float] = []
         try:
             for _ in range(repeat):

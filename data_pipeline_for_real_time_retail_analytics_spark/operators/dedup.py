@@ -445,8 +445,16 @@ def _verify_then_dedup(cand: DataFrame, threshold: float) -> DataFrame:
 
     * a CHEAP size-ratio prefilter: jaccard = c/(n_a+n_b-c) with
       c ≤ min(n_a, n_b) and n_a+n_b-c ≥ max(n_a, n_b), so
-      jaccard ≤ min/max — rows failing min/max ≥ threshold cannot pass
-      and die on the map side for two integer ops, no array work;
+      jaccard ≤ min/max — rows failing the bound cannot pass and die on
+      the map side for two integer ops, no array work. The prefilter
+      compares ``round(min/max, 4) >= threshold`` — the SAME rounding
+      as the final filter (r14 fix): round is monotone, so
+      round(jac,4) ≥ threshold ⟹ round(min/max,4) ≥ threshold and the
+      prefilter can never drop a pair the final filter keeps. The raw
+      ``min/max >= threshold`` form could: a pair with true jaccard and
+      size ratio both in [threshold−5e-5, threshold) rounds UP past the
+      final filter but failed the unrounded bound (pinned in
+      tests/test_llm_ops.py::test_verify_then_dedup_rounding_boundary);
     * the exact jaccard moves INTO the pair aggregation (first() over
       band-collision rows, which all agree) — evaluated exactly once
       per collision row in the partial aggregate's input projection. A
@@ -462,8 +470,11 @@ def _verify_then_dedup(cand: DataFrame, threshold: float) -> DataFrame:
     jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
     return (
         cand.where(
-            F.least(F.col("n_a"), F.col("n_b"))
-            / F.greatest(F.col("n_a"), F.col("n_b"))
+            F.round(
+                F.least(F.col("n_a"), F.col("n_b"))
+                / F.greatest(F.col("n_a"), F.col("n_b")),
+                4,
+            )
             >= threshold
         )
         .groupBy("doc_a", "doc_b")
@@ -612,15 +623,21 @@ def minhash_lsh_pairs_between(
         F.col("b.n_shingles").alias("n_b"),
     )
     # verify-before-dedup, as in minhash_lsh_pairs (_verify_then_dedup):
-    # size-ratio prefilter, jaccard computed once inside the pair
-    # aggregation, threshold filter above the aggregate — the cross-band
-    # dedup shuffle carries slim (corpus_id, new_id, jaccard) rows
+    # size-ratio prefilter ROUNDED like the final filter (round is
+    # monotone, so the prefilter can never drop a pair the final filter
+    # keeps — see _verify_then_dedup), jaccard computed once inside the
+    # pair aggregation, threshold filter above the aggregate — the
+    # cross-band dedup shuffle carries slim (corpus_id, new_id, jaccard)
+    # rows
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
     return (
         cand.where(
-            F.least(F.col("n_a"), F.col("n_b"))
-            / F.greatest(F.col("n_a"), F.col("n_b"))
+            F.round(
+                F.least(F.col("n_a"), F.col("n_b"))
+                / F.greatest(F.col("n_a"), F.col("n_b")),
+                4,
+            )
             >= threshold
         )
         .groupBy("corpus_id", "new_id")

@@ -52,12 +52,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _norm_of(vec_col: str, norm_col: str | None) -> Column:
+    """The row's L2 norm: folded from the vector, or — when the caller
+    already materialized it (``norm_col``) — read straight from that
+    column. ``l2_norm`` over the same floats produces the identical
+    double, so a CHECKPOINTED precomputed norm is bit-equal to the
+    inline fold (r14: plans/annevalq.py folds each norm once into a
+    shared localCheckpoint instead of once per variant subtree)."""
+    return F.col(norm_col) if norm_col else l2_norm(F.col(vec_col))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per query vector (cosine),
     excluding self-matches. The query side is broadcast — never shuffle
@@ -67,16 +78,18 @@ def cosine_topk(
     the per-pair ``cosine(qv, cv)`` re-folded both operands' norms on
     every one of the |Q|·n joined rows; ``dot/(qn·cn)`` is the identical
     expression tree (same doubles, same multiply/divide order), so every
-    sim — and the rank/round-6 surface — is bit-identical."""
+    sim — and the rank/round-6 surface — is bit-identical. Pass
+    ``norm_col`` when both inputs already carry the materialized norm
+    (see ``_norm_of``)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm(F.col(vec_col)).alias("qn"),
+        _norm_of(vec_col, norm_col).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
+        _norm_of(vec_col, norm_col).alias("cn"),
     )
     sim = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
@@ -117,6 +130,7 @@ def ann_topk_sign_lsh(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     Equi-join on the bucket key → shuffle-partitioned by bucket; at scale
@@ -124,13 +138,13 @@ def ann_topk_sign_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm(F.col(vec_col)).alias("qn"),
+        _norm_of(vec_col, norm_col).alias("qn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
+        _norm_of(vec_col, norm_col).alias("cn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     # per-row norms folded before the join (r13): dot/(qn·cn) is the
@@ -160,6 +174,7 @@ def ann_topk_sign_lsh_multiprobe(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Multi-probe variant of the sign-LSH ANN: each query also probes
     every bucket at Hamming distance 1 (one flipped sign bit), trading
@@ -174,13 +189,13 @@ def ann_topk_sign_lsh_multiprobe(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm(F.col(vec_col)).alias("qn"),
+        _norm_of(vec_col, norm_col).alias("qn"),
         F.explode(probes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
+        _norm_of(vec_col, norm_col).alias("cn"),
         sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     # per-row norms folded before the join (r13): bit-identical sims
@@ -210,6 +225,7 @@ def ann_topk_sign_lsh_multitable(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Multi-TABLE sign-LSH ANN — classic LSH amplification (the E2LSH /
     FALCONN construction): ``n_tables`` independent hash tables, table t
@@ -256,13 +272,13 @@ def ann_topk_sign_lsh_multitable(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm(F.col(vec_col)).alias("qn"),
+        _norm_of(vec_col, norm_col).alias("qn"),
         tbl,
     ).select("query_id", "qv", "qn", "tb.tbl", "tb.bucket")
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
+        _norm_of(vec_col, norm_col).alias("cn"),
         tbl,
     ).select("match_id", "cv", "cn", "tb.tbl", "tb.bucket")
     sim = (

@@ -42,6 +42,7 @@ from ..operators.similarity import (
     ann_topk_sign_lsh_multiprobe,
     ann_topk_sign_lsh_multitable,
     cosine_topk,
+    l2_norm,
 )
 from .corpusbase import PLANT_EVERY_VECS, _embs
 from .llm_oracles import ann_multiprobe as _mp_sql
@@ -105,21 +106,35 @@ def _metric_row(truth: DataFrame, approx: DataFrame, variant: str) -> DataFrame:
 
 
 def q_ann_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One exact-integer evaluation row per sign-LSH variant."""
+    """One exact-integer evaluation row per sign-LSH variant.
+
+    Shared-scan shape (r14, guide §2.4 + VERDICT r13 ask #3): the four
+    pipelines (exact truth + three variants) each rebuilt the corpus
+    and query frames from the parquet scan and re-folded every row's
+    L2 norm — 12 scans / 8 norm folds across the final plan. One
+    localCheckpointed (vec_id, embedding, nrm) frame now feeds every
+    subtree (queries are a filter over it), and the operators read the
+    materialized norm via ``norm_col`` — the identical double
+    (similarity._norm_of), so every cosine/rank is bit-identical."""
     embs = _embs(spark, sf_dir)
-    queries = embs.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
+    base = embs.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint()
+    queries = base.where(F.col("vec_id") % PLANT_EVERY_VECS == 0)
     truth = (
-        cosine_topk(queries, embs, k=K)
+        cosine_topk(queries, base, k=K, norm_col="nrm")
         .select("query_id", "match_id", F.col("rank").alias("true_rank"))
         .localCheckpoint()
     )
     variants = {
-        "single": ann_topk_sign_lsh(queries, embs, k=K, n_bits=8),
+        "single": ann_topk_sign_lsh(
+            queries, base, k=K, n_bits=8, norm_col="nrm"
+        ),
         "multiprobe": ann_topk_sign_lsh_multiprobe(
-            queries, embs, k=K, n_bits=8
+            queries, base, k=K, n_bits=8, norm_col="nrm"
         ),
         "multitable": ann_topk_sign_lsh_multitable(
-            queries, embs, k=K, n_bits=4, n_tables=8, dim=64
+            queries, base, k=K, n_bits=4, n_tables=8, dim=64, norm_col="nrm"
         ),
     }
     out = None

@@ -44,9 +44,15 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     # both small frames are referenced twice (corpus + query side);
     # un-materialized they re-run their full-corpus TakeOrdered scans
-    # (the pqq/sq8 scales lesson)
-    cb = pq_codebooks(embs, m=PQ_M, k=PQ_K).localCheckpoint()
-    cents = ivf_centroids(embs, N_CELLS).localCheckpoint()
+    # (the pqq/sq8 scales lesson). The two eager builds are independent
+    # of each other — overlap them (r14, guide §2.6) instead of running
+    # the second build's scan after the first one's tail drains.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cb = pool.submit(pq_codebooks(embs, m=PQ_M, k=PQ_K).localCheckpoint)
+        f_ce = pool.submit(ivf_centroids(embs, N_CELLS).localCheckpoint)
+        cb, cents = f_cb.result(), f_ce.result()
 
     corpus_cells = _assign_cells(
         embs, cents, "match_id", "cv2", 1, "vec_id", "embedding"

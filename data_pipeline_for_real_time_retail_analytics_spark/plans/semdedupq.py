@@ -53,6 +53,15 @@ THRESHOLD = 0.35
 _MEMBER: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def clear_caches() -> None:
+    """Drop the per-application member-assignment cache (r14, VERDICT
+    r13 defect #1): bench.py clears this OUTSIDE every timed window so
+    the 2nd+ semdedup-family cells pay their own assignment
+    materialization instead of timing a cache hit — the same
+    per-cell-full-cost contract as plans/corpusbase.clear_caches."""
+    _MEMBER.clear()
+
+
 def _member(spark: SparkSession, sf_dir: str, flavor: str = "flat") -> DataFrame:
     # abspath key: a relative and an absolute spelling of the same dir
     # must share one materialization (same convention as plans/llm.py)

@@ -35,12 +35,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.cms import DEPTH, WIDTH, cms_col_hash, cms_estimate
+from ..operators.sampling import hash_bucket
 from ..operators.textstats import ws_tokens
 from ..sources import load_table
 from ..streaming.ingest import file_stream
-from .cmsq import TOP_N, _candidates, _ranked, _toks
+from .cmsq import SAMPLE_MOD, TOP_N, _ranked, _toks
 from .cmsq import ORACLES as _BATCH_ORACLES
-from .streamq import _drain
+from .streamq import _drain_overlapped
 
 DOCS_SCHEMA = T.StructType(
     [
@@ -100,12 +101,28 @@ def q_stream_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r", "col")
         .agg(F.count(F.lit(1)).cast("long").alias("cell"))
     )
-    drained = _drain(spark, cells, "stream_cms_cells")
+    # Overlapped drive (r14, guide §2.6): the candidate/exact columns
+    # are batch work independent of the streaming sketch — materialize
+    # them WHILE the drive's fixed per-batch overhead runs, in ONE
+    # token aggregation instead of the two separate subtrees
+    # (_candidates + exact) the old plan evaluated from the same
+    # explode. A token is a candidate iff ANY of its occurrences is in
+    # a hash-sampled doc (max over the per-row sample flag) — the
+    # identical set _candidates produced; exact counts are unchanged.
     batch_toks = _toks(spark, sf_dir)
-    est = cms_estimate(drained, _candidates(batch_toks), "t")
-    exact = batch_toks.groupBy("t").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_count")
+    tok_stats_plan = batch_toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count"),
+        F.max(
+            (hash_bucket(F.col("doc_id"), SAMPLE_MOD) == 0).cast("int")
+        ).alias("is_cand"),
     )
+    drained, tok_stats = _drain_overlapped(
+        spark, cells, "stream_cms_cells", tok_stats_plan
+    )
+    est = cms_estimate(
+        drained, tok_stats.where(F.col("is_cand") == 1).select("t"), "t"
+    )
+    exact = tok_stats.select("t", "exact_count")
     return _ranked(est, exact, TOP_N)
 
 

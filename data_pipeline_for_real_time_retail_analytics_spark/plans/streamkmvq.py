@@ -51,7 +51,7 @@ from .corpusbase import _docs
 from .kmvq import K
 from .llm_oracles import TOKS
 from .streamcmsq import DOCS_SCHEMA
-from .streamq import _drain
+from .streamq import _drain_overlapped
 
 #: staged MULTI-FILE corpus dirs, per (application, sf_dir) — the
 #: streamcmsq._stage_docs convention, but repartitioned so the
@@ -122,11 +122,28 @@ def q_stream_kmv_distinct_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame
     fanout = stream.repartition(
         spark.sparkContext.defaultParallelism
     )
-    emissions = _drain(
+    # Overlapped drive (r14, guide §2.6): the exact-distinct comparison
+    # column is a BATCH computation fully independent of the streaming
+    # sketch, yet it ran only after the drain returned — serial driver
+    # calls, idle executors during the drive's fixed per-batch overhead
+    # (planning + 8 state-store commits + Python state round-trip).
+    # _drain_overlapped starts the stream, eagerly materializes the
+    # exact frame while micro-batches run, then awaits termination —
+    # both jobs share the scheduler (FIFO back-fill). The exact frame's
+    # action runs under the stream's 8 shuffle partitions; aggregation
+    # values are partition-count-independent, so rows are unchanged.
+    exact_plan = (
+        _bigram_hashes(_docs(spark, sf_dir))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    emissions, exact = _drain_overlapped(
         spark,
         kmv_sketch_stream(_bigram_hashes(fanout), key_col="source",
                           hash_col="h", k=K),
         "stream_kmv_sketch",
+        exact_plan,
         output_mode="update",
     )
     # the memory sink appends every update — keep each source's LAST
@@ -140,12 +157,6 @@ def q_stream_kmv_distinct_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("source", "rank", "h")
     )
     est = kmv_estimate(sketch, ["source"], K)
-    exact = (
-        _bigram_hashes(_docs(spark, sf_dir))
-        .distinct()
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
-    )
     return est.join(exact, "source").orderBy("source")
 
 

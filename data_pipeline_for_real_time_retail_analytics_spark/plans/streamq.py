@@ -100,6 +100,49 @@ def _drain(
     return spark.table(name)
 
 
+def _drain_overlapped(
+    spark: SparkSession,
+    plan: DataFrame,
+    name: str,
+    batch_df: DataFrame,
+    output_mode: str = "complete",
+) -> tuple[DataFrame, DataFrame]:
+    """``_drain`` plus an independent BATCH frame materialized WHILE the
+    stream drains (guide §2.6 overlap-independent-jobs): the streaming
+    drive's cost is dominated by fixed per-micro-batch overhead
+    (planning, state-store commits, Python state round-trips) that
+    leaves executors mostly idle, so an independent batch job back-fills
+    them instead of running serially after the drain. Returns
+    ``(drained sink table, localCheckpointed batch frame)``.
+
+    The batch action runs under the stream's
+    ``STREAM_SHUFFLE_PARTITIONS`` session setting — partition count
+    never changes aggregation/join VALUES, only task granularity, and
+    the checkpoint pins the rows before the conf is restored."""
+    spark.catalog.dropTempView(name)
+    ckpt = tempfile.mkdtemp(prefix="streamq_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        )
+        q = (
+            plan.writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        batch = batch_df.localCheckpoint()  # overlaps the drive
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name), batch
+
+
 def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregation per event type, computed by an
     actual Structured Streaming execution. Epoch-aligned ``window()``

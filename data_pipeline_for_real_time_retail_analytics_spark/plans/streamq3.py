@@ -4,30 +4,43 @@ The last §2.10 shape without a driver row of its own: outer-join
 semantics on a stream-stream join. Unlike the inner join
 (``stream_click_purchases``), an unmatched left row may only emit its
 NULL-extended completion once the watermark PROVES no future match can
-arrive — which happens on a LATER trigger than the row itself, because
-watermarks advance at batch end. A single AvailableNow pass therefore
-yields only the inner matches; this query drives the full production
-sequence deterministically:
+arrive — watermarks advance at batch END, so the completion lands in a
+LATER micro-batch than the row itself. This query drives the full
+production sequence deterministically in ONE AvailableNow execution:
 
-1. stage clicks and purchases as separate file-stream directories;
-2. phase 1: AvailableNow drain into a FILE sink (the memory sink has no
-   checkpoint recovery) — inner matches emit;
-3. append one far-future sentinel row to EACH side (the global
-   watermark is the MIN across streams, so both must advance) under
-   reserved negative user ids;
-4. phase 2: AvailableNow over the SAME checkpoint — the watermark now
-   proves every real click's window closed, so the NULL-row completions
-   flush; checkpointed progress guarantees inner matches do NOT
-   re-emit;
-5. read the sink, drop sentinel traffic, localCheckpoint so the temp
+1. stage clicks and purchases as separate file-stream directories,
+   each WITH one far-future sentinel row appended under reserved
+   negative user ids (the global watermark is the MIN across streams,
+   so both sides must advance);
+2. a single AvailableNow drain into a FILE sink: the data batch emits
+   every inner match and, at batch end, advances the watermark past
+   every real click's join window (sentinel ts ≫ max real ts + delay
+   + lookback); the engine's no-data micro-batch
+   (``spark.sql.streaming.noDataMicroBatches.enabled``, default true,
+   honored under AvailableNow) then evicts the expired join state and
+   flushes every NULL-row completion before the query terminates;
+3. read the sink, drop sentinel traffic, localCheckpoint so the temp
    dirs can be deleted before returning.
 
-At scale the same topology runs continuously: phase boundaries are just
-micro-batches, and the "sentinel" is ordinary newer traffic — the
-sequence here compresses that timeline into one deterministic drive so
-the driver's DuckDB oracle (a plain LEFT JOIN) can value-check the
-emitted union. State stays bounded by ``delay + lookback`` of traffic
-exactly as in the inner case (streaming/ingest.py:interval_join).
+r14 (guide §1/§2.4): this was a TWO-phase drive — drain, append
+sentinels, drain again over the same checkpoint — which paid a second
+full streaming-query lifecycle (planning, state-store reload, commits)
+and two extra single-row write jobs per cell. Staging the sentinels up
+front makes the engine's own no-data batch do the flush; probed
+per-batch (probe_streamq3_single.py): batch 0 processes all rows,
+batch 1 (no-data) drops state 3989 → 2 sentinel rows and emits the
+completions — output row-for-row identical to the two-phase drive.
+The two-phase checkpoint-recovery semantics (inner matches do not
+re-emit on a restarted drive) remain pinned where they are exercised
+deliberately: tests/test_curation.py's two-phase interval_join drive.
+
+At scale the same topology runs continuously: the "sentinel" is
+ordinary newer traffic and the no-data batch is the idle-period state
+flush every watermark deployment relies on — the sequence here
+compresses that timeline into one deterministic drive so the driver's
+DuckDB oracle (a plain LEFT JOIN) can value-check the emitted union.
+State stays bounded by ``delay + lookback`` of traffic exactly as in
+the inner case (streaming/ingest.py:interval_join).
 
 Reference parity: the reference has no streaming at all (its
 "real-time" layer is polling intervals, src/orchestration/
@@ -107,10 +120,25 @@ def q_stream_click_purchases_outer(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Every click joined left-outer to the same user's purchases of the
-    preceding hour, through a REAL two-phase AvailableNow streaming
+    preceding hour, through a REAL single-drive AvailableNow streaming
     execution (module docstring); unmatched clicks carry NULL purchase
-    columns."""
+    columns, flushed by the watermark-advancing no-data batch."""
     clicks, purchases = _click_purchase_frames(spark, sf_dir)
+    sent_ts = F.to_timestamp(F.lit(_SENTINEL_TS))
+    # spark.range(1) as the row factory (NOT clicks.limit(1) — an empty
+    # corpus would then write zero sentinel rows and the watermark would
+    # never advance)
+    sent_click = spark.range(1).select(
+        F.lit(-1).cast("long").alias("click_id"),
+        F.lit(_SENTINEL_CLICK_USER).cast("long").alias("user_id"),
+        sent_ts.alias("click_ts"),
+    )
+    sent_purch = spark.range(1).select(
+        F.lit(-1).cast("long").alias("purchase_id"),
+        F.lit(_SENTINEL_PURCHASE_USER).cast("long").alias("user_id"),
+        sent_ts.alias("purchase_ts"),
+        F.lit(0.0).alias("purchase_value"),
+    )
     ldir = tempfile.mkdtemp(prefix="streamq3_clicks_")
     rdir = tempfile.mkdtemp(prefix="streamq3_purch_")
     ckpt = tempfile.mkdtemp(prefix="streamq3_ckpt_")
@@ -124,67 +152,43 @@ def q_stream_click_purchases_outer(
         with ThreadPoolExecutor(max_workers=2) as pool:
             for f in [
                 pool.submit(
-                    clicks.write.mode("overwrite").parquet, ldir
+                    clicks.unionByName(sent_click)
+                    .write.mode("overwrite")
+                    .parquet,
+                    ldir,
                 ),
                 pool.submit(
-                    purchases.write.mode("overwrite").parquet, rdir
+                    purchases.unionByName(sent_purch)
+                    .write.mode("overwrite")
+                    .parquet,
+                    rdir,
                 ),
             ]:
                 f.result()
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
         )
-
-        def drive() -> None:
-            ls = spark.readStream.schema(_CLICKS_SCHEMA).parquet(ldir)
-            rs = spark.readStream.schema(_PURCHASES_SCHEMA).parquet(rdir)
-            joined = interval_join(
-                ls,
-                rs,
-                key_cols=["user_id"],
-                left_ts="click_ts",
-                right_ts="purchase_ts",
-                lookback="1 hour",
-                how="left_outer",
-            )
-            q = (
-                joined.writeStream.format("parquet")
-                .option("path", outdir)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            q.stop()
-
-        drive()  # phase 1: inner matches
-        # sentinels advance BOTH event-time watermarks past every real
-        # click's join window (global watermark = min across streams)
-        # spark.range(1) as the row factory (NOT clicks.limit(1) — an
-        # empty corpus would then write zero sentinel rows and the
-        # watermark would never advance)
-        sent_ts = F.to_timestamp(F.lit(_SENTINEL_TS))
-        sent_click = spark.range(1).select(
-            F.lit(-1).cast("long").alias("click_id"),
-            F.lit(_SENTINEL_CLICK_USER).cast("long").alias("user_id"),
-            sent_ts.alias("click_ts"),
+        ls = spark.readStream.schema(_CLICKS_SCHEMA).parquet(ldir)
+        rs = spark.readStream.schema(_PURCHASES_SCHEMA).parquet(rdir)
+        joined = interval_join(
+            ls,
+            rs,
+            key_cols=["user_id"],
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            lookback="1 hour",
+            how="left_outer",
         )
-        sent_purch = spark.range(1).select(
-            F.lit(-1).cast("long").alias("purchase_id"),
-            F.lit(_SENTINEL_PURCHASE_USER).cast("long").alias("user_id"),
-            sent_ts.alias("purchase_ts"),
-            F.lit(0.0).alias("purchase_value"),
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        # same overlap for the two single-row sentinel appends: each is
-        # a full write job whose cost is scheduling, not data
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [
-                pool.submit(sent_click.write.mode("append").parquet, ldir),
-                pool.submit(sent_purch.write.mode("append").parquet, rdir),
-            ]:
-                f.result()
-        drive()  # phase 2: NULL-row completions flush
+        q.awaitTermination()
+        q.stop()
         out = (
             spark.read.parquet(outdir)
             .where(F.col("user_id") >= 0)

@@ -98,15 +98,33 @@ def weighted_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.sum("pw").alias("w"))
     )
-    fwd = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), "w")
-    rev = pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
-    return fwd.unionByName(rev)
+    # both directions from ONE pair stream (r14, advice item): the old
+    # fwd.unionByName(rev) duplicated the entire mining subtree (scan,
+    # repartition, two aggregations, pair explode, pair groupBy) as two
+    # plan branches, so even a single downstream materialization ran
+    # the mining twice. Exploding a 2-struct array per pair emits the
+    # identical directed-edge multiset map-side, one mining pass.
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("pa").alias("src"), F.col("pb").alias("dst"), F.col("w")
+            ),
+            F.struct(
+                F.col("pb").alias("src"), F.col("pa").alias("dst"), F.col("w")
+            ),
+        )
+    )
+    return pairs.select(both.alias("e")).select("e.src", "e.dst", "e.w")
 
 
 def q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by 3-iteration quantity-weighted integer PageRank."""
     ranks = pagerank_weighted_fixed(
-        weighted_copurchase_edges(spark, sf_dir), ITERATIONS
+        weighted_copurchase_edges(spark, sf_dir),
+        ITERATIONS,
+        # part-catalog-grain node set: broadcast the per-iteration
+        # contribution frame (r14, guide §3.1 — see pagerankq)
+        broadcast_contrib=True,
     )
     w = Window.orderBy(F.desc("rank_units"), F.col("node"))
     return (

@@ -101,6 +101,30 @@ def test_minhash_fetch_shingles_shape_identical_output(spark, docs):
     assert carry  # non-vacuous: the fixture plants dup pairs
 
 
+def test_verify_then_dedup_rounding_boundary(spark):
+    """The size-ratio prefilter must be conservative w.r.t. the
+    HALF_UP-rounded final filter (r14 fix): a pair with true jaccard
+    AND size ratio both in [threshold − 5e-5, threshold) passes
+    ``round(jac, 4) >= threshold`` yet fails the raw ``min/max >=
+    threshold`` bound — the old prefilter dropped it. Constructed
+    boundary pair: |A| = 9999 ⊂ B, |B| = 20000 → jac = ratio =
+    9999/20000 = 0.49995, round(., 4) = 0.5 = threshold."""
+    from data_pipeline_for_real_time_retail_analytics_spark.operators.dedup import (
+        _verify_then_dedup,
+    )
+
+    cand = spark.range(1).select(
+        F.lit(1).cast("long").alias("doc_a"),
+        F.lit(2).cast("long").alias("doc_b"),
+        F.sequence(F.lit(1), F.lit(9999)).alias("sh_a"),
+        F.lit(9999).alias("n_a"),
+        F.sequence(F.lit(1), F.lit(20000)).alias("sh_b"),
+        F.lit(20000).alias("n_b"),
+    )
+    rows = _verify_then_dedup(cand, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 0.5)]
+
+
 def test_incremental_pairs_find_new_vs_corpus_only(spark, docs):
     """New-batch docs match their corpus near-dups; no corpus×corpus or
     new×new pair ever appears, and the jaccard values agree with the
